@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Timing = full plan execution to a count/collect action, after one
+untimed warm-up of the session (JVM + parquet footer caches), so the
+number reflects steady-state engine throughput, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from env_data_pipeline_spark.plans import registry
+from env_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "revenue_by_region",
+    "topk_orders_per_priority",
+    "order_priority_check",
+    "events_sessionized_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("env_data_pipeline_spark-bench")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # extend with any registered headline-worthy queries not listed yet
+    for n in registry.QUERIES:
+        if n not in names and n in registry.BENCH_EXTRA:
+            names.append(n)
+
+    # warm-up: touch the session and parquet footers once, untimed
+    registry.QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Generic relational query surface (SURVEY.md §2.6 engine-native note,
+§7.0 flagship).
+
+The reference never sorts, limits, or set-ops its results — but any
+real analytics engine over this domain must, so these are first-class
+engine queries over the TESTDATA tables: scan -> filter -> join ->
+agg -> window -> sort -> limit, each with a DuckDB oracle.
+
+Scale notes per query in docstrings; all aggregates are rounded to 4
+decimals on BOTH engines so summation-order ulp noise cannot break the
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (SURVEY.md §7.0).
+
+    Scale: single scan + partial/final hash agg on 6 groups — no
+    shuffle pressure at any SF; the shipdate predicate and the 7-column
+    projection push down to the Parquet scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: fact -> dims (J3-shaped star join).
+
+    Scale: customer/nation/region are dimensions — broadcast them so
+    the only shuffle is the final 5-group aggregation. lineitem⋈orders
+    is the large-large edge; at 100 TB both sides hash-partition on
+    orderkey (sort-merge under AQE), everything downstream is
+    broadcast. Explicit broadcast() hints pin the dim sides.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (W4-shaped).
+
+    Scale: one shuffle on the partition key; rank pushdown
+    (WindowGroupLimit) keeps per-partition state at K rows instead of
+    sorting whole partitions. Ties broken deterministically by
+    orderkey so the result is unique (oracle-hash safe).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "semi_anti_join_customers",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins — the natural form of the reference's
+    presence checks (F13) and whitelist filters (F4), SURVEY.md §2.5.
+
+    Scale: semi/anti joins shuffle only the join key and carry no
+    payload columns from the right side; Catalyst rewrites both from
+    EXISTS/NOT EXISTS identically.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(with_orders, without)], "n_with_orders bigint, n_without_orders bigint"
+    )
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style: date-range filter + semi join + agg.
+
+    Scale: the date predicate prunes the orders scan before the
+    shuffle; the semi join carries only l_orderkey/l_shipdate.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    matched = filtered.join(
+        li,
+        (filtered.o_orderkey == li.l_orderkey) & (li.l_shipdate > filtered.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "set_ops_part_types",
+    oracle="""
+    WITH big AS (SELECT DISTINCT p_type FROM part WHERE p_size > 25),
+         costly AS (SELECT DISTINCT p_type FROM part WHERE p_retailprice > 1500)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT p_type FROM big UNION SELECT p_type FROM costly)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT p_type FROM big INTERSECT SELECT p_type FROM costly)) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT p_type FROM big EXCEPT SELECT p_type FROM costly)) AS n_except
+    """,
+)
+def set_ops_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except — engine-native set-op surface
+    (SURVEY.md §2.6 note: absent from the reference, required here)."""
+    p = table(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") > 25).select("p_type").distinct()
+    costly = p.filter(F.col("p_retailprice") > 1500).select("p_type").distinct()
+    n_union = big.union(costly).distinct().count()
+    n_intersect = big.intersect(costly).count()
+    n_except = big.exceptAll(costly).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union bigint, n_intersect bigint, n_except bigint",
+    )
+
+
+@query(
+    "events_sessionized_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_type, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min flag + running sum (the batch
+    analog of the streaming event path, SURVEY.md §2.9).
+
+    Scale: both windows share one partitioning (user_id), so this is a
+    single shuffle; at 100 TB the per-user partitions are small and
+    skew-safe.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_order)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .orderBy("user_id", "session_id")
+    )
