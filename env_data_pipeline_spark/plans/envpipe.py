@@ -1,1 +1,415 @@
-"""Placeholder — populated in later milestones."""
+"""Domain queries: the reference's environmental-data semantics as
+Spark DataFrame plans over the fixture tables (SURVEY.md §2.2-§2.6,
+§3). Each has a DuckDB oracle embedding the same fixture CTEs.
+
+Scale posture: every query here is a scan -> narrow projection ->
+(optional window or agg keyed on request_id) -> result. request_id is
+high-cardinality and uniform (derived from event_id), so the shuffles
+are skew-free; the per-request windows (W1/W2) are tiny groups. At
+100 TB the fixture scans become real source tables partitioned by
+ingest date — the plans are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from env_data_pipeline_spark.functions import classifiers as C
+from env_data_pipeline_spark.functions import scalar as S
+from env_data_pipeline_spark.operators import validation as V
+from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.sources.fixtures import duck_with, ensure_fixtures
+
+# ---------------------------------------------------------------------------
+# F1-F6: request validation splitter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "validate_requests",
+    oracle=f"""
+    {duck_with("requests")}
+    SELECT request_id,
+           {V.duck_reject_reason()} AS reject_reason,
+           ({V.duck_reject_reason()}) IS NULL AS is_valid
+    FROM requests
+    """,
+)
+def validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 validation family over the requests fixture (SURVEY.md
+    §2.3; reference orchestrator.py:89-212). Pure row-local filter
+    logic — no shuffle at any scale."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    return V.validate_requests(spark.table("requests")).select(
+        "request_id", "reject_reason", "is_valid"
+    )
+
+
+@query(
+    "validation_reject_summary",
+    oracle=f"""
+    {duck_with("requests")}
+    SELECT coalesce({V.duck_reject_reason()}, 'VALID') AS reason,
+           COUNT(*) AS n
+    FROM requests
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def validation_reject_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-reason histogram (the engine-side A10-style summary of
+    the validation stage)."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    return (
+        V.validate_requests(spark.table("requests"))
+        .groupBy(F.coalesce(F.col("reject_reason"), F.lit("VALID")).alias("reason"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("reason")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weather: P1/P3 projection + fire risk (S4 scan -> §2.10 classifier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weather_current_conditions",
+    oracle=f"""
+    {duck_with("weather_current")}
+    SELECT request_id,
+           strftime(make_timestamp(dt * 1000000), '%Y-%m-%d %H:%M:%S') AS observation_time,
+           temperature_celsius,
+           humidity_percent,
+           coalesce(wind_speed_mps, 0.0) AS wind_speed_mps,
+           coalesce(wind_direction_deg, 0) AS wind_direction_deg,
+           coalesce(visibility_meters, 0) AS visibility_meters,
+           weather_description,
+           CASE WHEN risk_score >= 7 THEN 'EXTREME'
+                WHEN risk_score >= 5 THEN 'HIGH'
+                WHEN risk_score >= 3 THEN 'MODERATE'
+                ELSE 'LOW' END AS fire_weather_risk
+    FROM (
+      SELECT *,
+        (CASE WHEN temperature_celsius > 30 THEN 3
+              WHEN temperature_celsius > 25 THEN 2
+              WHEN temperature_celsius > 20 THEN 1 ELSE 0 END
+       + CASE WHEN humidity_percent < 20 THEN 3
+              WHEN humidity_percent < 40 THEN 2
+              WHEN humidity_percent < 60 THEN 1 ELSE 0 END
+       + CASE WHEN coalesce(wind_speed_mps, 0.0) > 15 THEN 3
+              WHEN coalesce(wind_speed_mps, 0.0) > 10 THEN 2
+              WHEN coalesce(wind_speed_mps, 0.0) > 5 THEN 1 ELSE 0 END) AS risk_score
+      FROM weather_current
+    )
+    """,
+)
+def weather_current_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection/rename + P3 epoch->ISO + fire_weather_risk
+    classifier (weather_container.py:146-165, 187-233). Defaulted-zero
+    fields via coalesce (P1 note)."""
+    ensure_fixtures(spark, sf_dir, ("weather_current",))
+    wc = spark.table("weather_current")
+    return wc.select(
+        "request_id",
+        F.date_format(S.epoch_to_timestamp(F.col("dt")), "yyyy-MM-dd HH:mm:ss").alias(
+            "observation_time"
+        ),
+        "temperature_celsius",
+        "humidity_percent",
+        F.coalesce("wind_speed_mps", F.lit(0.0)).alias("wind_speed_mps"),
+        F.coalesce("wind_direction_deg", F.lit(0)).alias("wind_direction_deg"),
+        F.coalesce("visibility_meters", F.lit(0)).alias("visibility_meters"),
+        "weather_description",
+        C.fire_weather_risk(
+            F.col("temperature_celsius"), F.col("humidity_percent"), F.col("wind_speed_mps")
+        ).alias("fire_weather_risk"),
+    )
+
+
+_DUCK_FORECAST_RISK = """
+      SELECT request_id, temperature_celsius,
+        coalesce(rain_3h, 0.0) + coalesce(snow_3h, 0.0) AS precipitation_mm,
+        (CASE WHEN temperature_celsius > 30 THEN 3
+              WHEN temperature_celsius > 25 THEN 2
+              WHEN temperature_celsius > 20 THEN 1 ELSE 0 END
+       + CASE WHEN humidity_percent < 20 THEN 3
+              WHEN humidity_percent < 40 THEN 2
+              WHEN humidity_percent < 60 THEN 1 ELSE 0 END
+       + CASE WHEN coalesce(wind_speed_mps, 0.0) > 15 THEN 3
+              WHEN coalesce(wind_speed_mps, 0.0) > 10 THEN 2
+              WHEN coalesce(wind_speed_mps, 0.0) > 5 THEN 1 ELSE 0 END) AS risk_score
+      FROM weather_forecast
+"""
+
+
+@query(
+    "weather_forecast_summary",
+    oracle=f"""
+    {duck_with("weather_forecast")}
+    SELECT request_id,
+           COUNT(*) AS total_points,
+           ROUND(MAX(temperature_celsius), 4) AS max_temperature_c,
+           ROUND(MIN(temperature_celsius), 4) AS min_temperature_c,
+           SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS high_risk_periods,
+           ROUND(SUM(precipitation_mm), 4) AS total_precipitation_mm
+    FROM ({_DUCK_FORECAST_RISK})
+    GROUP BY request_id
+    """,
+)
+def weather_forecast_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 forecast projection + per-period risk + A5/A6/F12 summary
+    (weather_container.py:167-185, 357-371). One hash agg keyed on
+    request_id — the high-risk filter folds into a conditional sum so
+    the forecast table is scanned once."""
+    ensure_fixtures(spark, sf_dir, ("weather_forecast",))
+    fc = spark.table("weather_forecast")
+    risk = C.fire_weather_score(
+        F.col("temperature_celsius"), F.col("humidity_percent"), F.col("wind_speed_mps")
+    )
+    return (
+        fc.select(
+            "request_id",
+            "temperature_celsius",
+            S.precipitation_mm(F.col("rain_3h"), F.col("snow_3h")).alias("precipitation_mm"),
+            risk.alias("risk_score"),
+        )
+        .groupBy("request_id")
+        .agg(
+            F.count("*").alias("total_points"),
+            F.round(F.max("temperature_celsius"), 4).alias("max_temperature_c"),
+            F.round(F.min("temperature_celsius"), 4).alias("min_temperature_c"),
+            F.sum(F.when(F.col("risk_score") >= 5, 1).otherwise(0)).alias("high_risk_periods"),
+            F.round(F.sum("precipitation_mm"), 4).alias("total_precipitation_mm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MODIS: center pixel (P11) + scaling (P4/P5) + validity (F7/F8) +
+# latest/first-valid windows (W1/W2) + health classification
+# ---------------------------------------------------------------------------
+
+_DUCK_NDVI_VALID = """
+      SELECT request_id, calendar_date,
+             data[(len(data) // 2) + 1] * CAST(0.0001 AS DOUBLE) AS scaled_ndvi
+      FROM modis_observations
+      WHERE product = 'MOD13Q1' AND band = '250m_16_days_NDVI'
+        AND len(data) > 0
+"""
+
+
+@query(
+    "modis_ndvi_latest",
+    oracle=f"""
+    {duck_with("modis_observations")},
+    nd AS ({_DUCK_NDVI_VALID}),
+    latest AS (
+      SELECT request_id, scaled_ndvi, calendar_date,
+             ROW_NUMBER() OVER (PARTITION BY request_id ORDER BY calendar_date DESC) AS rn
+      FROM nd WHERE scaled_ndvi BETWEEN -1.0 AND 1.0
+    )
+    SELECT b.request_id,
+           ROUND(l.scaled_ndvi, 4) AS ndvi_latest,
+           CASE WHEN l.scaled_ndvi IS NULL THEN 'UNKNOWN'
+                WHEN l.scaled_ndvi > 0.6 THEN 'HEALTHY'
+                WHEN l.scaled_ndvi > 0.3 THEN 'MODERATE'
+                WHEN l.scaled_ndvi > 0.1 THEN 'STRESSED'
+                ELSE 'SEVERELY_STRESSED' END AS vegetation_health,
+           CASE WHEN l.scaled_ndvi IS NULL THEN 'UNKNOWN'
+                WHEN l.scaled_ndvi > 0.6 THEN 'LOW'
+                WHEN l.scaled_ndvi > 0.3 THEN 'MODERATE'
+                WHEN l.scaled_ndvi > 0.1 THEN 'HIGH'
+                ELSE 'EXTREME' END AS fire_risk_vegetation,
+           CAST(l.calendar_date AS STRING) AS last_observation_date
+    FROM (SELECT DISTINCT request_id FROM nd) b
+    LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l USING (request_id)
+    """,
+)
+def modis_ndvi_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 latest-valid-NDVI + health classification
+    (modis_container.py:240-276). 'Latest valid' is pinned with an
+    explicit date-desc window over only the F7-valid rows — the
+    reference's implicit iteration order made explicit (SURVEY.md
+    §7.3.1). Requests whose every observation is invalid keep a row
+    with NULL ndvi and UNKNOWN health (modis_container.py:261-262)."""
+    ensure_fixtures(spark, sf_dir, ("modis_observations",))
+    obs = spark.table("modis_observations")
+    nd = (
+        obs.filter(
+            (F.col("product") == "MOD13Q1")
+            & (F.col("band") == "250m_16_days_NDVI")
+            & (F.size("data") > 0)
+        )
+        .select(
+            "request_id",
+            "calendar_date",
+            S.ndvi_scaled(S.center_element(F.col("data"))).alias("scaled_ndvi"),
+        )
+    )
+    valid = nd.filter(F.col("scaled_ndvi").between(-1.0, 1.0))
+    w = Window.partitionBy("request_id").orderBy(F.desc("calendar_date"))
+    latest = valid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    base = nd.select("request_id").distinct()
+    return base.join(latest, "request_id", "left").select(
+        "request_id",
+        F.round("scaled_ndvi", 4).alias("ndvi_latest"),
+        C.vegetation_health(F.col("scaled_ndvi")).alias("vegetation_health"),
+        C.fire_risk_vegetation(F.col("scaled_ndvi")).alias("fire_risk_vegetation"),
+        F.col("calendar_date").cast("string").alias("last_observation_date"),
+    )
+
+
+@query(
+    "modis_lst_first_valid",
+    oracle=f"""
+    {duck_with("modis_observations")},
+    lst AS (
+      SELECT request_id, calendar_date,
+             data[(len(data) // 2) + 1] * CAST(0.02 AS DOUBLE)
+               - CAST(273.15 AS DOUBLE) AS temp_c
+      FROM modis_observations
+      WHERE product = 'MOD11A2' AND band = 'LST_Day_1km' AND len(data) > 0
+    ),
+    first_valid AS (
+      SELECT request_id, temp_c,
+             ROW_NUMBER() OVER (PARTITION BY request_id ORDER BY calendar_date ASC) AS rn
+      FROM lst WHERE temp_c BETWEEN -50.0 AND 60.0
+    )
+    SELECT b.request_id, ROUND(f.temp_c, 4) AS land_surface_temperature_c
+    FROM (SELECT DISTINCT request_id FROM lst) b
+    LEFT JOIN (SELECT * FROM first_valid WHERE rn = 1) f USING (request_id)
+    """,
+)
+def modis_lst_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 first-valid-LST: the reference breaks on the FIRST
+    plausibility-passing observation in date order
+    (modis_container.py:291-301) — note the asymmetry with W1."""
+    ensure_fixtures(spark, sf_dir, ("modis_observations",))
+    obs = spark.table("modis_observations")
+    lst = obs.filter(
+        (F.col("product") == "MOD11A2")
+        & (F.col("band") == "LST_Day_1km")
+        & (F.size("data") > 0)
+    ).select(
+        "request_id",
+        "calendar_date",
+        S.lst_celsius(S.center_element(F.col("data"))).alias("temp_c"),
+    )
+    valid = lst.filter(F.col("temp_c").between(-50.0, 60.0))
+    w = Window.partitionBy("request_id").orderBy(F.asc("calendar_date"))
+    first = valid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        lst.select("request_id")
+        .distinct()
+        .join(first, "request_id", "left")
+        .select("request_id", F.round("temp_c", 4).alias("land_surface_temperature_c"))
+    )
+
+
+@query(
+    "modis_area_summary",
+    oracle=f"""
+    {duck_with("modis_observations")}
+    SELECT request_id,
+           COUNT(*) AS total_observations,
+           CASE WHEN COUNT(*) > 10 THEN 'GOOD' ELSE 'LIMITED' END AS data_quality,
+           string_agg(DISTINCT product, ',' ORDER BY product) AS products_available
+    FROM modis_observations
+    GROUP BY request_id
+    """,
+)
+def modis_area_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8/A9: observation counts, quality bucket, products list
+    (modis_container.py:306-316). products_available is a sorted CSV
+    so the hash comparison is order-stable."""
+    ensure_fixtures(spark, sf_dir, ("modis_observations",))
+    obs = spark.table("modis_observations")
+    return (
+        obs.groupBy("request_id")
+        .agg(
+            F.count("*").alias("total_observations"),
+            F.array_join(F.array_sort(F.collect_set("product")), ",").alias(
+                "products_available"
+            ),
+        )
+        .select(
+            "request_id",
+            "total_observations",
+            C.data_quality_bucket(F.col("total_observations")).alias("data_quality"),
+            "products_available",
+        )
+    )
+
+
+@query(
+    "modis_date_codes",
+    oracle=f"""
+    {duck_with("modis_observations")}
+    SELECT DISTINCT calendar_date, modis_date,
+           concat('A', cast(year(calendar_date) AS STRING),
+                  lpad(cast(dayofyear(calendar_date) AS STRING), 3, '0')) AS recomputed_code
+    FROM modis_observations
+    ORDER BY calendar_date
+    """,
+)
+def modis_date_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 AYYYYDDD date-code round-trip (modis_container.py:96-98) —
+    the recomputed code must equal the stored one."""
+    ensure_fixtures(spark, sf_dir, ("modis_observations",))
+    obs = spark.table("modis_observations")
+    return (
+        obs.select("calendar_date", "modis_date")
+        .distinct()
+        .withColumn("recomputed_code", S.modis_date_code(F.col("calendar_date")))
+        .orderBy("calendar_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5: event priority routing
+# ---------------------------------------------------------------------------
+
+ALL_SOURCES_CSV = "landfire,modis,weather,topography"
+
+
+@query(
+    "event_priority_routing",
+    oracle=f"""
+    {duck_with("requests")}
+    SELECT request_id, event_type, priority,
+           CASE WHEN priority = 'emergency' THEN '{ALL_SOURCES_CSV}'
+                WHEN event_type = 'created' THEN '{ALL_SOURCES_CSV}'
+                ELSE 'weather' END AS sources_scheduled,
+           CASE WHEN priority = 'emergency' THEN 60
+                WHEN event_type = 'created' THEN 120
+                ELSE 30 END AS estimated_completion_seconds
+    FROM requests
+    WHERE event_type IN ('created', 'updated', 'location_changed')
+      AND priority IN ('low', 'normal', 'high', 'emergency')
+    """,
+)
+def event_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 priority routing (orchestrator.py:923-935): emergency -> all
+    sources / 60 s; created -> all / 120 s; else weather-only / 30 s.
+    F6 vocab filters applied first (orchestrator.py:214-234)."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    req = spark.table("requests").filter(
+        F.col("event_type").isin("created", "updated", "location_changed")
+        & F.col("priority").isin("low", "normal", "high", "emergency")
+    )
+    all_src = F.lit(ALL_SOURCES_CSV)
+    return req.select(
+        "request_id",
+        "event_type",
+        "priority",
+        F.when(F.col("priority") == "emergency", all_src)
+        .when(F.col("event_type") == "created", all_src)
+        .otherwise(F.lit("weather"))
+        .alias("sources_scheduled"),
+        F.when(F.col("priority") == "emergency", 60)
+        .when(F.col("event_type") == "created", 120)
+        .otherwise(30)
+        .alias("estimated_completion_seconds"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
+from decimal import Decimal
 
 import duckdb
 
@@ -21,6 +22,8 @@ ROUND = 6
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
