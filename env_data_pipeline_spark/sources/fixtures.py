@@ -293,16 +293,22 @@ CROSS JOIN {C16}
 WHERE e.event_id % 4 = 0
 """
 
-# grid geometry: 16x16, 0.001-degree pixels, anchored so the request
-# coordinate falls in the grid interior (rasterio-style north-up
-# transform: x0 = west edge, y0 = north edge; landfire_container.py:91)
+# grid geometry: 16x16, 0.001-degree pixels, north-up rasterio-style
+# transform (x0 = west edge, y0 = north edge; landfire_container.py:91),
+# anchored so the request coordinate (req_lat/req_lon — the center of
+# the P8 bbox, landfire_container.py:259) lands at a grid-dependent
+# interior (row, col): col = event_id % 16, row = (event_id * 3) % 16.
 LANDFIRE_GRID_META_SQL = """
 SELECT
   concat('grid_', cast(e.event_id AS STRING), '_', lp.product) AS grid_id,
   concat('req_', lpad(cast(e.event_id AS STRING), 12, '0')) AS request_id,
   lp.product,
-  -120.0 - cast(e.event_id % 100 AS DOUBLE) / 100.0 - 0.0085 AS x0,
-  38.0 + cast(e.event_id % 80 AS DOUBLE) / 100.0 + 0.0085 AS y0,
+  38.0 + cast(e.event_id % 80 AS DOUBLE) / 100.0 AS req_lat,
+  -120.0 - cast(e.event_id % 100 AS DOUBLE) / 100.0 AS req_lon,
+  -120.0 - cast(e.event_id % 100 AS DOUBLE) / 100.0
+    - (0.0005 + cast(e.event_id % 16 AS DOUBLE) * 0.001) AS x0,
+  38.0 + cast(e.event_id % 80 AS DOUBLE) / 100.0
+    + (0.0005 + cast((e.event_id * 3) % 16 AS DOUBLE) * 0.001) AS y0,
   0.001 AS px_w,
   0.001 AS px_h,
   16 AS n_rows,
