@@ -1,0 +1,251 @@
+"""The /collect pipeline: multi-source wide merge (SURVEY.md §3.1, J3)
++ A10 success summary + S7 JSON sink.
+
+The reference's primary entry point: validate -> fan out to 4 sources
+-> gather with per-source failure tolerance -> one wide record per
+request. Engine form: validation filter -> per-source summary
+DataFrames (each an independent branch Catalyst schedules in parallel,
+O1) -> 4-way LEFT OUTER equi-join on request_id -> success-rate
+summary columns (orchestrator.py:759-806, 779-786).
+
+Scale: request_id is unique per row on every input, so all joins are
+1:1 equi-joins on a uniform key — at 100 TB AQE picks sort-merge and
+co-partitions once; the summary branches each reduce their source
+table to one row per request BEFORE the join, so the join inputs are
+already minimal. No branch is re-scanned twice (each source table is
+read exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.operators import validation as V
+from env_data_pipeline_spark.plans import envpipe as E
+from env_data_pipeline_spark.plans import raster as R
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+from env_data_pipeline_spark.sources.fixtures import duck_with, ensure_fixtures
+
+_ALL_FIXTURES = (
+    "requests",
+    "weather_current",
+    "weather_forecast",
+    "modis_observations",
+    "landfire_grid_meta",
+    "landfire_pixels",
+    "landfire_attributes",
+    "elevation_cells",
+)
+
+_ORACLE = f"""
+    {duck_with(*_ALL_FIXTURES)},
+    valid AS (
+      SELECT request_id FROM requests
+      WHERE ({V.duck_reject_reason()}) IS NULL
+    ),
+    wc AS (
+      SELECT request_id, temperature_celsius,
+             CASE WHEN risk_score >= 7 THEN 'EXTREME'
+                  WHEN risk_score >= 5 THEN 'HIGH'
+                  WHEN risk_score >= 3 THEN 'MODERATE'
+                  ELSE 'LOW' END AS fire_weather_risk
+      FROM (
+        SELECT *,
+          (CASE WHEN temperature_celsius > 30 THEN 3
+                WHEN temperature_celsius > 25 THEN 2
+                WHEN temperature_celsius > 20 THEN 1 ELSE 0 END
+         + CASE WHEN humidity_percent < 20 THEN 3
+                WHEN humidity_percent < 40 THEN 2
+                WHEN humidity_percent < 60 THEN 1 ELSE 0 END
+         + CASE WHEN coalesce(wind_speed_mps, 0.0) > 15 THEN 3
+                WHEN coalesce(wind_speed_mps, 0.0) > 10 THEN 2
+                WHEN coalesce(wind_speed_mps, 0.0) > 5 THEN 1 ELSE 0 END) AS risk_score
+        FROM weather_current
+      )
+    ),
+    fs AS (
+      SELECT request_id,
+             SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS high_risk_periods
+      FROM ({E._DUCK_FORECAST_RISK}) GROUP BY request_id
+    ),
+    nd AS ({E._DUCK_NDVI_VALID}),
+    ndl AS (
+      SELECT b.request_id, ROUND(l.scaled_ndvi, 4) AS ndvi_latest,
+             CASE WHEN l.scaled_ndvi IS NULL THEN 'UNKNOWN'
+                  WHEN l.scaled_ndvi > 0.6 THEN 'HEALTHY'
+                  WHEN l.scaled_ndvi > 0.3 THEN 'MODERATE'
+                  WHEN l.scaled_ndvi > 0.1 THEN 'STRESSED'
+                  ELSE 'SEVERELY_STRESSED' END AS vegetation_health
+      FROM (SELECT DISTINCT request_id FROM nd) b
+      LEFT JOIN (
+        SELECT request_id, scaled_ndvi,
+               ROW_NUMBER() OVER (PARTITION BY request_id ORDER BY calendar_date DESC) AS rn
+        FROM nd WHERE scaled_ndvi BETWEEN -1.0 AND 1.0
+      ) l ON l.request_id = b.request_id AND l.rn = 1
+    ),
+    mas AS (
+      SELECT request_id, COUNT(*) AS total_observations
+      FROM modis_observations GROUP BY request_id
+    ),
+    target AS ({R._DUCK_ROWCOL}),
+    ctr AS (
+      SELECT t.request_id, t.product, px.pixel_value
+      FROM target t
+      JOIN landfire_pixels px
+        ON px.grid_id = t.grid_id AND px.row = t.row AND px.col = t.col
+      WHERE t.product IN ('vegetation_type', 'fuel_model')
+    ),
+    cls AS (
+      SELECT p.request_id, p.product, {R._DUCK_CLASSIFY} AS interpreted
+      FROM ctr p
+      {R._DUCK_ATTR_JOINS}
+    ),
+    lfr AS (
+      SELECT request_id,
+             CASE WHEN contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'developed')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'urban')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'water')
+                  THEN 'LOW'
+                  WHEN contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'chaparral')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'timber')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'grass')
+                  THEN 'MODERATE_TO_HIGH'
+                  ELSE 'MODERATE' END AS fire_risk_landfire
+      FROM cls GROUP BY request_id
+    ),
+    dem AS (
+      SELECT request_id,
+             ROUND(AVG(elevation), 4) AS mean_elevation_m,
+             CASE WHEN MAX(elevation) - MIN(elevation) > 100 THEN 'HIGH'
+                  WHEN MAX(elevation) - MIN(elevation) > 50 THEN 'MODERATE'
+                  ELSE 'LOW' END AS terrain_roughness
+      FROM elevation_cells WHERE elevation != nodata
+      GROUP BY request_id
+    )
+    SELECT v.request_id,
+           wc.temperature_celsius, wc.fire_weather_risk,
+           fs.high_risk_periods,
+           ndl.ndvi_latest, ndl.vegetation_health,
+           mas.total_observations,
+           lfr.fire_risk_landfire,
+           dem.mean_elevation_m, dem.terrain_roughness,
+           (CASE WHEN wc.request_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END) AS sources_successful,
+           ROUND((CASE WHEN wc.request_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(4.0 AS DOUBLE), 4) AS success_rate
+    FROM valid v
+    LEFT JOIN wc  ON wc.request_id  = v.request_id
+    LEFT JOIN fs  ON fs.request_id  = v.request_id
+    LEFT JOIN ndl ON ndl.request_id = v.request_id
+    LEFT JOIN mas ON mas.request_id = v.request_id
+    LEFT JOIN lfr ON lfr.request_id = v.request_id
+    LEFT JOIN dem ON dem.request_id = v.request_id
+"""
+
+
+def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_fixtures(spark, sf_dir, _ALL_FIXTURES)
+    valid = (
+        V.validate_requests(spark.table("requests"))
+        .filter(F.col("is_valid"))
+        .select("request_id")
+    )
+    wc = E.weather_current_conditions(spark, sf_dir).select(
+        "request_id", "temperature_celsius", "fire_weather_risk"
+    )
+    fs = E.weather_forecast_summary(spark, sf_dir).select(
+        "request_id", "high_risk_periods"
+    )
+    ndl = E.modis_ndvi_latest(spark, sf_dir).select(
+        "request_id", "ndvi_latest", "vegetation_health"
+    )
+    mas = E.modis_area_summary(spark, sf_dir).select(
+        "request_id", "total_observations"
+    )
+    lfr = R.landfire_combined_risk(spark, sf_dir).select(
+        "request_id", "fire_risk_landfire"
+    )
+    dem = (
+        spark.table("elevation_cells")
+        .filter(F.col("elevation") != F.col("nodata"))
+        .groupBy("request_id")
+        .agg(
+            F.round(F.avg("elevation"), 4).alias("mean_elevation_m"),
+            (F.max("elevation") - F.min("elevation")).alias("rng"),
+        )
+        .select(
+            "request_id",
+            "mean_elevation_m",
+            F.when(F.col("rng") > 100, "HIGH")
+            .when(F.col("rng") > 50, "MODERATE")
+            .otherwise("LOW")
+            .alias("terrain_roughness"),
+        )
+    )
+
+    # presence markers for A10 before the join drops the distinction
+    mark = lambda df, name: df.withColumn(name, F.lit(1))  # noqa: E731
+    wide = (
+        valid.join(mark(wc, "_w"), "request_id", "left")
+        .join(fs, "request_id", "left")
+        .join(ndl, "request_id", "left")
+        .join(mark(mas, "_m"), "request_id", "left")
+        .join(mark(lfr, "_l"), "request_id", "left")
+        .join(mark(dem, "_t"), "request_id", "left")
+    )
+    succ = (
+        F.coalesce(F.col("_w"), F.lit(0))
+        + F.coalesce(F.col("_m"), F.lit(0))
+        + F.coalesce(F.col("_l"), F.lit(0))
+        + F.coalesce(F.col("_t"), F.lit(0))
+    )
+    return wide.select(
+        "request_id",
+        "temperature_celsius",
+        "fire_weather_risk",
+        "high_risk_periods",
+        "ndvi_latest",
+        "vegetation_health",
+        "total_observations",
+        "fire_risk_landfire",
+        "mean_elevation_m",
+        "terrain_roughness",
+        succ.alias("sources_successful"),
+        F.round(succ / F.lit(4.0), 4).alias("success_rate"),
+    )
+
+
+@query("collect_aggregated", oracle=_ORACLE)
+def collect_aggregated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 multi-source wide merge + A10 success summary — the engine's
+    batch form of POST /collect (orchestrator.py:695-806)."""
+    return _wide(spark, sf_dir)
+
+
+BENCH_EXTRA.add("collect_aggregated")
+
+
+@query("collect_json_sink", oracle=None)
+def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the wide record as a nested JSON document
+    (shared_schema.py:114-132 to_dict / orchestrator.py:788-808
+    assembly) — struct() only at the sink per SURVEY.md §1.4.
+    Rows-only check (JSON text formatting is engine-specific)."""
+    wide = _wide(spark, sf_dir)
+    payload = F.struct(
+        F.col("request_id"),
+        F.struct("temperature_celsius", "fire_weather_risk", "high_risk_periods").alias(
+            "weather"
+        ),
+        F.struct("ndvi_latest", "vegetation_health", "total_observations").alias("modis"),
+        F.struct("fire_risk_landfire").alias("landfire"),
+        F.struct("mean_elevation_m", "terrain_roughness").alias("topography"),
+        F.struct("sources_successful", "success_rate").alias("summary"),
+    )
+    return wide.select("request_id", F.to_json(payload).alias("document"))
