@@ -47,4 +47,5 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.envpipe  # noqa: F401
     import env_data_pipeline_spark.plans.raster  # noqa: F401
     import env_data_pipeline_spark.plans.collect  # noqa: F401
+    import env_data_pipeline_spark.plans.streaming_queries  # noqa: F401
     import env_data_pipeline_spark.plans.extensions  # noqa: F401

@@ -1,0 +1,66 @@
+"""Registry entries for the streaming slice (SURVEY.md §2.9).
+
+Both run REAL streaming queries (micro-batch engine, state store,
+watermark) drained synchronously; the windowed aggregation is
+SQL-expressible so it gets a full oracle — date_trunc('hour') is
+exactly the tumbling-window start for 1-hour windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.streaming import event_trigger as ET
+
+
+@query(
+    "streaming_windowed_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming agg with watermark — oracle-checked
+    against the batch date_trunc equivalent."""
+    return ET.windowed_event_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_priority_routing",
+    oracle="""
+    WITH typed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 17 = 15 THEN 'deleted'
+                  WHEN event_id % 17 = 16 THEN CAST(NULL AS STRING)
+                  WHEN event_id % 3 = 0 THEN 'created'
+                  WHEN event_id % 3 = 1 THEN 'updated'
+                  ELSE 'location_changed' END AS event_type,
+             CASE WHEN event_id % 19 = 18 THEN 'urgent'
+                  WHEN event_id % 4 = 0 THEN 'low'
+                  WHEN event_id % 4 = 1 THEN 'normal'
+                  WHEN event_id % 4 = 2 THEN 'high'
+                  ELSE 'emergency' END AS priority
+      FROM events
+    )
+    SELECT event_id, event_type, priority,
+           CASE WHEN priority = 'emergency' THEN 'landfire,modis,weather,topography'
+                WHEN event_type = 'created' THEN 'landfire,modis,weather,topography'
+                ELSE 'weather' END AS sources_scheduled,
+           CASE WHEN priority = 'emergency' THEN 60
+                WHEN event_type = 'created' THEN 120
+                ELSE 30 END AS estimated_completion_seconds
+    FROM typed
+    WHERE event_type IN ('created', 'updated', 'location_changed')
+      AND priority IN ('low', 'normal', 'high', 'emergency')
+    """,
+)
+def streaming_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5/O6: the event-trigger path as a streaming query — routing
+    per event, emitted in append mode."""
+    return ET.priority_routed_events(spark, sf_dir)

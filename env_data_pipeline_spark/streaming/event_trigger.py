@@ -1,0 +1,121 @@
+"""Streaming event-trigger pipeline (SURVEY.md §2.9 O4-O6).
+
+Batch-testable: the parquet file source replays the deterministic
+events table through a real streaming query (micro-batches, state
+store, watermark); ``processAllAvailable`` drains it synchronously so
+the result is a plain DataFrame the driver can check.
+
+Scale: file source -> kafka source is a one-line swap; the watermark
+bounds state (1 hour, mirroring the reference's declared 1-hour result
+currency, orchestrator.py:657 / O8); tumbling-window counts are
+partial-aggregated per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS): declare long and convert
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: load sf_dir and
+    # glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name)
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type with a 1-hour watermark
+    (the engine-native streaming agg of SURVEY.md §2.9). Complete
+    output mode so every window is emitted for the oracle check."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "windowed_event_counts_sink", "complete")
+
+
+def priority_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 routing applied to the live stream: derive event_type /
+    priority vocab (same arithmetic as the requests fixture), route to
+    sources with completion budgets (orchestrator.py:923-935), and
+    emit per-event rows — what the reference's background worker stub
+    (O6) would persist."""
+    ev = _event_stream(spark, sf_dir)
+    eid = F.col("event_id")
+    event_type = (
+        F.when(eid % 17 == 15, "deleted")
+        .when(eid % 17 == 16, F.lit(None).cast("string"))
+        .when(eid % 3 == 0, "created")
+        .when(eid % 3 == 1, "updated")
+        .otherwise("location_changed")
+    )
+    priority = (
+        F.when(eid % 19 == 18, "urgent")
+        .when(eid % 4 == 0, "low")
+        .when(eid % 4 == 1, "normal")
+        .when(eid % 4 == 2, "high")
+        .otherwise("emergency")
+    )
+    routed = (
+        ev.select(eid.alias("event_id"), event_type.alias("event_type"), priority.alias("priority"))
+        .filter(
+            F.col("event_type").isin("created", "updated", "location_changed")
+            & F.col("priority").isin("low", "normal", "high", "emergency")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "priority",
+            F.when(F.col("priority") == "emergency", "landfire,modis,weather,topography")
+            .when(F.col("event_type") == "created", "landfire,modis,weather,topography")
+            .otherwise("weather")
+            .alias("sources_scheduled"),
+            F.when(F.col("priority") == "emergency", 60)
+            .when(F.col("event_type") == "created", 120)
+            .otherwise(30)
+            .alias("estimated_completion_seconds"),
+        )
+    )
+    return _drain(spark, routed, "priority_routed_events_sink", "append")
