@@ -1,0 +1,168 @@
+"""Deduplication operators (X1/X2, SURVEY.md §2.11).
+
+- exact: hash-groupBy on md5(text) — one shuffle on the hash key.
+- MinHash + LSH: shingle -> 16 min-hashes -> 4 bands -> band-bucket
+  self-join. Signatures are lexicographic minima of md5 hex strings so
+  the DuckDB oracle computes the identical signature with the same
+  builtin. At 100 TB the band join is the only shuffle and its key
+  (band, band_key) is uniform by construction; candidate pairs are a
+  tiny fraction of the corpus.
+- SimHash: 32-bit sign-aggregated word-hash fingerprint via a
+  vectorized Pandas UDF (Arrow path) — near-dup pairs differ in few
+  bits (Hamming-ball lookup).
+
+No external deps: hashing uses md5 (builtin on both engines) and
+numpy inside the Pandas UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """X1: md5-identical text groups with a deterministic
+    representative (min doc_id)."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("representative_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-shingles per document."""
+    w = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
+    )
+    return (
+        docs.filter(F.size(w) >= SHINGLE_K)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One row per (doc_id, hash_index 0..15): the lexicographic min of
+    md5('<i>|<shingle>') — a cheap, engine-portable permutation family."""
+    spark = sh.sparkSession
+    hi = spark.range(N_HASHES).withColumnRenamed("id", "i")
+    return (
+        sh.crossJoin(F.broadcast(hi))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures (4 bands x 4 rows) and self-join on band
+    buckets -> candidate near-dup pairs with shared-band counts."""
+    bands = (
+        sigs.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                        lambda s: s.sig,
+                    ),
+                    "",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Pandas-UDF path)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _simhash32(text: str) -> int:
+    """32-bit SimHash over whitespace words; md5-derived word hashes."""
+    acc = [0] * SIMHASH_BITS
+    for word in text.split(" "):
+        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
+        for bit in range(SIMHASH_BITS):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(SIMHASH_BITS):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch transfer; per-batch Python loop (the text
+    itself is the hot path, not the serde)."""
+    return texts.map(_simhash32)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Scale path: block on
+    the high 16 bits so the self-join is an equi-join (documents whose
+    fingerprints differ only in the low bits collide); a full
+    multi-probe variant would rotate which half is blocked."""
+    lhs = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        F.shiftright("simhash", 16).alias("block"),
+    )
+    rhs = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.shiftright("simhash", 16).alias("block"),
+    )
+    return (
+        lhs.join(rhs, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (X3, SURVEY.md §2.11).
+
+Cosine is computed with higher-order functions (zip_with + aggregate)
+— JVM-side, no Python in the loop. Two paths:
+
+- brute-force top-k: broadcast the (small) query set against the
+  corpus; one pass, one window for the top-k. The right baseline, and
+  at 100 TB still the right answer when the query set is small.
+- LSH-bucketed top-k: sign-bit bucket on the leading dimensions turns
+  the cross join into an equi-join on bucket — the scale path when
+  queries are numerous. (An IVF variant would replace the sign bucket
+  with a learned-centroid assignment; same join shape.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold, matching the oracle's list_sum
+    over the same element order (float -> double up-cast per element)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits
+    dimensions (a fixed random-hyperplane family would multiply by a
+    broadcast matrix first; sign-of-coordinate keeps it dependency-free
+    and oracle-reproducible)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def topk_bruteforce(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> DataFrame:
+    """Top-k cosine neighbors for query vectors (vec_id % query_mod = 0)
+    against the full corpus."""
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def topk_lsh(embeddings: DataFrame, k: int = 3, query_mod: int = 100) -> DataFrame:
+    """Bucketed variant: candidates share the sign bucket of the query
+    — the equi-join scale path (recall < 1 by design)."""
+    with_bucket = embeddings.withColumn("bucket", sign_bucket(F.col("embedding")))
+    q = with_bucket.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

@@ -1,1 +1,304 @@
-"""Placeholder — populated in later milestones."""
+"""Query registrations for the scale extensions (X1-X5).
+
+The dedup queries run over an AUGMENTED corpus (documents + exact
+copies of doc_id%50=0 + first-word-dropped near-copies of
+doc_id%50=25) so duplicate groups exist by construction at every SF —
+the base synthetic corpus is collision-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import dedup as D
+from env_data_pipeline_spark.extensions import multimodal as M
+from env_data_pipeline_spark.extensions import similarity as X
+from env_data_pipeline_spark.extensions import text as TX
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+
+# --------------------------------------------------------------------------
+# augmented corpus (shared by the dedup family)
+# --------------------------------------------------------------------------
+
+EXACT_COPY_OFFSET = 10_000_000
+NEAR_COPY_OFFSET = 20_000_000
+
+_DUCK_AUG = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + {NEAR_COPY_OFFSET} AS doc_id,
+             substring(text, position(' ' IN text) + 1) AS text
+      FROM documents WHERE doc_id % 50 = 25
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# --------------------------------------------------------------------------
+# X1 exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG})
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS representative_doc_id
+    FROM aug GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: hash-groupBy exact duplicate groups. One shuffle on
+    md5(text); at 100 TB hash first, shuffle the 16-byte digest, never
+    the text."""
+    return D.exact_dup_groups(_aug_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(w) - {D.SHINGLE_K - 1}),
+                    i -> array_to_string(w[i + 1 : i + {D.SHINGLE_K}], ' '))) AS shingle
+      FROM w WHERE len(w) >= {D.SHINGLE_K}
+    ),
+    sigs AS (
+      SELECT doc_id, h.i,
+             MIN(md5(concat(cast(h.i AS STRING), '|', shingle))) AS sig
+      FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) h(i)
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             md5(string_agg(sig, '' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, i // {D.ROWS_PER_BAND}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash (16 perms) + LSH (4 bands x 4) candidate pairs —
+    shingle -> minhash -> band-bucket self-join (SURVEY.md §2.11).
+
+    Scale: signatures shrink each doc to 16 hashes regardless of
+    length; the band join shuffles only (band, key, doc_id). Exact
+    copies share 4/4 bands; first-word-dropped near-copies share bands
+    with probability ~ J^4 per band (J≈0.97)."""
+    sh = D.shingles(_aug_docs(spark, sf_dir))
+    return D.lsh_candidate_pairs(D.minhash_signatures(sh))
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: SimHash fingerprints via Arrow-vectorized pandas_udf +
+    blocked Hamming-distance self-join. Non-SQL-expressible (bit_count
+    + Python hashing) -> rows-only driver check; exact goldens in
+    tests/test_extensions.py."""
+    fps = D.simhash_fingerprints(_aug_docs(spark, sf_dir))
+    return D.simhash_near_pairs(fps, max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# X3 similarity search
+# --------------------------------------------------------------------------
+
+_DUCK_COSINE = """
+      list_sum(list_transform(range(len(q.embedding)),
+               i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+               i -> CAST(q.embedding[i + 1] AS DOUBLE) * CAST(q.embedding[i + 1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(len(c.embedding)),
+               i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))))
+"""
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DUCK_COSINE} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: brute-force cosine top-5 — broadcast query set,
+    zip_with/aggregate dot products (JVM-side), ranking window."""
+    return X.topk_bruteforce(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+             ) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DUCK_COSINE} AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: sign-bit LSH bucket equi-join instead of the
+    cross join — at 100 TB candidates shrink ~2^-8 per bucket."""
+    return X.topk_lsh(table(spark, sf_dir, "embeddings"), k=3)
+
+
+# --------------------------------------------------------------------------
+# X4 text analysis
+# --------------------------------------------------------------------------
+
+_STOP = ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS)
+
+
+def _duck_lang_case() -> str:
+    score = {
+        lang: f"len(list_filter(w, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in TX.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    clauses = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} >= {score[o]}" for o in langs[i + 1 :]]
+        clauses.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@query(
+    "text_quality_profile",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, text, w,
+             len(w) AS n_words,
+             greatest(len(string_split_regex(text, '[^a-zA-Z0-9]+')),
+                      CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS INT)) AS n_tokens_est,
+             list_sum(list_transform(w, x -> length(x))) AS total_chars,
+             len(list_filter(w, x -> x IN ({_STOP}))) AS n_stop,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM w
+    )
+    SELECT doc_id, lang, n_words, n_tokens_est,
+           ROUND(total_chars / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS avg_word_len,
+           ROUND(n_stop / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND(n_punct / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           CASE WHEN n_words < 10 THEN 'TOO_SHORT'
+                WHEN n_punct / CAST(greatest(length(text), 1) AS DOUBLE) > 0.2 THEN 'TOO_NOISY'
+                WHEN n_stop / CAST(greatest(n_words, 1) AS DOUBLE) < 0.01 THEN 'LOW_NATURALNESS'
+                ELSE 'OK' END AS quality,
+           {_duck_lang_case()} AS predicted_lang,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+    FROM m
+    """,
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token counts (whitespace + BPE-ish estimate), quality
+    scoring (length/stopword/punct), language-ID heuristic, bag
+    fingerprint — all builtin HOF Column expressions, zero UDFs."""
+    return TX.text_profile(table(spark, sf_dir, "documents"))
+
+
+BENCH_EXTRA.update({"dedup_minhash_lsh", "similarity_topk", "text_quality_profile"})
+
+
+# --------------------------------------------------------------------------
+# X5 multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(doc_id % 640 + 64 AS INT) AS width,
+           CAST(doc_id % 480 + 48 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: opaque binary payload + typed metadata struct — metadata
+    projection stays columnar (the payload column is never read:
+    Parquet column pruning at work)."""
+    assets = M.media_assets(table(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: the decode/feature-extract kernel over mapInPandas (codec
+    stubbed — deterministic byte statistics; see extensions/multimodal
+    for the swap point). Rows-only driver check + unit goldens."""
+    assets = M.media_assets(table(spark, sf_dir, "documents"))
+    return M.extract_features(assets)
