@@ -1,0 +1,83 @@
+"""Goldens for the non-oracle extension paths: SimHash, multimodal
+feature kernel, R5 viz arrays."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.extensions import dedup as D
+from env_data_pipeline_spark.extensions import multimodal as M
+
+
+def test_simhash_python_golden():
+    # identical text -> identical fingerprint; different -> different
+    a = D._simhash32("the fast key order sort")
+    b = D._simhash32("the fast key order sort")
+    c = D._simhash32("completely different words here now")
+    assert a == b
+    assert 0 <= a < 2**32
+    assert a != c
+
+
+def test_simhash_near_duplicate_low_hamming():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    mutated = base.replace("gamma", "gamme", 1)
+    d = bin(D._simhash32(base.strip()) ^ D._simhash32(mutated.strip())).count("1")
+    assert d <= 8, f"near-dup hamming {d} too high"
+
+
+def test_simhash_udf_matches_python(spark):
+    texts = ["a b c d e", "the quick brown fox", "one two three"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash_udf("text").alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == D._simhash32(t)
+
+
+def test_simhash_pairs_find_planted_dups(spark, sf_dir):
+    from env_data_pipeline_spark.plans.extensions import _aug_docs, EXACT_COPY_OFFSET
+
+    fps = D.simhash_fingerprints(_aug_docs(spark, sf_dir))
+    pairs = D.simhash_near_pairs(fps, max_hamming=0).collect()
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # every exact copy must collide at hamming 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = {
+        (r["doc_id"], r["doc_id"] + EXACT_COPY_OFFSET)
+        for r in docs.filter(F.col("doc_id") % 50 == 0).select("doc_id").collect()
+    }
+    assert planted <= exact_pairs
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    feats = M.extract_features(M.media_assets(docs)).collect()
+    assert len(feats) == 20
+    by_id = {r["asset_id"]: r for r in feats}
+    for r in docs.collect():
+        text = r["text"].encode()
+        f_row = by_id[r["doc_id"]]
+        assert f_row["n_bytes"] == len(text)
+        assert f_row["checksum"] == hashlib.md5(text).hexdigest()
+        assert f_row["brightness"] == round(sum(text) / len(text), 4)
+        assert f_row["feature_dim"] == 16
+
+
+def test_viz_arrays_shape_and_values(spark, sf_dir):
+    from env_data_pipeline_spark.plans.raster import landfire_viz_arrays
+
+    df = landfire_viz_arrays(spark, sf_dir)
+    row = df.filter(F.col("product") == "vegetation_type").orderBy("grid_id").first()
+    arrays = row["arrays"]
+    assert len(arrays) == 16 and all(len(r) == 16 for r in arrays)
+    # recompute one interior pixel from the fixture formula:
+    # vegetation: 2000 + (r*13 + c*29 + e*5) % 6000, unknown when
+    # (r*13 + c*29 + e) % 31 == 0  (sources/fixtures.py)
+    eid = int(row["grid_id"].split("_")[1])
+    for r_i, c_i in [(0, 0), (3, 7), (15, 15)]:
+        base = r_i * 13 + c_i * 29
+        expected = 9500 if (base + eid) % 31 == 0 else 2000 + (base + eid * 5) % 6000
+        assert arrays[r_i][c_i] == expected, (r_i, c_i, eid)
+    assert ";" in row["legend"] and ":" in row["legend"]
