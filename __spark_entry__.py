@@ -17,7 +17,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Spark's Python workers inherit PYTHONPATH from the JVM environment,
+# not the driver's runtime sys.path — export it so module-referenced
+# UDFs stay importable when the driver runs from an arbitrary cwd.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 from env_data_pipeline_spark.plans import registry  # noqa: E402
 

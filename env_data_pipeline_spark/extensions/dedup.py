@@ -17,8 +17,6 @@ numpy inside the Pandas UDF.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -109,31 +107,99 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index path)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+JACCARD_MAX_DF = 100
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = JACCARD_MAX_DF,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over an inverted index: explode
+    distinct shingles, self-join on shingle, count the intersection per
+    pair, then |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale posture: the shingle self-join is the only big shuffle and
+    its key distribution is guarded by the document-frequency cap —
+    shingles appearing in more than ``max_df`` documents (stop-phrase
+    skew, boilerplate) are dropped BEFORE the join, bounding any single
+    key's pair-count at max_df^2. Set sizes are computed after the cap
+    so both sides of the ratio see the same universe.
+    """
+    sh = shingles(docs)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jaccard = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (Pandas-UDF path)
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 32
 
 
-def _simhash32(text: str) -> int:
-    """32-bit SimHash over whitespace words; md5-derived word hashes."""
-    acc = [0] * SIMHASH_BITS
-    for word in text.split(" "):
-        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
-        for bit in range(SIMHASH_BITS):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(SIMHASH_BITS):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+def _make_simhash():
+    """Build the SimHash kernel as NESTED functions so cloudpickle
+    serializes them by value — executors must not need this repo on
+    their PYTHONPATH (the driver contract imports __spark_entry__.py
+    from an arbitrary cwd)."""
+
+    def simhash32(text: str) -> int:
+        """32-bit SimHash over whitespace words; md5-derived word hashes."""
+        import hashlib
+
+        acc = [0] * 32
+        for word in text.split(" "):
+            h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
+            for bit in range(32):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(32):
+            if acc[bit] > 0:
+                out |= 1 << bit
+        return out
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        """Arrow-vectorized batch transfer; per-batch Python loop (the
+        text itself is the hot path, not the serde)."""
+        return texts.map(simhash32)
+
+    return simhash32, simhash_udf
 
 
-@F.pandas_udf(T.LongType())
-def simhash_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-vectorized batch transfer; per-batch Python loop (the text
-    itself is the hot path, not the serde)."""
-    return texts.map(_simhash32)
+_simhash32, simhash_udf = _make_simhash()
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

@@ -47,29 +47,43 @@ def media_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: per-Arrow-batch 'decode' producing byte
-    statistics. A real decoder would replace the body; the signature,
-    batch shape and output schema stay identical."""
-    import hashlib
+def _make_decode_batch():
+    """Build the decode kernel as a NESTED function so cloudpickle
+    serializes it by value — executors must not need this repo on
+    their PYTHONPATH (the driver contract imports __spark_entry__.py
+    from an arbitrary cwd)."""
+    decode_available = DECODE_AVAILABLE
 
-    for pdf in it:
-        if DECODE_AVAILABLE:  # pragma: no cover - no codec in this env
-            raise NotImplementedError("real codec path not wired")
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": payloads.map(len),
-                "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                # deterministic fake 'brightness': mean byte value
-                "brightness": payloads.map(
-                    lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
-                ),
-                "feature_dim": payloads.map(lambda b: 16),
-            }
-        )
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """mapInPandas kernel: per-Arrow-batch 'decode' producing byte
+        statistics. A real decoder would replace the body; the
+        signature, batch shape and output schema stay identical."""
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if decode_available:  # pragma: no cover - no codec in this env
+                raise NotImplementedError("real codec path not wired")
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    # deterministic fake 'brightness': mean byte value
+                    "brightness": payloads.map(
+                        lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
+                    ),
+                    "feature_dim": payloads.map(lambda b: 16),
+                }
+            )
+
+    return decode_batch
+
+
+decode_batch = _make_decode_batch()
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -71,6 +71,36 @@ def topk_bruteforce(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> 
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2c): sign-bucket LSH
+    self-join, cosine >= tau within the bucket.
+
+    Scale posture: the all-pairs cosine is never materialized — the
+    equi-join on the 8-bit sign bucket cuts candidates ~2^-8 and is the
+    only shuffle; recall < 1 by design (a multi-probe variant would
+    also join on 1-bit-flipped buckets). Arithmetic is all JVM-side
+    higher-order functions.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    b = e.withColumn("bucket", sign_bucket(F.col("embedding")))
+    lhs = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("e_a"), F.col("e_b")), 4))
+        .filter(F.col("cosine_sim") >= tau)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
 def topk_lsh(embeddings: DataFrame, k: int = 3, query_mod: int = 100) -> DataFrame:
     """Bucketed variant: candidates share the sign bucket of the query
     — the equi-join scale path (recall < 1 by design)."""

@@ -112,6 +112,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(D.minhash_signatures(sh))
 
 
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(w) - {D.SHINGLE_K - 1}),
+                    i -> array_to_string(w[i + 1 : i + {D.SHINGLE_K}], ' '))) AS shingle
+      FROM w WHERE len(w) >= {D.SHINGLE_K}
+    ),
+    rare AS (
+      SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {D.JACCARD_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4)
+          >= {D.JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: exact n-gram Jaccard near-dup pairs over an inverted index
+    with a document-frequency skew cap (see extensions/dedup.py)."""
+    return D.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
+
+
 @query("dedup_simhash_pairs", oracle=None)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2b: SimHash fingerprints via Arrow-vectorized pandas_udf +
@@ -134,6 +170,67 @@ _DUCK_COSINE = """
        * sqrt(list_sum(list_transform(range(len(c.embedding)),
                i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))))
 """
+
+_DUCK_SIGN_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+# augmented embeddings: exact copies of vec_id%50=0 + first-coordinate
+# +0.25 perturbed near-copies of vec_id%50=25 (all cast to DOUBLE first
+# so both engines perturb the identical value)
+_DUCK_AUG_EMB = f"""
+      WITH e0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings
+      )
+      SELECT vec_id, embedding FROM e0
+      UNION ALL
+      SELECT vec_id + {EXACT_COPY_OFFSET} AS vec_id, embedding
+      FROM e0 WHERE vec_id % 50 = 0
+      UNION ALL
+      SELECT vec_id + {NEAR_COPY_OFFSET} AS vec_id,
+             list_concat([embedding[1] + 0.25], embedding[2:]) AS embedding
+      FROM e0 WHERE vec_id % 50 = 25
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    exact = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + EXACT_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    near = e.filter(F.col("vec_id") % 50 == 25).select(
+        (F.col("vec_id") + NEAR_COPY_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25)),
+            F.slice(F.col("embedding"), F.lit(2), F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return e.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG_EMB}),
+    b AS (SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket FROM aug),
+    pairs AS (
+      SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+             ROUND({_DUCK_COSINE}, 4) AS cosine_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: embedding-cosine near-duplicate pairs over an augmented
+    corpus — sign-bucket LSH equi-join, cosine >= 0.9 inside buckets
+    (see extensions/similarity.py::embedding_near_dup_pairs)."""
+    return X.embedding_near_dup_pairs(_aug_embeddings(spark, sf_dir), tau=0.9)
 
 
 @query(

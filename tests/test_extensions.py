@@ -81,3 +81,51 @@ def test_viz_arrays_shape_and_values(spark, sf_dir):
         expected = 9500 if (base + eid) % 31 == 0 else 2000 + (base + eid * 5) % 6000
         assert arrays[r_i][c_i] == expected, (r_i, c_i, eid)
     assert ";" in row["legend"] and ":" in row["legend"]
+
+
+def test_ngram_jaccard_semantics(spark):
+    # hand-computable: doc 2 is an exact copy of doc 1; doc 3 shares a
+    # suffix; doc 4 is unrelated.
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "b c d e f"),
+        (4, "x y z w v u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # doc1 shingles: {abc,bcd,cde,def} (4); doc3: {bcd,cde,def} (3)
+    assert got[(1, 2)] == (4, 1.0)
+    assert got[(1, 3)] == (3, 0.75)
+    assert got[(2, 3)] == (3, 0.75)
+    assert all(4 not in pair for pair in got)
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    # a shingle present in > max_df docs must not create pairs
+    rows = [(i, "the same text here") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=3).count() == 0
+    assert D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=10).count() == 10
+
+
+def test_embedding_near_dup_planted(spark):
+    from env_data_pipeline_spark.extensions import similarity as X
+
+    base = [0.5, -0.3, 0.8, 0.1, -0.9, 0.2, 0.4, -0.1]
+    near = [0.5 + 0.01] + base[1:]          # same sign bucket, cos ~ 1
+    opposite = [-v for v in base]            # different bucket entirely
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, near), (4, opposite)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in X.embedding_near_dup_pairs(df, tau=0.9).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] > 0.99
+    assert all(4 not in pair for pair in got)
