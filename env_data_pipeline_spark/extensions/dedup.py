@@ -56,39 +56,50 @@ def shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+# Hash ONCE per shingle, then derive the 16 "permutations"
+# arithmetically: x = 48 bits of md5 reduced mod P, sig_i =
+# (a_i * x + b_i) mod P with fixed pseudo-random coefficients. At
+# 100 TB this is the difference between 16 cryptographic hashes per
+# shingle and one — and the signature computation becomes a plain
+# 16-column min-aggregate with map-side partial aggregation (no
+# crossJoin, no explode; the only shuffle carries 16 ints per doc).
+# P < 2^31 keeps a*x < 2^62, exact in BIGINT on both engines.
+MINHASH_P = 2_147_483_647
+_rng = __import__("random").Random(42)
+MINHASH_COEFFS = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(N_HASHES)
+]
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """One row per (doc_id, hash_index 0..15): the lexicographic min of
-    md5('<i>|<shingle>') — a cheap, engine-portable permutation family."""
-    spark = sh.sparkSession
-    hi = spark.range(N_HASHES).withColumnRenamed("id", "i")
-    return (
-        sh.crossJoin(F.broadcast(hi))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("sig")
-        )
+    """Wide signature row per doc: s0..s15 = min over shingles of the
+    i-th arithmetic permutation of the shingle's 48-bit md5 prefix."""
+    x = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint") % MINHASH_P
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band the signatures (4 bands x 4 rows) and self-join on band
     buckets -> candidate near-dup pairs with shared-band counts."""
-    bands = (
-        sigs.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                        lambda s: s.sig,
-                    ),
-                    "",
-                )
-            ).alias("band_key")
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"s{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+            )
         )
+        for band in range(N_BANDS)
+    ]
+    stack_args: list[Column] = []
+    for band, key in enumerate(band_keys):
+        stack_args += [F.lit(band), key]
+    bands = sigs.select(
+        "doc_id", F.stack(F.lit(N_BANDS), *stack_args).alias("band", "band_key")
     )
     a = bands.alias("a")
     b = bands.alias("b")

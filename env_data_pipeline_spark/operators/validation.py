@@ -12,6 +12,8 @@ so the two sides cannot drift independently.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,12 +48,17 @@ def _precision(v: Column) -> Column:
     return F.when(dot == 0, F.lit(0)).otherwise(F.length(s) - dot)
 
 
+# one alternation pass instead of 10 contains() scans — keeps the
+# whole-stage-codegen method small (a giant boolean chain of string
+# ops can push the generated method past JVM limits and fall back to
+# interpreted eval, ~10x slower); the DuckDB oracle keeps the LIKE
+# chain since RE2 has no backreferences and semantics are identical
+_REPEAT_RUN_RE = "|".join(REPEAT_RUNS)
+
+
 def _has_repeat_run(v: Column) -> Column:
     digits = F.regexp_replace(_decimal_str(v), "[^0-9]", "")
-    cond = F.lit(False)
-    for run in REPEAT_RUNS:
-        cond = cond | digits.contains(run)
-    return cond
+    return digits.rlike(_REPEAT_RUN_RE)
 
 
 def reject_reason(
@@ -73,10 +80,10 @@ def reject_reason(
 
     buf = F.coalesce(buffer_m, F.lit(DEFAULT_BUFFER_M))
 
-    eid_lower = F.lower(event_id)
-    banned = F.lit(False)
-    for s in BANNED_SUBSTRINGS:
-        banned = banned | eid_lower.contains(s)
+    # single alternation over the 17 banned literals (regex-escaped),
+    # same rationale as _REPEAT_RUN_RE: one scan, small codegen
+    banned_re = "|".join(re.escape(s) for s in BANNED_SUBSTRINGS)
+    banned = F.lower(event_id).rlike(banned_re)
 
     srcs = F.split(sources_csv, ",")
     bad_source = F.exists(srcs, lambda x: ~x.isin(*VALID_SOURCES))

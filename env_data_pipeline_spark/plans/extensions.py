@@ -70,6 +70,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(_aug_docs(spark, sf_dir))
 
 
+_DUCK_SIG_MINS = ",\n             ".join(
+    f"MIN(({a} * x + {b}) % {D.MINHASH_P}) AS s{i}"
+    for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+)
+_DUCK_BANDS = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {band} AS band, md5(concat_ws('|', {cols})) AS band_key FROM sigs".format(
+        band=band,
+        cols=", ".join(f"s{band * D.ROWS_PER_BAND + j}" for j in range(D.ROWS_PER_BAND)),
+    )
+    for band in range(D.N_BANDS)
+)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -81,16 +94,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> array_to_string(w[i + 1 : i + {D.SHINGLE_K}], ' '))) AS shingle
       FROM w WHERE len(w) >= {D.SHINGLE_K}
     ),
+    hx AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 12))::BIGINT) % {D.MINHASH_P} AS x
+      FROM sh
+    ),
     sigs AS (
-      SELECT doc_id, h.i,
-             MIN(md5(concat(cast(h.i AS STRING), '|', shingle))) AS sig
-      FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) h(i)
-      GROUP BY doc_id, h.i
+      SELECT doc_id,
+             {_DUCK_SIG_MINS}
+      FROM hx GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
-             md5(string_agg(sig, '' ORDER BY i)) AS band_key
-      FROM sigs GROUP BY doc_id, i // {D.ROWS_PER_BAND}
+{_DUCK_BANDS}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(DISTINCT a.band) AS shared_bands
@@ -104,10 +119,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash (16 perms) + LSH (4 bands x 4) candidate pairs —
     shingle -> minhash -> band-bucket self-join (SURVEY.md §2.11).
 
-    Scale: signatures shrink each doc to 16 hashes regardless of
-    length; the band join shuffles only (band, key, doc_id). Exact
-    copies share 4/4 bands; first-word-dropped near-copies share bands
-    with probability ~ J^4 per band (J≈0.97)."""
+    Scale: one md5 per shingle, 16 arithmetic permutations folded into
+    a map-side partial min-aggregate (extensions/dedup.py); signatures
+    shrink each doc to 16 ints regardless of length; the band join
+    shuffles only (band, key, doc_id). Exact copies share 4/4 bands;
+    first-word-dropped near-copies share bands with probability ~ J^4
+    per band (J≈0.97)."""
     sh = D.shingles(_aug_docs(spark, sf_dir))
     return D.lsh_candidate_pairs(D.minhash_signatures(sh))
 

@@ -22,6 +22,10 @@ into /root/reference).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+
 from pyspark.sql import SparkSession
 
 from env_data_pipeline_spark.catalog import register_views
@@ -422,13 +426,80 @@ FIXTURES: dict[str, dict[str, str]] = {
 }
 
 
+# Fixture derivations model INGESTION (SURVEY.md §2.1: network fetch ->
+# snapshot table), so they are materialized to Parquet once per
+# (sf_dir, SQL text) and every query sees a real columnar scan with
+# stats/pushdown — not a generator re-executed per action. The cache
+# key includes a hash of the derivation SQL, so editing a fixture
+# invalidates its snapshot automatically.
+_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+)
+
+
+_SNAPSHOT_FILES = 32
+
+# hive-style partition columns per fixture: queries that filter on the
+# partition column (e.g. 2 of 9 LANDFIRE products) prune whole
+# directories instead of scanning and discarding
+_SNAPSHOT_PARTITION: dict[str, tuple[str, ...]] = {
+    "landfire_pixels": ("product",),
+}
+
+
+def _snapshot_path(sf_dir: str, name: str) -> str:
+    part = ",".join(_SNAPSHOT_PARTITION.get(name, ()))
+    key = hashlib.md5(
+        f"v{_SNAPSHOT_FILES}|{part}|{FIXTURES[name]['spark']}".encode()
+    ).hexdigest()[:10]
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_CACHE_ROOT, sf_tag, f"{name}-{key}.parquet")
+
+
 def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
-    """Register base views + fixture temp views on the Spark side."""
+    """Register base views + fixture tables on the Spark side.
+
+    Each fixture is snapshotted to Parquet on first use (atomic
+    directory rename so concurrent sessions can't observe a partial
+    write); the registered view is then a plain Parquet scan. Falls
+    back to a lazy derived view if the snapshot directory is not
+    writable."""
     register_views(spark, sf_dir)
     for name in names or tuple(FIXTURES):
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"
-        )
+        path = _snapshot_path(sf_dir, name)
+        if not os.path.exists(path):
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                # Parallelize the GENERATION, not the output: the
+                # events input is tiny (1-2 parquet files -> 1-2
+                # tasks), so repartition it BEFORE the cross-join
+                # derivations fan out (57M rows for landfire_pixels at
+                # sf0.1) — a 100k-row shuffle instead of a 57M-row
+                # one, and the write inherits the 32-way parallelism
+                # (one file per task, so cold reads parallelize too).
+                from env_data_pipeline_spark.catalog import table as _table
+
+                _table(spark, sf_dir, "events").repartition(
+                    _SNAPSHOT_FILES
+                ).createOrReplaceTempView("_events_gen")
+                sql = FIXTURES[name]["spark"].replace("FROM events e", "FROM _events_gen e")
+                writer = spark.sql(sql).write.mode("overwrite")
+                part = _SNAPSHOT_PARTITION.get(name)
+                if part:
+                    writer = writer.partitionBy(*part)
+                writer.parquet(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:  # lost a concurrent race; ours is equivalent
+                    shutil.rmtree(tmp, ignore_errors=True)
+            except Exception:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"
+                )
+                continue
+        spark.read.parquet(path).createOrReplaceTempView(name)
 
 
 def duck_with(*names: str) -> str:
