@@ -249,3 +249,109 @@ def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("sources_successful", "success_rate").alias("summary"),
     )
     return wide.select("request_id", F.to_json(payload).alias("document"))
+
+
+# ---------------------------------------------------------------------------
+# J5/A13: event-id propagation + coordination check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collect_event_id_coordination",
+    oracle=f"""
+    {duck_with("requests", "weather_current", "modis_observations",
+               "landfire_grid_meta", "elevation_cells")},
+    outputs AS (
+      SELECT 'weather' AS source, request_id FROM weather_current
+      UNION ALL
+      SELECT DISTINCT 'modis' AS source, request_id FROM modis_observations
+      UNION ALL
+      SELECT DISTINCT 'landfire' AS source, request_id FROM landfire_grid_meta
+      UNION ALL
+      SELECT DISTINCT 'topography' AS source, request_id FROM elevation_cells
+    ),
+    tagged AS (
+      SELECT o.source, o.request_id, r.event_id
+      FROM outputs o JOIN requests r ON r.request_id = o.request_id
+    )
+    SELECT request_id,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT event_id) AS n_event_ids,
+           (COUNT(DISTINCT event_id) <= 1) AS coordinated
+    FROM tagged GROUP BY request_id
+    """,
+)
+def collect_event_id_coordination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A13: event_id is propagated into every per-source output
+    (orchestrator.py:814-818) and must be single-valued across them
+    (tests/test_pipeline.py:252-264). Engine form: tag each source's
+    output rows with the request's event_id (the J5 join), then check
+    countDistinct(event_id) per request. The distinct projections
+    reduce each source to its request keys BEFORE the union, so the
+    shuffle carries one row per (source, request)."""
+    ensure_fixtures(
+        spark,
+        sf_dir,
+        ("requests", "weather_current", "modis_observations",
+         "landfire_grid_meta", "elevation_cells"),
+    )
+    outputs = (
+        spark.table("weather_current").select(F.lit("weather").alias("source"), "request_id")
+        .unionByName(
+            spark.table("modis_observations").select(
+                F.lit("modis").alias("source"), "request_id").distinct()
+        )
+        .unionByName(
+            spark.table("landfire_grid_meta").select(
+                F.lit("landfire").alias("source"), "request_id").distinct()
+        )
+        .unionByName(
+            spark.table("elevation_cells").select(
+                F.lit("topography").alias("source"), "request_id").distinct()
+        )
+    )
+    tagged = outputs.join(
+        spark.table("requests").select("request_id", "event_id"), "request_id"
+    )
+    return tagged.groupBy("request_id").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("event_id").alias("n_event_ids"),
+        (F.countDistinct("event_id") <= 1).alias("coordinated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7: health/status introspection — engine analog of /containers/status
+# ---------------------------------------------------------------------------
+
+_HEALTH_TABLES = ("requests", "weather_current", "weather_forecast",
+                  "modis_observations", "landfire_pixels", "elevation_cells")
+
+
+@query(
+    "source_health_status",
+    oracle=f"""
+    {duck_with(*_ALL_FIXTURES)}
+    """ + "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS source_table, COUNT(*) AS row_count, "
+        f"(CASE WHEN COUNT(*) > 0 THEN 'UP' ELSE 'DOWN' END) AS status FROM {t}"
+        for t in _HEALTH_TABLES
+    ),
+)
+def source_health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: /health & /containers/status (orchestrator.py:1031-1084) —
+    batch-engine analog: per source table, row count + UP/DOWN. Each
+    count is a metadata-cheap column-less scan; the union is 6 rows."""
+    ensure_fixtures(spark, sf_dir, _ALL_FIXTURES)
+    dfs = [
+        spark.table(t).agg(
+            F.lit(t).alias("source_table"),
+            F.count("*").alias("row_count"),
+            F.when(F.count("*") > 0, "UP").otherwise("DOWN").alias("status"),
+        )
+        for t in _HEALTH_TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

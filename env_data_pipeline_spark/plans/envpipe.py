@@ -413,3 +413,112 @@ def event_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(30)
         .alias("estimated_completion_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3: ordered-forecast analysis beyond the F12 filter — longest
+# consecutive high-risk streak (gaps-and-islands over the 3-hourly
+# sequence, weather_container.py:171-185,371)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weather_risk_streaks",
+    oracle=f"""
+    {duck_with("weather_forecast")},
+    risk AS (
+      SELECT request_id, period_index,
+        (CASE WHEN temperature_celsius > 30 THEN 3
+              WHEN temperature_celsius > 25 THEN 2
+              WHEN temperature_celsius > 20 THEN 1 ELSE 0 END
+       + CASE WHEN humidity_percent < 20 THEN 3
+              WHEN humidity_percent < 40 THEN 2
+              WHEN humidity_percent < 60 THEN 1 ELSE 0 END
+       + CASE WHEN coalesce(wind_speed_mps, 0.0) > 15 THEN 3
+              WHEN coalesce(wind_speed_mps, 0.0) > 10 THEN 2
+              WHEN coalesce(wind_speed_mps, 0.0) > 5 THEN 1 ELSE 0 END) AS risk_score
+      FROM weather_forecast
+    ),
+    high AS (
+      SELECT request_id, period_index,
+             period_index - ROW_NUMBER() OVER (
+               PARTITION BY request_id ORDER BY period_index) AS grp
+      FROM risk WHERE risk_score >= 5
+    ),
+    streaks AS (
+      SELECT request_id, grp, COUNT(*) AS streak_len
+      FROM high GROUP BY request_id, grp
+    )
+    SELECT request_id,
+           MAX(streak_len) AS max_consecutive_high,
+           SUM(streak_len) AS n_high_periods
+    FROM streaks GROUP BY request_id
+    """,
+)
+def weather_risk_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the forecast as an ORDERED sequence — longest consecutive
+    run of high-risk (score >= 5) 3-hourly periods per request,
+    via the gaps-and-islands pattern (row_number delta groups runs).
+    One window + two hash aggs; the window partitions by request_id so
+    state per key is the 40-period forecast, constant at any corpus
+    size."""
+    ensure_fixtures(spark, sf_dir, ("weather_forecast",))
+    risk = C.fire_weather_score(
+        F.col("temperature_celsius"), F.col("humidity_percent"), F.col("wind_speed_mps")
+    )
+    w = Window.partitionBy("request_id").orderBy("period_index")
+    high = (
+        spark.table("weather_forecast")
+        .select("request_id", "period_index", risk.alias("risk_score"))
+        .filter(F.col("risk_score") >= 5)
+        .withColumn("grp", F.col("period_index") - F.row_number().over(w))
+    )
+    return (
+        high.groupBy("request_id", "grp")
+        .agg(F.count("*").alias("streak_len"))
+        .groupBy("request_id")
+        .agg(
+            F.max("streak_len").alias("max_consecutive_high"),
+            F.sum("streak_len").alias("n_high_periods"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8: the declared-but-never-implemented 1-hour result cache
+# (orchestrator.py:657; redis docker-compose.yml:68-81) — engine form:
+# dedupe re-requests onto a cache key (coordinate, hour bucket)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "request_cache_dedup",
+    oracle=f"""
+    {duck_with("requests")}
+    SELECT latitude, longitude,
+           date_trunc('hour', ts) AS hour_bucket,
+           COUNT(*) AS n_requests,
+           MIN(request_id) AS cached_request_id
+    FROM requests
+    GROUP BY 1, 2, 3
+    """,
+)
+def request_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: 'repeated requests within 1 hour return cached results' —
+    requests collapse onto the cache key (lat, lon, hour bucket); the
+    representative (min request_id) is the entry that would compute,
+    n_requests - 1 are cache hits. One hash agg on the cache key —
+    the same dropDuplicates shape at any scale."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    return (
+        spark.table("requests")
+        .groupBy(
+            "latitude",
+            "longitude",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.min("request_id").alias("cached_request_id"),
+        )
+    )

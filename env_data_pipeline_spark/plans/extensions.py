@@ -416,3 +416,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the swap point). Rows-only driver check + unit goldens."""
     assets = M.media_assets(table(spark, sf_dir, "documents"))
     return M.extract_features(assets)
+
+
+@query(
+    "multimodal_base64_sink",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           to_base64(encode(text)) AS payload_b64,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_base64_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: binary -> base64 at the JSON boundary
+    (sanitize_binary_data, landfire_container.py:308-320 /
+    topography_container.py:180-192) — the builtin F.base64, no UDF;
+    a pure projection that pipelines inside whole-stage codegen."""
+    assets = M.media_assets(table(spark, sf_dir, "documents"))
+    # Spark's base64 emits MIME-chunked text (CRLF every 76 chars);
+    # strip to the standard unchunked form the reference's
+    # b64encode().decode() produces
+    b64 = F.regexp_replace(F.base64("payload"), "\r\n", "")
+    return assets.select(
+        "asset_id",
+        b64.alias("payload_b64"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
