@@ -53,3 +53,36 @@ def pixel_at_coordinate(grid_meta: DataFrame, pixels: DataFrame) -> DataFrame:
         pixels.select("grid_id", "product", "row", "col", "pixel_value"),
         ["grid_id", "product", "row", "col"],
     )
+
+
+def pixel_at_coordinate_grids(grid_meta: DataFrame, grids: DataFrame) -> DataFrame:
+    """R2 on the grid-shaped layout (one row per grid, 16x16 nested
+    array): join target (grid_id, product) -> element_at lookup.
+
+    The point-lookup access path: probes one row per grid instead of
+    256 long-form rows — at 100 TB the same data volume is scanned
+    (arrays decode whole), but per-row join/probe overhead drops 256x
+    and the output never explodes. Area aggregations keep using the
+    long-form table (same pixels by construction; see
+    sources/fixtures.py::_LANDFIRE_PIXEL_VALUE)."""
+    row, col = coord_to_rowcol(
+        F.col("req_lat"), F.col("req_lon"),
+        F.col("x0"), F.col("y0"), F.col("px_w"), F.col("px_h"),
+    )
+    target = grid_meta.select(
+        "grid_id", "request_id", "product",
+        row.alias("row"), col.alias("col"),
+        "n_rows", "n_cols",
+    ).filter(
+        (F.col("row") >= 0) & (F.col("row") < F.col("n_rows"))
+        & (F.col("col") >= 0) & (F.col("col") < F.col("n_cols"))
+    )
+    return (
+        F.broadcast(target.drop("n_rows", "n_cols"))
+        .join(grids.select("grid_id", "product", "arrays"), ["grid_id", "product"])
+        .withColumn(
+            "pixel_value",
+            F.element_at(F.element_at("arrays", F.col("row") + 1), F.col("col") + 1),
+        )
+        .drop("arrays")
+    )

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.functions import classifiers as C
 from env_data_pipeline_spark.operators.joins import classify_pixels
-from env_data_pipeline_spark.operators.raster import pixel_at_coordinate
+from env_data_pipeline_spark.operators.raster import pixel_at_coordinate, pixel_at_coordinate_grids
 from env_data_pipeline_spark.plans.registry import query
 from env_data_pipeline_spark.sources.fixtures import duck_with, ensure_fixtures
 
@@ -69,12 +69,17 @@ def landfire_center_classification(spark: SparkSession, sf_dir: str) -> DataFram
     classification with exact-over-range precedence
     (landfire_container.py:86-132). The 16x16-per-grid pixel table
     joins on (grid_id,row,col) after broadcasting the tiny target set;
-    the 1k-row attribute dim broadcasts for both lookup joins."""
+    the 1k-row attribute dim broadcasts for both lookup joins.
+
+    Point lookups read the grid-shaped layout (one row per grid,
+    element_at on the nested array) — the oracle recomputes from the
+    long-form table, so the parity check also proves the two layouts
+    hold identical pixels."""
     ensure_fixtures(
-        spark, sf_dir, ("landfire_grid_meta", "landfire_pixels", "landfire_attributes")
+        spark, sf_dir, ("landfire_grid_meta", "landfire_grids", "landfire_attributes")
     )
-    hit = pixel_at_coordinate(
-        spark.table("landfire_grid_meta"), spark.table("landfire_pixels")
+    hit = pixel_at_coordinate_grids(
+        spark.table("landfire_grid_meta"), spark.table("landfire_grids")
     )
     return classify_pixels(hit, spark.table("landfire_attributes")).select(
         "request_id", "product", "row", "col", "pixel_value", "interpreted"
@@ -183,12 +188,14 @@ def landfire_combined_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: fire risk from the (vegetation_class, fuel_model_class)
     pair at the request coordinate (landfire_container.py:451-461) —
     a pivot of the per-product center classifications followed by the
-    theta-style CASE over both columns."""
+    theta-style CASE over both columns. Reads the grid-shaped layout
+    (point-lookup path); the product filter prunes 7/9 of the
+    hive-partitioned snapshot before the scan."""
     ensure_fixtures(
-        spark, sf_dir, ("landfire_grid_meta", "landfire_pixels", "landfire_attributes")
+        spark, sf_dir, ("landfire_grid_meta", "landfire_grids", "landfire_attributes")
     )
-    hit = pixel_at_coordinate(
-        spark.table("landfire_grid_meta"), spark.table("landfire_pixels")
+    hit = pixel_at_coordinate_grids(
+        spark.table("landfire_grid_meta"), spark.table("landfire_grids")
     ).filter(F.col("product").isin("vegetation_type", "fuel_model"))
     classified = classify_pixels(hit, spark.table("landfire_attributes"))
     wide = classified.groupBy("request_id").agg(

@@ -273,22 +273,31 @@ _LANDFIRE_PRODUCTS = """
 ) AS lp(product, p_idx)
 """
 
-_LANDFIRE_PIXELS_BODY = """
+# pixel-value formula shared by the long-form and grid-form layouts —
+# one template, two substitutions, so the layouts cannot drift
+_LANDFIRE_PIXEL_VALUE = """CASE
+    WHEN lp.product = 'vegetation_type' THEN
+      CASE WHEN ({R} * 13 + {C} * 29 + e.event_id) % 31 = 0 THEN 9500
+           ELSE cast(2000 + ({R} * 13 + {C} * 29 + e.event_id * 5) % 6000 AS INT) END
+    WHEN lp.product = 'fuel_model' THEN
+      CASE WHEN ({R} * 13 + {C} * 29 + e.event_id) % 31 = 0 THEN 200
+           ELSE cast(90 + ({R} * 13 + {C} * 29 + e.event_id * 5) % 60 AS INT) END
+    ELSE cast(({R} * 13 + {C} * 29 + e.event_id * 5 + lp.p_idx * 7) % 101 AS INT)
+  END"""
+
+_PIX_LONG = _LANDFIRE_PIXEL_VALUE.replace("{R}", "t_r.r").replace("{C}", "t_c.c")
+
+_LANDFIRE_PIXELS_BODY = (
+    """
 SELECT
   concat('grid_', cast(e.event_id AS STRING), '_', lp.product) AS grid_id,
   concat('req_', lpad(cast(e.event_id AS STRING), 12, '0')) AS request_id,
   lp.product,
   cast(t_r.r AS INT) AS row,
   cast(t_c.c AS INT) AS col,
-  CASE
-    WHEN lp.product = 'vegetation_type' THEN
-      CASE WHEN (t_r.r * 13 + t_c.c * 29 + e.event_id) % 31 = 0 THEN 9500
-           ELSE cast(2000 + (t_r.r * 13 + t_c.c * 29 + e.event_id * 5) % 6000 AS INT) END
-    WHEN lp.product = 'fuel_model' THEN
-      CASE WHEN (t_r.r * 13 + t_c.c * 29 + e.event_id) % 31 = 0 THEN 200
-           ELSE cast(90 + (t_r.r * 13 + t_c.c * 29 + e.event_id * 5) % 60 AS INT) END
-    ELSE cast((t_r.r * 13 + t_c.c * 29 + e.event_id * 5 + lp.p_idx * 7) % 101 AS INT)
-  END AS pixel_value,
+  """
+    + _PIX_LONG
+    + """ AS pixel_value,
   -9999 AS nodata
 FROM events e
 CROSS JOIN {PRODUCTS}
@@ -296,6 +305,35 @@ CROSS JOIN {R16}
 CROSS JOIN {C16}
 WHERE e.event_id % 4 = 0
 """
+)
+
+# grid-form layout: SAME pixels, one row per grid, 16x16 nested array.
+# This is the point-lookup access path (SURVEY.md §1.4 R2): extracting
+# the center pixel probes one row per grid instead of 256 — the
+# long-form table stays the access path for area aggregation (R3/A12).
+# Generated as a pure nested-HOF expression — no explode, no groupBy.
+_LANDFIRE_GRIDS_SELECT = """
+SELECT
+  concat('grid_', cast(e.event_id AS STRING), '_', lp.product) AS grid_id,
+  concat('req_', lpad(cast(e.event_id AS STRING), 12, '0')) AS request_id,
+  lp.product,
+  {ARRAYS} AS arrays,
+  -9999 AS nodata
+FROM events e
+CROSS JOIN {PRODUCTS}
+WHERE e.event_id % 4 = 0
+"""
+
+
+def _landfire_grids_sql(dialect: str) -> str:
+    pix = _LANDFIRE_PIXEL_VALUE.replace("{R}", "r").replace("{C}", "c")
+    if dialect == "spark":
+        arrays = f"transform(sequence(0, 15), r -> transform(sequence(0, 15), c -> {pix}))"
+    else:
+        arrays = f"list_transform(range(0, 16), r -> list_transform(range(0, 16), c -> {pix}))"
+    return _LANDFIRE_GRIDS_SELECT.replace("{ARRAYS}", arrays).replace(
+        "{PRODUCTS}", _LANDFIRE_PRODUCTS
+    )
 
 # grid geometry: 16x16, 0.001-degree pixels, north-up rasterio-style
 # transform (x0 = west edge, y0 = north edge; landfire_container.py:91),
@@ -414,6 +452,10 @@ FIXTURES: dict[str, dict[str, str]] = {
         "duck": _modis_sql("duck"),
     },
     "landfire_pixels": _both(_grid_sql(_LANDFIRE_PIXELS_BODY)),
+    "landfire_grids": {
+        "spark": _landfire_grids_sql("spark"),
+        "duck": _landfire_grids_sql("duck"),
+    },
     "landfire_grid_meta": _both(
         LANDFIRE_GRID_META_SQL.replace("{PRODUCTS}", _LANDFIRE_PRODUCTS)
     ),
@@ -445,6 +487,7 @@ _SNAPSHOT_FILES = 32
 # directories instead of scanning and discarding
 _SNAPSHOT_PARTITION: dict[str, tuple[str, ...]] = {
     "landfire_pixels": ("product",),
+    "landfire_grids": ("product",),
 }
 
 
