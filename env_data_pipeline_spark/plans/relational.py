@@ -299,3 +299,68 @@ def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join (engine-native, SURVEY.md §2.5): last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             e.event_type AS prior_event_type,
+             e.ts AS prior_ts,
+             e.event_id AS prior_event_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM p LEFT JOIN events e
+        ON e.user_id = p.user_id AND e.ts < p.ts
+    )
+    SELECT event_id, user_id, ts, prior_event_type, prior_ts, prior_event_id
+    FROM j WHERE rn = 1
+    """,
+)
+def events_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the user's latest strictly-prior
+    event (last-touch attribution). Runs the merge-pattern asof_join
+    (operators/asof.py: one shuffle, sort within partition, running
+    last-non-null) — the oracle cross-checks with an independent
+    algorithm (range join + ROW_NUMBER), so parity proves the as-of
+    semantics, not just the arithmetic."""
+    from env_data_pipeline_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    prior = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("prior_event_type"),
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event_id"),
+    )
+    res = asof_join(
+        purchases,
+        prior,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["prior_event_type", "prior_ts", "prior_event_id"],
+        tiebreak="prior_event_id",
+        strict=True,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_match.prior_event_type").alias("prior_event_type"),
+        F.col("_match.prior_ts").alias("prior_ts"),
+        F.col("_match.prior_event_id").alias("prior_event_id"),
+    )

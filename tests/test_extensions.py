@@ -129,3 +129,47 @@ def test_embedding_near_dup_planted(spark):
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] > 0.99
     assert all(4 not in pair for pair in got)
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from env_data_pipeline_spark.operators.asof import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 2)), (2, 10, T(2024, 1, 5)), (3, 20, T(2024, 1, 1))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1)),
+            (101, 10, T(2024, 1, 2)),   # equal to left lid=1 ts
+            (102, 10, T(2024, 1, 4)),
+            (103, 10, T(2024, 1, 4)),   # tie at same ts -> max rid wins
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    r = right.select("k", "ts", right.rid.alias("prid"), right.ts.alias("pts"))
+
+    strict = {
+        row["lid"]: (row["_match"]["prid"] if row["_match"] else None)
+        for row in asof_join(
+            left, r, on="k", left_ts="ts", right_ts="ts",
+            payload_cols=["prid", "pts"], tiebreak="prid", strict=True,
+        ).collect()
+    }
+    # lid=1: equal-ts right row 101 excluded (strict) -> 100
+    # lid=2: ties at 01-04 -> larger rid 103
+    # lid=3: no right rows for k=20 -> null
+    assert strict == {1: 100, 2: 103, 3: None}
+
+    inclusive = {
+        row["lid"]: (row["_match"]["prid"] if row["_match"] else None)
+        for row in asof_join(
+            left, r, on="k", left_ts="ts", right_ts="ts",
+            payload_cols=["prid", "pts"], tiebreak="prid", strict=False,
+        ).collect()
+    }
+    # lid=1: equal-ts right row now matches -> 101
+    assert inclusive == {1: 101, 2: 103, 3: None}
