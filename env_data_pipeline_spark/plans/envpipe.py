@@ -522,3 +522,73 @@ def request_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("request_id").alias("cached_request_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A9/A11: products-available + interpreted-products summary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "modis_products_available",
+    oracle=f"""
+    {duck_with("modis_observations")}
+    SELECT request_id,
+           list_sort(list(DISTINCT product)) AS products_available,
+           COUNT(DISTINCT product) AS n_products
+    FROM modis_observations
+    GROUP BY request_id
+    """,
+)
+def modis_products_available(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: products_available = keys of the per-request product dict
+    (modis_container.py:316) — collect_set + sort for determinism."""
+    ensure_fixtures(spark, sf_dir, ("modis_observations",))
+    return (
+        spark.table("modis_observations")
+        .groupBy("request_id")
+        .agg(
+            F.array_sort(F.collect_set("product")).alias("products_available"),
+            F.countDistinct("product").alias("n_products"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: Web-Mercator reprojection as pure column math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "requests_web_mercator",
+    oracle=f"""
+    {duck_with("requests")}
+    SELECT request_id, latitude, longitude,
+           ROUND(longitude * 20037508.342789244 / 180.0, 4) AS mercator_x,
+           ROUND(ln(tan((90.0 + latitude) * pi() / 360.0))
+                 * 20037508.342789244 / pi(), 4) AS mercator_y
+    FROM requests
+    WHERE latitude BETWEEN -85.06 AND 85.06
+      AND longitude BETWEEN -180.0 AND 180.0
+    """,
+)
+def requests_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: EPSG:4326 -> EPSG:3857 as deterministic column math
+    (topography_container.py:78-89 uses pyproj; the engine inlines the
+    spherical-Mercator formula — radians/log/tan builtins, no UDF).
+    Clamped to the Mercator latitude domain."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    r = spark.table("requests").filter(
+        F.col("latitude").between(-85.06, 85.06)
+        & F.col("longitude").between(-180.0, 180.0)
+    )
+    half_circumference = 20037508.342789244
+    pi = 3.141592653589793
+    y = F.log(F.tan((F.lit(90.0) + F.col("latitude")) * F.lit(pi) / 360.0))
+    return r.select(
+        "request_id",
+        "latitude",
+        "longitude",
+        F.round(F.col("longitude") * half_circumference / 180.0, 4).alias("mercator_x"),
+        F.round(y * half_circumference / pi, 4).alias("mercator_y"),
+    )

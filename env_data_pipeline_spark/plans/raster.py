@@ -332,3 +332,59 @@ def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grids.join(legends, "grid_id")
+
+
+# ---------------------------------------------------------------------------
+# A11: interpreted-products summary (the coordinate_specific maps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "landfire_interpreted_products",
+    oracle=f"""
+    {duck_with("landfire_grid_meta", "landfire_pixels", "landfire_attributes")},
+    target AS ({_DUCK_ROWCOL}),
+    p AS (
+      SELECT t.request_id, t.product, px.pixel_value
+      FROM target t
+      JOIN landfire_pixels px
+        ON px.grid_id = t.grid_id AND px.row = t.row AND px.col = t.col
+    ),
+    cls AS (
+      SELECT p.request_id, p.product, p.pixel_value, {_DUCK_CLASSIFY} AS interpreted
+      FROM p
+      {_DUCK_ATTR_JOINS}
+    )
+    SELECT request_id,
+           list_sort(list(product)) AS products,
+           list_sort(list(product || '=' || interpreted)) AS interpretations,
+           list_sort(list(product || '=' || cast(pixel_value AS STRING))) AS pixel_values
+    FROM cls GROUP BY request_id
+    """,
+)
+def landfire_interpreted_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the per-request coordinate_specific summary — product
+    list, product=interpretation map, product=pixel_value map
+    (landfire_container.py:438-449). Maps are emitted as sorted
+    'k=v' arrays so the result is order-deterministic and
+    oracle-hashable; F.map_from_entries over the same pairs yields the
+    MapType form at a real sink. Point lookups read the grid-shaped
+    layout; the oracle recomputes from long form."""
+    ensure_fixtures(
+        spark, sf_dir, ("landfire_grid_meta", "landfire_grids", "landfire_attributes")
+    )
+    hit = pixel_at_coordinate_grids(
+        spark.table("landfire_grid_meta"), spark.table("landfire_grids")
+    )
+    cls = classify_pixels(hit, spark.table("landfire_attributes"))
+    return cls.groupBy("request_id").agg(
+        F.array_sort(F.collect_list("product")).alias("products"),
+        F.array_sort(
+            F.collect_list(F.concat_ws("=", "product", "interpreted"))
+        ).alias("interpretations"),
+        F.array_sort(
+            F.collect_list(
+                F.concat_ws("=", "product", F.col("pixel_value").cast("string"))
+            )
+        ).alias("pixel_values"),
+    )
