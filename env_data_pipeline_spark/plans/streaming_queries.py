@@ -64,3 +64,20 @@ def streaming_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4/O5/O6: the event-trigger path as a streaming query — routing
     per event, emitted in append mode."""
     return ET.priority_routed_events(spark, sf_dir)
+
+
+@query(
+    "streaming_stateful_event_totals",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_stateful_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-event-type totals with explicit keyed state (streaming/
+    stateful.py). The end-of-stream emission equals the batch
+    aggregate, so this stateful path gets a full SQL oracle."""
+    from env_data_pipeline_spark.streaming.stateful import stateful_event_totals
+
+    return stateful_event_totals(spark, sf_dir)
