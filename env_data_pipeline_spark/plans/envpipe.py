@@ -248,16 +248,24 @@ def modis_ndvi_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.ndvi_scaled(S.center_element(F.col("data"))).alias("scaled_ndvi"),
         )
     )
-    valid = nd.filter(F.col("scaled_ndvi").between(-1.0, 1.0))
-    w = Window.partitionBy("request_id").orderBy(F.desc("calendar_date"))
-    latest = valid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    base = nd.select("request_id").distinct()
-    return base.join(latest, "request_id", "left").select(
+    # One pass: max_by over a validity-gated ordering key (invalid rows
+    # contribute a NULL key and are ignored; all-invalid requests keep
+    # a NULL struct -> UNKNOWN). Replaces distinct + sort-window with a
+    # single partially-aggregated shuffle — dates are unique per
+    # (request, band) in this domain so max_by is deterministic (the
+    # oracle stays the window formulation, proving equivalence).
+    latest = nd.groupBy("request_id").agg(
+        F.max_by(
+            F.struct("scaled_ndvi", "calendar_date"),
+            F.when(F.col("scaled_ndvi").between(-1.0, 1.0), F.col("calendar_date")),
+        ).alias("s")
+    )
+    return latest.select(
         "request_id",
-        F.round("scaled_ndvi", 4).alias("ndvi_latest"),
-        C.vegetation_health(F.col("scaled_ndvi")).alias("vegetation_health"),
-        C.fire_risk_vegetation(F.col("scaled_ndvi")).alias("fire_risk_vegetation"),
-        F.col("calendar_date").cast("string").alias("last_observation_date"),
+        F.round("s.scaled_ndvi", 4).alias("ndvi_latest"),
+        C.vegetation_health(F.col("s.scaled_ndvi")).alias("vegetation_health"),
+        C.fire_risk_vegetation(F.col("s.scaled_ndvi")).alias("fire_risk_vegetation"),
+        F.col("s.calendar_date").cast("string").alias("last_observation_date"),
     )
 
 
@@ -297,14 +305,16 @@ def modis_lst_first_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "calendar_date",
         S.lst_celsius(S.center_element(F.col("data"))).alias("temp_c"),
     )
-    valid = lst.filter(F.col("temp_c").between(-50.0, 60.0))
-    w = Window.partitionBy("request_id").orderBy(F.asc("calendar_date"))
-    first = valid.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        lst.select("request_id")
-        .distinct()
-        .join(first, "request_id", "left")
-        .select("request_id", F.round("temp_c", 4).alias("land_surface_temperature_c"))
+    # single min_by aggregation, mirroring W1's max_by (see
+    # modis_ndvi_latest for the rationale)
+    first = lst.groupBy("request_id").agg(
+        F.min_by(
+            F.col("temp_c"),
+            F.when(F.col("temp_c").between(-50.0, 60.0), F.col("calendar_date")),
+        ).alias("temp_c")
+    )
+    return first.select(
+        "request_id", F.round("temp_c", 4).alias("land_surface_temperature_c")
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
-from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 
 @query(
@@ -364,3 +364,6 @@ def events_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_match.prior_ts").alias("prior_ts"),
         F.col("_match.prior_event_id").alias("prior_event_id"),
     )
+
+
+BENCH_EXTRA.add("events_asof_last_touch")
