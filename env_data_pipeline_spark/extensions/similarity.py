@@ -126,3 +126,63 @@ def topk_lsh(embeddings: DataFrame, k: int = 3, query_mod: int = 100) -> DataFra
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    k: int = 3,
+    query_mod: int = 100,
+    centroid_mod: int = 100,
+    centroid_offset: int = 50,
+) -> DataFrame:
+    """IVF-style top-k (X3 scale path, variant 2): assign every vector
+    to its nearest "centroid" (a deterministic corpus sample standing
+    in for k-means cells — the assignment join is identical either
+    way), then probe only the query's cell (nprobe=1, recall < 1 by
+    design).
+
+    Scale posture: the centroid set is small and broadcast twice
+    (assignment, probe); the only shuffle is the groupBy(vec_id)
+    assignment whose key is unique; candidate scoring shrinks by
+    ~1/n_centroids. A real IVF swaps the sample for trained centroids
+    and this plan does not change shape."""
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cent = e.filter(F.col("vec_id") % centroid_mod == centroid_offset).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+    )
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("cent_vec")).alias("csim"),
+    )
+    # nearest centroid, ties to the smallest centroid_id
+    assigned = sims.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
+        ).alias("cell")
+    )
+    cells = e.join(assigned, "vec_id")
+    q = cells.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "cell"
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
+    )

@@ -442,3 +442,84 @@ def multimodal_base64_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         b64.alias("payload_b64"),
         F.octet_length("payload").alias("n_bytes"),
     )
+
+
+@query(
+    "text_langid_accuracy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang, {_duck_lang_case()} AS predicted_lang FROM w
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+           ROUND(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
+    FROM pred GROUP BY lang
+    """,
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: language-ID heuristic evaluated against the corpus's true
+    lang labels — per-language accuracy, the standard
+    classifier-evaluation aggregation (predict in-scan via marker-word
+    scores, one hash agg on the label)."""
+    docs = table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", TX.predicted_lang(F.col("text")).alias("predicted_lang")
+    )
+    hit = F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(hit).alias("n_correct"),
+        F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy"),
+    )
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding FROM e WHERE vec_id % 100 = 50
+    ),
+    sims AS (
+      SELECT q.vec_id, c.centroid_id, {_DUCK_COSINE} AS csim
+      FROM e q CROSS JOIN (SELECT centroid_id, embedding FROM cent) c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cell
+      FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, centroid_id ASC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    cells AS (SELECT e.vec_id, e.embedding, a.cell FROM e JOIN assigned a USING (vec_id)),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
+      FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, IVF variant: nearest-centroid cell assignment
+    (deterministic corpus sample as centroids), probe only the query's
+    cell (see extensions/similarity.py::topk_ivf)."""
+    return X.topk_ivf(table(spark, sf_dir, "embeddings"), k=3)

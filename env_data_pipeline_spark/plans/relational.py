@@ -367,3 +367,54 @@ def events_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_EXTRA.add("events_asof_last_touch")
+
+
+@query(
+    "top_suppliers_per_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT n.n_name AS nation, r.s_name, r.revenue,
+             ROW_NUMBER() OVER (PARTITION BY r.s_nationkey
+                                ORDER BY r.revenue DESC, r.s_suppkey ASC) AS rank
+      FROM rev r JOIN nation n ON n.n_nationkey = r.s_nationkey
+    )
+    SELECT nation, s_name, revenue, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native (§2.6 top-k): top-3 suppliers by lineitem revenue
+    per nation. Fact-side partial agg on l_suppkey BEFORE the
+    broadcast dim joins (shuffle carries one row per supplier, never
+    raw lineitems), then a per-nation ranking window over the already
+    tiny aggregate — the canonical large-fact/small-dim top-k shape."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(F.col("n_name").alias("nation"), "s_name", "revenue", "rank")
+    )
