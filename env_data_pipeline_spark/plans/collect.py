@@ -162,11 +162,36 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = E.weather_forecast_summary(spark, sf_dir).select(
         "request_id", "high_risk_periods"
     )
-    ndl = E.modis_ndvi_latest(spark, sf_dir).select(
-        "request_id", "ndvi_latest", "vegetation_health"
+    # ndl + mas fused into ONE pass over modis_observations: the A7
+    # count and the W1 latest-valid-NDVI selection are conditional
+    # aggregates of the same scan (one shuffle instead of two). The
+    # oracle keeps separate ndl/mas CTEs, so parity pins the fusion:
+    # requests with modis rows but no NDVI rows keep NULL health (not
+    # 'UNKNOWN'), matching the missing-ndl-row left join.
+    from env_data_pipeline_spark.functions import classifiers as C
+    from env_data_pipeline_spark.functions import scalar as S
+
+    obs = spark.table("modis_observations")
+    is_nd = (
+        (F.col("product") == "MOD13Q1")
+        & (F.col("band") == "250m_16_days_NDVI")
+        & (F.size("data") > 0)
     )
-    mas = E.modis_area_summary(spark, sf_dir).select(
-        "request_id", "total_observations"
+    scaled = S.ndvi_scaled(S.center_element(F.col("data")))
+    fused = obs.groupBy("request_id").agg(
+        F.count("*").alias("total_observations"),
+        F.max(F.when(is_nd, 1)).alias("_has_nd"),
+        F.max_by(
+            scaled, F.when(is_nd & scaled.between(-1.0, 1.0), F.col("calendar_date"))
+        ).alias("_nd"),
+    )
+    ndl_mas = fused.select(
+        "request_id",
+        "total_observations",
+        F.round("_nd", 4).alias("ndvi_latest"),
+        F.when(F.col("_has_nd") == 1, C.vegetation_health(F.col("_nd"))).alias(
+            "vegetation_health"
+        ),
     )
     lfr = R.landfire_combined_risk(spark, sf_dir).select(
         "request_id", "fire_risk_landfire"
@@ -194,8 +219,7 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         valid.join(mark(wc, "_w"), "request_id", "left")
         .join(fs, "request_id", "left")
-        .join(ndl, "request_id", "left")
-        .join(mark(mas, "_m"), "request_id", "left")
+        .join(mark(ndl_mas, "_m"), "request_id", "left")
         .join(mark(lfr, "_l"), "request_id", "left")
         .join(mark(dem, "_t"), "request_id", "left")
     )

@@ -500,6 +500,13 @@ def _snapshot_path(sf_dir: str, name: str) -> str:
     return os.path.join(_CACHE_ROOT, sf_tag, f"{name}-{key}.parquet")
 
 
+# (session id, fixture) -> sf_dir currently backing the view; avoids
+# re-listing parquet footers and re-registering views on every query
+# build (the collect pipeline assembles 6 branches, each ensuring its
+# inputs), while a scale-factor switch correctly re-registers
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
 def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
     """Register base views + fixture tables on the Spark side.
 
@@ -508,8 +515,15 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
     write); the registered view is then a plain Parquet scan. Falls
     back to a lazy derived view if the snapshot directory is not
     writable."""
+    wanted = [
+        n
+        for n in (names or tuple(FIXTURES))
+        if _REGISTERED.get((id(spark), n)) != sf_dir
+    ]
+    if not wanted:
+        return
     register_views(spark, sf_dir)
-    for name in names or tuple(FIXTURES):
+    for name in wanted:
         path = _snapshot_path(sf_dir, name)
         if not os.path.exists(path):
             try:
@@ -541,8 +555,10 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"
                 )
+                _REGISTERED[(id(spark), name)] = sf_dir
                 continue
         spark.read.parquet(path).createOrReplaceTempView(name)
+        _REGISTERED[(id(spark), name)] = sf_dir
 
 
 def duck_with(*names: str) -> str:
