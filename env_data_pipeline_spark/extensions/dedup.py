@@ -42,18 +42,25 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-shingles per document."""
+def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Word-3-shingles per document.
+
+    ``distinct=True`` gives set semantics (required for Jaccard
+    counts) at the cost of a full shuffle OF THE SHINGLE TEXT.
+    MinHash passes ``distinct=False``: MIN is idempotent, so
+    duplicate shingles cannot change a signature, and skipping the
+    distinct means the only shuffle in the whole signature pipeline
+    carries (doc_id, 16 ints) after map-side partial aggregation —
+    the text never crosses the wire."""
     w = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
     )
-    return (
-        docs.filter(F.size(w) >= SHINGLE_K)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    out = docs.filter(F.size(w) >= SHINGLE_K).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 # Hash ONCE per shingle, then derive the 16 "permutations"

@@ -125,7 +125,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only (band, key, doc_id). Exact copies share 4/4 bands;
     first-word-dropped near-copies share bands with probability ~ J^4
     per band (J≈0.97)."""
-    sh = D.shingles(_aug_docs(spark, sf_dir))
+    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
     return D.lsh_candidate_pairs(D.minhash_signatures(sh))
 
 
