@@ -418,3 +418,115 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(F.col("n_name").alias("nation"), "s_name", "revenue", "rank")
     )
+
+
+@query(
+    "events_salted_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (SURVEY.md §4; operators/skew.py): five
+    event types are five reduce keys — at cluster scale each hot key
+    funnels through one task unless split. Two-phase salted aggregate:
+    (key, hash-salt) partials spread each key over 16 tasks, then the
+    algebraic partials (count->sum, sum->sum, max->max) combine on the
+    key. The oracle is the plain GROUP BY, proving the decomposition
+    exact."""
+    from env_data_pipeline_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev.select("event_type", "event_id", "value"),
+        key="event_type",
+        salt_source="event_id",
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.sum("value").alias("_v"),
+            F.max("value").alias("_m"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_v"), 4).alias("total_value"),
+            F.round(F.max("_m"), 4).alias("max_value"),
+        ],
+    )
+    return out
+
+
+@query(
+    "revenue_rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native hierarchical aggregation: ROLLUP(region, nation)
+    computes nation-level, region-level and grand totals in ONE pass
+    (Catalyst expands the grouping sets; partial aggregation still
+    applies). NULL grouping slots normalized to 'ALL' so the three
+    levels are distinguishable and hash-comparable."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_lineitems",
+        )
+    )
+
+
+@query(
+    "lineitem_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native distribution aggregate: exact interpolated
+    percentiles per group (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation). At 100 TB the
+    one-line swap is `approx_percentile` (t-digest, mergeable
+    partials) — exact here so the oracle can hash-match."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
