@@ -173,3 +173,36 @@ def test_asof_join_semantics(spark):
     }
     # lid=1: equal-ts right row now matches -> 101
     assert inclusive == {1: 101, 2: 103, 3: None}
+
+
+def test_collect_tolerates_missing_source(spark, sf_dir):
+    """O3 graceful degradation: an empty topography source must not
+    drop requests — left-join semantics keep the row, success_rate
+    reflects the missing source."""
+    from env_data_pipeline_spark.plans.collect import _wide
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(spark, sf_dir)
+    full = _wide(spark, sf_dir)
+    n_full = full.count()
+    max_succ_full = full.agg(F.max("sources_successful")).collect()[0][0]
+
+    # simulate the topography container being down: empty view
+    # (ensure_fixtures memoization keeps this override in place)
+    empty = spark.table("elevation_cells").limit(0)
+    empty.createOrReplaceTempView("elevation_cells")
+    try:
+        degraded = _wide(spark, sf_dir)
+        assert degraded.count() == n_full, "requests must not be dropped"
+        stats = degraded.agg(
+            F.max("sources_successful").alias("mx"),
+            F.count(F.when(F.col("mean_elevation_m").isNotNull(), 1)).alias("topo_rows"),
+        ).collect()[0]
+        assert stats["topo_rows"] == 0
+        assert stats["mx"] == max_succ_full - 1
+    finally:
+        # restore the real view for later tests in this session
+        from env_data_pipeline_spark.sources import fixtures as FX
+
+        FX._REGISTERED.pop((id(spark), "elevation_cells"), None)
+        ensure_fixtures(spark, sf_dir, ("elevation_cells",))
