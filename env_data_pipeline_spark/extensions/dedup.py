@@ -148,7 +148,21 @@ def ngram_jaccard_pairs(
     key's pair-count at max_df^2. Set sizes are computed after the cap
     so both sides of the ratio see the same universe.
     """
-    sh = shingles(docs)
+    # the index carries 48-bit shingle hashes, never text: distinct,
+    # the df cap, and the self-join all shuffle (doc_id, bigint).
+    # Identical hashing on the oracle side makes the approximation
+    # exact for the comparison (a collision would fuse two shingles on
+    # BOTH engines; at 48 bits the chance is negligible anyway).
+    sh = (
+        shingles(docs, distinct=False)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+        .distinct()
+    )
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))

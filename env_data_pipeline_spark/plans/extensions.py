@@ -134,11 +134,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH aug AS ({_DUCK_AUG}),
     w AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    shtext AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w) - {D.SHINGLE_K - 1}),
+                    i -> array_to_string(w[i + 1 : i + {D.SHINGLE_K}], ' '))) AS shingle_text
+      FROM w WHERE len(w) >= {D.SHINGLE_K}
+    ),
     sh0 AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(len(w) - {D.SHINGLE_K - 1}),
-                    i -> array_to_string(w[i + 1 : i + {D.SHINGLE_K}], ' '))) AS shingle
-      FROM w WHERE len(w) >= {D.SHINGLE_K}
+             ('0x' || substr(md5(shingle_text), 1, 12))::BIGINT AS shingle
+      FROM shtext
     ),
     rare AS (
       SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {D.JACCARD_MAX_DF}

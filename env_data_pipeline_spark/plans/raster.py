@@ -92,7 +92,8 @@ def landfire_center_classification(spark: SparkSession, sf_dir: str) -> DataFram
     {duck_with("landfire_pixels", "landfire_attributes")},
     classified AS (
       SELECT p.grid_id, p.request_id, p.product, {_DUCK_CLASSIFY} AS interpreted
-      FROM landfire_pixels p
+      FROM (SELECT * FROM landfire_pixels
+            WHERE product IN ('vegetation_type', 'fuel_model')) p
       {_DUCK_ATTR_JOINS}
     ),
     counts AS (
@@ -119,12 +120,20 @@ def landfire_area_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentage (shared_schema.py:242-249 declared; engine computes it).
     Ties broken by class name so the result is deterministic.
 
-    Scale: classify is broadcast-join; histogram is a two-level agg
-    keyed by (grid_id, class) then a per-grid window — both shuffles
-    hash on grid_id which is uniformly distributed."""
+    Scale: restricted to the CLASSIFIED products (vegetation/fuel —
+    the reference's area summary is about vegetation interpretation,
+    landfire_container.py:438-449; continuous rasters have no classes
+    and would make every pixel value its own group). The product
+    filter is directory pruning on the hive-partitioned snapshot;
+    classify is broadcast-join; histogram is a two-level agg keyed by
+    (grid_id, class) then a per-grid window — both shuffles hash on
+    grid_id which is uniformly distributed."""
     ensure_fixtures(spark, sf_dir, ("landfire_pixels", "landfire_attributes"))
     classified = classify_pixels(
-        spark.table("landfire_pixels"), spark.table("landfire_attributes")
+        spark.table("landfire_pixels").filter(
+            F.col("product").isin("vegetation_type", "fuel_model")
+        ),
+        spark.table("landfire_attributes"),
     )
     counts = classified.groupBy("grid_id", "request_id", "product", "interpreted").agg(
         F.count("*").alias("n")
