@@ -207,15 +207,29 @@ def _make_simhash():
     their PYTHONPATH (the driver contract imports __spark_entry__.py
     from an arbitrary cwd)."""
 
+    word_vecs: dict = {}
+
     def simhash32(text: str) -> int:
-        """32-bit SimHash over whitespace words; md5-derived word hashes."""
+        """32-bit SimHash over whitespace words; md5-derived word
+        hashes. The word->(+1/-1 bit vector) map is memoized across
+        the whole Arrow batch (vocabularies repeat heavily), so the
+        per-document cost is one numpy sum, not 32 branches per
+        word."""
         import hashlib
 
-        acc = [0] * 32
+        import numpy as np
+
+        acc = np.zeros(32, dtype=np.int64)
         for word in text.split(" "):
-            h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
-            for bit in range(32):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = word_vecs.get(word)
+            if v is None:
+                h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
+                v = np.array(
+                    [1 if (h >> bit) & 1 else -1 for bit in range(32)],
+                    dtype=np.int64,
+                )
+                word_vecs[word] = v
+            acc += v
         out = 0
         for bit in range(32):
             if acc[bit] > 0:

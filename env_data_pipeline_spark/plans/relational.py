@@ -165,11 +165,15 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").select("o_custkey")
-    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "n_with_orders bigint, n_without_orders bigint"
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_with_orders")
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_without_orders")
+    )
+    # one lazy plan (no driver-side actions at build time); the two
+    # 1-row aggregates cross-join into the single result row
+    return semi.crossJoin(anti)
 
 
 @query(
@@ -229,13 +233,14 @@ def set_ops_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     big = p.filter(F.col("p_size") > 25).select("p_type").distinct()
     costly = p.filter(F.col("p_retailprice") > 1500).select("p_type").distinct()
-    n_union = big.union(costly).distinct().count()
-    n_intersect = big.intersect(costly).count()
-    n_except = big.exceptAll(costly).distinct().count()
-    return spark.createDataFrame(
-        [(n_union, n_intersect, n_except)],
-        "n_union bigint, n_intersect bigint, n_except bigint",
+    # one lazy plan: each set-op feeds a 1-row aggregate, cross-joined
+    # into the result row (no driver-side actions at build time)
+    n_union = big.union(costly).distinct().agg(F.count("*").alias("n_union"))
+    n_intersect = big.intersect(costly).agg(F.count("*").alias("n_intersect"))
+    n_except = (
+        big.exceptAll(costly).distinct().agg(F.count("*").alias("n_except"))
     )
+    return n_union.crossJoin(n_intersect).crossJoin(n_except)
 
 
 @query(
