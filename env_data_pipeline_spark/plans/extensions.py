@@ -528,3 +528,51 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic corpus sample as centroids), probe only the query's
     cell (see extensions/similarity.py::topk_ivf)."""
     return X.topk_ivf(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT asset_id,
+             unnest(range(4)) AS frame_idx,
+             text,
+             octet_length(encode(text)) // 4 AS flen
+      FROM assets
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * flen + 1 AS BIGINT), CAST(flen AS BIGINT))) AS frame_checksum,
+           CAST(flen AS INT) AS frame_bytes
+    FROM frames WHERE flen > 0
+    """,
+)
+# oracle note: DuckDB cannot slice BLOBs, so it slices the TEXT — the
+# corpus is ASCII (char slice == byte slice); a non-ASCII doc would
+# surface instantly as a checksum hash mismatch in the parity gate.
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: frame sampling for video assets — four evenly-spaced byte
+    slices stand in for decoded frames (the codec stays stubbed; see
+    extensions/multimodal.py). Deliberately PURE relational: the
+    slice/checksum math is substring-on-binary inside whole-stage
+    codegen — Python only enters when a real decoder must
+    (multimodal_features is that path)."""
+    assets = M.media_assets(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    frames = assets.select(
+        "asset_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(3))).alias("_p", "frame_idx"),
+        (F.octet_length("payload") / 4).cast("int").alias("flen"),
+        "payload",
+    )
+    return frames.filter(F.col("flen") > 0).select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.expr("substring(payload, frame_idx * flen + 1, flen)")
+        ).alias("frame_checksum"),
+        F.col("flen").alias("frame_bytes"),
+    )

@@ -26,3 +26,16 @@ def test_fixture_parity(spark, sf_dir, name):
         only_s = list((ms - md).items())[:3]
         only_d = list((md - ms).items())[:3]
         raise AssertionError(f"{name}:\n spark-only {only_s}\n duck-only {only_d}")
+
+
+def test_fixture_memo_reregisters_on_sf_switch(spark):
+    """The registration memo must not serve a stale view when the
+    scale factor changes mid-session."""
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    fixtures.ensure_fixtures(spark, sf_a, ("weather_current",))
+    n_a = spark.table("weather_current").count()
+    fixtures.ensure_fixtures(spark, sf_b, ("weather_current",))
+    n_b = spark.table("weather_current").count()
+    assert n_b == 10 * n_a
+    fixtures.ensure_fixtures(spark, sf_a, ("weather_current",))
+    assert spark.table("weather_current").count() == n_a
