@@ -602,3 +602,33 @@ def requests_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("longitude") * half_circumference / 180.0, 4).alias("mercator_x"),
         F.round(y * half_circumference / pi, 4).alias("mercator_y"),
     )
+
+
+@query(
+    "weather_forecast_moving_avg",
+    oracle=f"""
+    {duck_with("weather_forecast")}
+    SELECT request_id, period_index,
+           ROUND(temperature_celsius, 4) AS temperature_c,
+           ROUND(AVG(temperature_celsius) OVER (
+             PARTITION BY request_id ORDER BY period_index
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS temp_smoothed
+    FROM weather_forecast
+    """,
+)
+def weather_forecast_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 smoothing: centered 3-period moving average over the ordered
+    forecast — the explicit rowsBetween frame SURVEY §2.6 W3 calls
+    for. One sort per request partition; frame state is 3 rows."""
+    ensure_fixtures(spark, sf_dir, ("weather_forecast",))
+    w = (
+        Window.partitionBy("request_id")
+        .orderBy("period_index")
+        .rowsBetween(-1, 1)
+    )
+    return spark.table("weather_forecast").select(
+        "request_id",
+        "period_index",
+        F.round("temperature_celsius", 4).alias("temperature_c"),
+        F.round(F.avg("temperature_celsius").over(w), 4).alias("temp_smoothed"),
+    )

@@ -535,3 +535,37 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_size = 1 AND l.l_quantity < pa.qty_threshold
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated scalar subquery, decorrelated the
+    way Catalyst itself rewrites it: the per-part average joins back
+    as an aggregate (the 'subquery' is computed once for all parts in
+    one pass, not per outer row). The part filter broadcasts; the
+    per-part agg shuffles only (partkey, avg)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
