@@ -1,0 +1,119 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Correctness is the oracle's job; these tests pin the *plan shape* —
+the properties that decide whether a query survives a 100 TB
+scale-up. Each assertion is a fact that must hold at any scale
+factor (pushed filters, column pruning, rank-limit pushdown,
+explicit broadcasts), not a fact about AQE's size-based choices at
+a particular SF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from env_data_pipeline_spark.plans import registry
+
+registry.load_all()
+
+
+def formatted_plan(spark, name: str, sf_dir: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p]
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: ([^\n]*)", plan)
+
+
+# Queries where a nested-loop join is the *designed* physical plan:
+# brute-force cosine top-k is an intentional cross product of a tiny
+# query set against the corpus (SURVEY §2.11 X3 baseline; the LSH and
+# IVF variants are the scale path), and the J1 range-classification
+# fallback is an intentional broadcast theta join against a <20-row
+# dimension (SURVEY §4 item 1).
+NESTED_LOOP_OK = {
+    "similarity_topk",
+    "landfire_center_classification",
+    "landfire_area_summary",
+    "landfire_combined_risk",
+    "landfire_interpreted_products",
+    "collect_aggregated",
+    "collect_json_sink",
+    "collect_event_id_coordination",
+}
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "revenue_by_region",
+    "topk_orders_per_priority",
+    "order_priority_check",
+    "events_sessionized_stats",
+    "events_asof_last_touch",
+    "collect_aggregated",
+    "similarity_topk",
+    "text_quality_profile",
+    "small_quantity_revenue",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_no_cartesian_product(spark, sf_dir, name):
+    """An unconditioned cross join anywhere is a plan bug at any
+    scale."""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, name
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan and the scan
+    must not read l_comment (column pruning): at 100 TB this is the
+    difference between scanning 7 columns and 16."""
+    plan = formatted_plan(spark, "flagship_pricing_summary", sf_dir)
+    pushed = " ".join(pushed_filters(plan))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    reads = " ".join(read_schemas(plan))
+    assert "l_comment" not in reads
+    assert "l_returnflag" in reads
+    # partial + final hash aggregation (map-side combine before the
+    # exchange) — grouped agg must never be a single global pass
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_rank_limit_pushdown(spark, sf_dir):
+    """row_number()<=k must compile to WindowGroupLimit so each
+    partition keeps a k-row heap instead of materializing and
+    sorting every group (the 100 TB top-k guarantee)."""
+    plan = formatted_plan(spark, "topk_orders_per_priority", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """Explicitly-hinted small sides must plan as broadcast hash
+    joins — no shuffle of the fact table on a dimension key."""
+    for name in ("small_quantity_revenue", "landfire_center_classification"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_selective_scans_prune_columns(spark, sf_dir):
+    """Narrow queries must read narrow schemas."""
+    plan = formatted_plan(spark, "revenue_by_region", sf_dir)
+    reads = read_schemas(plan)
+    li = [r for r in reads if "l_orderkey" in r]
+    assert li and all("l_shipdate" not in r and "l_comment" not in r for r in li)
+    plan = formatted_plan(spark, "topk_orders_per_priority", sf_dir)
+    (orders_read,) = read_schemas(plan)
+    assert "o_comment" not in orders_read and "o_orderdate" not in orders_read
