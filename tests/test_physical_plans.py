@@ -35,14 +35,23 @@ def read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: ([^\n]*)", plan)
 
 
-# Queries where a nested-loop join is the *designed* physical plan:
-# brute-force cosine top-k is an intentional cross product of a tiny
-# query set against the corpus (SURVEY §2.11 X3 baseline; the LSH and
-# IVF variants are the scale path), and the J1 range-classification
-# fallback is an intentional broadcast theta join against a <20-row
-# dimension (SURVEY §4 item 1).
+# Queries where a nested-loop join is the *designed* physical plan —
+# each case is a broadcast of a provably tiny side, never a shuffle
+# cross product:
+# - brute-force cosine top-k: intentional cross product of a small
+#   broadcast query set against the corpus (SURVEY §2.11 X3 baseline;
+#   the LSH and IVF variants are the scale path);
+# - IVF: centroid assignment cross-joins every vector against the
+#   broadcast centroid sample (|centroids| = sqrt-scale, tiny);
+# - landfire family: J1 range-classification fallback is a broadcast
+#   theta join against a <20-row dimension (SURVEY §4 item 1);
+# - semi/anti + set-op counts: 1-row scalar aggregates cross-joined
+#   into the single result row (condition-less, both sides 1 row).
 NESTED_LOOP_OK = {
     "similarity_topk",
+    "similarity_topk_ivf",
+    "semi_anti_join_customers",
+    "set_ops_part_types",
     "landfire_center_classification",
     "landfire_area_summary",
     "landfire_combined_risk",
@@ -67,10 +76,11 @@ HEADLINE = [
 ]
 
 
-@pytest.mark.parametrize("name", HEADLINE)
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_no_cartesian_product(spark, sf_dir, name):
-    """An unconditioned cross join anywhere is a plan bug at any
-    scale."""
+    """Audit EVERY registered query: a shuffle cross product anywhere
+    is a plan bug at any scale, and a nested-loop join is allowed
+    only where the design calls for one (see NESTED_LOOP_OK)."""
     plan = formatted_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, name
     if name not in NESTED_LOOP_OK:
