@@ -569,3 +569,47 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@query(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native pivot (the wide-merge form SURVEY §2.5 J3 cites as
+    `groupBy().pivot("source")`): order counts per priority, one column
+    per order status.
+
+    Scale notes. (1) The value list is EXPLICIT — `pivot(col, values)`
+    without it triggers an eager distinct-scan job over the pivot
+    column before planning, a full extra pass at 100 TB. (2) The
+    per-status counts AND the price total come out of the SAME pivot
+    aggregation (multi-agg pivot: count + price sum per status; the
+    row total is the sum of the pivoted sums), so the plan is one
+    linear scan -> partial/final hash agg — no self-join, no second
+    scan of the fact table (asserted in tests/test_physical_plans.py).
+    (3) Missing combinations coalesce to 0 so both engines agree on
+    empty cells at any SF."""
+    piv = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+    )
+    zero = lambda c: F.coalesce(F.col(f"`{c}`"), F.lit(0))  # noqa: E731
+    return piv.select(
+        "o_orderpriority",
+        *[zero(f"{s}_n").alias(f"status_{s.lower()}") for s in ("F", "O", "P")],
+        F.round(zero("F_s") + zero("O_s") + zero("P_s"), 4).alias("total_price"),
+    )

@@ -118,6 +118,15 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_pivot_single_scan(spark, sf_dir):
+    """orders_status_pivot derives counts and totals from ONE pivot
+    aggregation — the plan tree must contain exactly one scan of the
+    fact table (no self-join back for the totals)."""
+    plan = formatted_plan(spark, "orders_status_pivot", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
 def test_selective_scans_prune_columns(spark, sf_dir):
     """Narrow queries must read narrow schemas."""
     plan = formatted_plan(spark, "revenue_by_region", sf_dir)
