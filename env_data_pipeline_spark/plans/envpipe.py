@@ -632,3 +632,40 @@ def weather_forecast_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("temperature_celsius", 4).alias("temperature_c"),
         F.round(F.avg("temperature_celsius").over(w), 4).alias("temp_smoothed"),
     )
+
+
+_UNPIVOT_METRICS = (
+    "temperature_celsius",
+    "humidity_percent",
+    "pressure_hpa",
+    "wind_speed_mps",
+)
+
+@query(
+    "weather_metrics_unpivot",
+    oracle=f"""
+    {duck_with("weather_current")}
+    SELECT request_id, metric, ROUND(value, 4) AS value FROM (
+      {" UNION ALL ".join(
+          f"SELECT request_id, '{m}' AS metric, {m}::DOUBLE AS value FROM weather_current"
+          for m in _UNPIVOT_METRICS)}
+    )
+    """,
+)
+def weather_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native unpivot (melt) — the inverse of the pivot surface:
+    wide weather measurements to long (request_id, metric, value) form,
+    the layout every per-metric operator downstream consumes.
+
+    Scale: `unpivot` compiles to a single-scan Expand (one pass, 4
+    output rows per input); the equivalent UNION-ALL formulation the
+    oracle uses would scan the table once per metric. Mixed int/double
+    measures are cast to double so the value column is one type."""
+    ensure_fixtures(spark, sf_dir, ("weather_current",))
+    wide = spark.table("weather_current").select(
+        "request_id",
+        *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_METRICS],
+    )
+    return wide.unpivot(
+        "request_id", list(_UNPIVOT_METRICS), "metric", "value"
+    ).withColumn("value", F.round("value", 4))
