@@ -63,7 +63,12 @@ def topk_bruteforce(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> 
             cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # rank on the ROUNDED similarity (the output precision): JVM vs
+    # DuckDB libm can differ by an ulp on near-ties, which would flip
+    # the neighbor_id tie-break nondeterministically between engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -120,7 +125,12 @@ def topk_lsh(embeddings: DataFrame, k: int = 3, query_mod: int = 100) -> DataFra
             cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # rank on the ROUNDED similarity (the output precision): JVM vs
+    # DuckDB libm can differ by an ulp on near-ties, which would flip
+    # the neighbor_id tie-break nondeterministically between engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -158,10 +168,12 @@ def topk_ivf(
         "centroid_id",
         cosine(F.col("embedding"), F.col("cent_vec")).alias("csim"),
     )
-    # nearest centroid, ties to the smallest centroid_id
+    # nearest centroid, ties to the smallest centroid_id; rounded csim
+    # so the assignment is engine-deterministic on near-ties
     assigned = sims.groupBy("vec_id").agg(
         F.max_by(
-            F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
+            F.col("centroid_id"),
+            F.struct(F.round(F.col("csim"), 4), -F.col("centroid_id")),
         ).alias("cell")
     )
     cells = e.join(assigned, "vec_id")
@@ -180,7 +192,12 @@ def topk_ivf(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # rank on the ROUNDED similarity (the output precision): JVM vs
+    # DuckDB libm can differ by an ulp on near-ties, which would flip
+    # the neighbor_id tie-break nondeterministically between engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -66,7 +66,8 @@ _ORACLE = f"""
     ),
     fs AS (
       SELECT request_id,
-             SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS high_risk_periods
+             CAST(SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_risk_periods
       FROM ({E._DUCK_FORECAST_RISK}) GROUP BY request_id
     ),
     nd AS ({E._DUCK_NDVI_VALID}),
@@ -85,7 +86,7 @@ _ORACLE = f"""
       ) l ON l.request_id = b.request_id AND l.rn = 1
     ),
     mas AS (
-      SELECT request_id, COUNT(*) AS total_observations
+      SELECT request_id, CAST(COUNT(*) AS BIGINT) AS total_observations
       FROM modis_observations GROUP BY request_id
     ),
     target AS ({R._DUCK_ROWCOL}),
@@ -133,7 +134,8 @@ _ORACLE = f"""
            (CASE WHEN wc.request_id IS NOT NULL THEN 1 ELSE 0 END
           + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
           + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
-          + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END) AS sources_successful,
+          + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS sources_successful,
            ROUND((CASE WHEN wc.request_id IS NOT NULL THEN 1 ELSE 0 END
                 + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
                 + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
@@ -240,7 +242,7 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fire_risk_landfire",
         "mean_elevation_m",
         "terrain_roughness",
-        succ.alias("sources_successful"),
+        succ.cast("long").alias("sources_successful"),
         F.round(succ / F.lit(4.0), 4).alias("success_rate"),
     )
 

@@ -152,7 +152,8 @@ _DUCK_FORECAST_RISK = """
            COUNT(*) AS total_points,
            ROUND(MAX(temperature_celsius), 4) AS max_temperature_c,
            ROUND(MIN(temperature_celsius), 4) AS min_temperature_c,
-           SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS high_risk_periods,
+           CAST(SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_risk_periods,
            ROUND(SUM(precipitation_mm), 4) AS total_precipitation_mm
     FROM ({_DUCK_FORECAST_RISK})
     GROUP BY request_id
@@ -461,7 +462,7 @@ def event_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT request_id,
            MAX(streak_len) AS max_consecutive_high,
-           SUM(streak_len) AS n_high_periods
+           CAST(SUM(streak_len) AS BIGINT) AS n_high_periods
     FROM streaks GROUP BY request_id
     """,
 )
@@ -544,7 +545,8 @@ def request_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {duck_with("modis_observations")}
     SELECT request_id,
-           list_sort(list(DISTINCT product)) AS products_available,
+           array_to_string(list_sort(list(DISTINCT product)), ',')
+             AS products_available,
            COUNT(DISTINCT product) AS n_products
     FROM modis_observations
     GROUP BY request_id
@@ -552,13 +554,16 @@ def request_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def modis_products_available(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: products_available = keys of the per-request product dict
-    (modis_container.py:316) — collect_set + sort for determinism."""
+    (modis_container.py:316) — collect_set + sort for determinism,
+    serialized comma-joined so the result is hashable downstream."""
     ensure_fixtures(spark, sf_dir, ("modis_observations",))
     return (
         spark.table("modis_observations")
         .groupBy("request_id")
         .agg(
-            F.array_sort(F.collect_set("product")).alias("products_available"),
+            F.array_join(F.array_sort(F.collect_set("product")), ",").alias(
+                "products_available"
+            ),
             F.countDistinct("product").alias("n_products"),
         )
     )
@@ -574,9 +579,9 @@ def modis_products_available(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {duck_with("requests")}
     SELECT request_id, latitude, longitude,
-           ROUND(longitude * 20037508.342789244 / 180.0, 4) AS mercator_x,
+           ROUND(longitude * 20037508.342789244 / 180.0, 4) + 0.0 AS mercator_x,
            ROUND(ln(tan((90.0 + latitude) * pi() / 360.0))
-                 * 20037508.342789244 / pi(), 4) AS mercator_y
+                 * 20037508.342789244 / pi(), 4) + 0.0 AS mercator_y
     FROM requests
     WHERE latitude BETWEEN -85.06 AND 85.06
       AND longitude BETWEEN -180.0 AND 180.0
@@ -599,8 +604,12 @@ def requests_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "request_id",
         "latitude",
         "longitude",
-        F.round(F.col("longitude") * half_circumference / 180.0, 4).alias("mercator_x"),
-        F.round(y * half_circumference / pi, 4).alias("mercator_y"),
+        # + 0.0 normalizes IEEE -0.0 (ROUND of a tiny negative) to 0.0 on
+        # both engines so value hashes agree at latitude/longitude ~ 0.
+        (F.round(F.col("longitude") * half_circumference / 180.0, 4) + F.lit(0.0)).alias(
+            "mercator_x"
+        ),
+        (F.round(y * half_circumference / pi, 4) + F.lit(0.0)).alias("mercator_y"),
     )
 
 

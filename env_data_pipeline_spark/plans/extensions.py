@@ -267,7 +267,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+                                ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
@@ -306,7 +306,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+                                ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
@@ -460,7 +460,8 @@ def multimodal_base64_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
            ROUND(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
     FROM pred GROUP BY lang
@@ -503,7 +504,7 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT vec_id, centroid_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY csim DESC, centroid_id ASC) AS rn
+                                  ORDER BY ROUND(csim, 4) DESC, centroid_id ASC) AS rn
         FROM sims
       ) WHERE rn = 1
     ),
@@ -516,7 +517,7 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+                                ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank

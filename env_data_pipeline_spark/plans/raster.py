@@ -300,8 +300,14 @@ def elevation_center_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5: re-pivot long-form pixels to the 2-D visualization array +
     legend map (shared_schema.py:79-86; populated at
-    topography_container.py:357-376). Nested-array output -> rows-only
-    driver check; exact values covered by tests/test_raster.py.
+    topography_container.py:357-376). The 2-D array and the legend are
+    serialized to JSON text so every output column is scalar (sortable
+    / hashable by any downstream comparator); a real sink would keep
+    the typed array/map forms one select earlier.
+
+    Legend entries carry the reference's value -> {name, color} shape
+    (shared_schema.py:250-264); color is a deterministic hex derived
+    from md5(name), so it is stable across runs and engines.
 
     Row order inside each array is pinned by sort_array over
     (col, value) / (row, array) structs — Spark gives no implicit
@@ -315,28 +321,36 @@ def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("row_values")
     )
     grids = rows.groupBy("grid_id", "request_id", "product").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("row", "row_values"))),
-            lambda s: s.row_values,
+        F.to_json(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("row", "row_values"))),
+                lambda s: s.row_values,
+            )
         ).alias("arrays")
     )
     legends = (
         classify_pixels(px, spark.table("landfire_attributes"))
         .select("grid_id", "pixel_value", "interpreted")
         .distinct()
+        .withColumn(
+            "color",
+            F.concat(F.lit("#"), F.upper(F.substring(F.md5("interpreted"), 1, 6))),
+        )
         .groupBy("grid_id")
         .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat(
-                            F.col("pixel_value").cast("string"),
-                            F.lit(":"),
-                            F.col("interpreted"),
+            F.to_json(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pixel_value").alias("key"),
+                                F.struct(
+                                    F.col("interpreted").alias("name"), F.col("color")
+                                ).alias("value"),
+                            )
                         )
                     )
-                ),
-                ";",
+                )
             ).alias("legend")
         )
     )
@@ -365,9 +379,11 @@ def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_DUCK_ATTR_JOINS}
     )
     SELECT request_id,
-           list_sort(list(product)) AS products,
-           list_sort(list(product || '=' || interpreted)) AS interpretations,
-           list_sort(list(product || '=' || cast(pixel_value AS STRING))) AS pixel_values
+           array_to_string(list_sort(list(product)), ',') AS products,
+           array_to_string(list_sort(list(product || '=' || interpreted)), ',')
+             AS interpretations,
+           array_to_string(list_sort(list(product || '=' || cast(pixel_value AS STRING))), ',')
+             AS pixel_values
     FROM cls GROUP BY request_id
     """,
 )
@@ -375,10 +391,11 @@ def landfire_interpreted_products(spark: SparkSession, sf_dir: str) -> DataFrame
     """A11: the per-request coordinate_specific summary — product
     list, product=interpretation map, product=pixel_value map
     (landfire_container.py:438-449). Maps are emitted as sorted
-    'k=v' arrays so the result is order-deterministic and
-    oracle-hashable; F.map_from_entries over the same pairs yields the
-    MapType form at a real sink. Point lookups read the grid-shaped
-    layout; the oracle recomputes from long form."""
+    comma-joined 'k=v' strings so the result is order-deterministic
+    and hashable by any downstream comparator; F.map_from_entries over
+    the same pairs yields the MapType form at a real sink. Point
+    lookups read the grid-shaped layout; the oracle recomputes from
+    long form."""
     ensure_fixtures(
         spark, sf_dir, ("landfire_grid_meta", "landfire_grids", "landfire_attributes")
     )
@@ -387,13 +404,16 @@ def landfire_interpreted_products(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cls = classify_pixels(hit, spark.table("landfire_attributes"))
     return cls.groupBy("request_id").agg(
-        F.array_sort(F.collect_list("product")).alias("products"),
-        F.array_sort(
-            F.collect_list(F.concat_ws("=", "product", "interpreted"))
+        F.array_join(F.array_sort(F.collect_list("product")), ",").alias("products"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws("=", "product", "interpreted"))), ","
         ).alias("interpretations"),
-        F.array_sort(
-            F.collect_list(
-                F.concat_ws("=", "product", F.col("pixel_value").cast("string"))
-            )
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws("=", "product", F.col("pixel_value").cast("string"))
+                )
+            ),
+            ",",
         ).alias("pixel_values"),
     )

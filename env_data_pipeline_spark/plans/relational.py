@@ -260,10 +260,10 @@ def set_ops_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_type, value,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

@@ -500,11 +500,18 @@ def _snapshot_path(sf_dir: str, name: str) -> str:
     return os.path.join(_CACHE_ROOT, sf_tag, f"{name}-{key}.parquet")
 
 
-# (session id, fixture) -> sf_dir currently backing the view; avoids
-# re-listing parquet footers and re-registering views on every query
-# build (the collect pipeline assembles 6 branches, each ensuring its
-# inputs), while a scale-factor switch correctly re-registers
-_REGISTERED: dict[tuple[int, str], str] = {}
+# (application id, fixture) -> sf_dir currently backing the view;
+# avoids re-listing parquet footers and re-registering views on every
+# query build (the collect pipeline assembles 6 branches, each
+# ensuring its inputs), while a scale-factor switch correctly
+# re-registers. Keyed on applicationId, not id(spark): CPython can
+# reuse an object id after a stopped session is collected, which
+# would silently skip registration for the new session.
+_REGISTERED: dict[tuple[str, str], str] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
@@ -515,10 +522,11 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
     write); the registered view is then a plain Parquet scan. Falls
     back to a lazy derived view if the snapshot directory is not
     writable."""
+    sid = _session_key(spark)
     wanted = [
         n
         for n in (names or tuple(FIXTURES))
-        if _REGISTERED.get((id(spark), n)) != sf_dir
+        if _REGISTERED.get((sid, n)) != sf_dir
     ]
     if not wanted:
         return
@@ -555,10 +563,10 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"
                 )
-                _REGISTERED[(id(spark), name)] = sf_dir
+                _REGISTERED[(sid, name)] = sf_dir
                 continue
         spark.read.parquet(path).createOrReplaceTempView(name)
-        _REGISTERED[(id(spark), name)] = sf_dir
+        _REGISTERED[(sid, name)] = sf_dir
 
 
 def duck_with(*names: str) -> str:

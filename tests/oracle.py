@@ -1,9 +1,19 @@
 """Local re-implementation of the driver's oracle comparison.
 
 Runs a registered Spark query and its DuckDB oracle SQL on the same
-parquet tables and compares row count, column names, and an
-order-insensitive value multiset — so oracle breakage is caught in
-pytest before the driver's per-round verify.
+parquet tables and compares them two ways:
+
+1. semantic multiset — order-insensitive values with floats rounded
+   and Decimals coerced (catches real wrong answers);
+2. driver-faithful canonicalization — both results go through pandas
+   exactly like the round driver's hasher (Spark rows via
+   pd.DataFrame inference, DuckDB via .df() so HUGEINT becomes
+   float64), columns sorted by name, rows sorted by all columns, then
+   every cell rendered type-sensitively (int 2 != float 2.0,
+   -0.0 != 0.0, lists are unsortable errors). This surfaces
+   oracle-output *typing* drift in pytest before the driver's
+   per-round verify (round-1 lesson: 8 red driver rows were all
+   type-level, none semantic).
 """
 
 from __future__ import annotations
@@ -13,6 +23,7 @@ from collections import Counter
 from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 from env_data_pipeline_spark.catalog import TABLES
 
@@ -41,6 +52,62 @@ def _multiset(rows, colnames):
     return Counter(tuple(_norm(row[i]) for i in order) for row in rows)
 
 
+# ---------------------------------------------------------------------------
+# driver-faithful canonicalization
+# ---------------------------------------------------------------------------
+
+_NULL = "∅"  # rendered null marker
+
+
+def _render_value(v):
+    """Type-sensitive scalar rendering: int vs float vs bool are
+    distinct; -0.0 renders '-0.0'; datetimes/dates via isoformat."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return _NULL
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v)!r}"
+    if hasattr(v, "isoformat"):
+        return f"t:{v.isoformat()}"
+    return f"s:{v}"
+
+
+def _render_series(s: pd.Series) -> pd.Series:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.map(lambda v: _NULL if pd.isna(v) else f"t:{pd.Timestamp(v).isoformat()}")
+    if pd.api.types.is_bool_dtype(s):
+        return s.map(lambda v: _NULL if pd.isna(v) else f"b:{bool(v)}")
+    if pd.api.types.is_float_dtype(s):
+        return s.map(lambda v: _NULL if pd.isna(v) else f"f:{float(v)!r}")
+    if pd.api.types.is_integer_dtype(s):
+        return s.map(lambda v: _NULL if pd.isna(v) else f"i:{int(v)}")
+    return s.map(_render_value)
+
+
+def _driver_canon(pdf: pd.DataFrame, engine: str, name: str) -> list[tuple]:
+    """Mirror the driver's _canon: sorted columns, sort_values over all
+    columns (raises on unhashable cells, e.g. list columns), then a
+    type-sensitive rendering of every cell."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    try:
+        pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    except TypeError as ex:
+        raise AssertionError(
+            f"{name}: {engine} result is not driver-canonicalizable "
+            f"(unsortable column — serialize arrays/maps to strings): {ex}"
+        ) from ex
+    rendered = {c: _render_series(pdf[c]) for c in cols}
+    return list(zip(*(rendered[c].tolist() for c in cols))) if cols else []
+
+
 def run_duckdb(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,20 +116,34 @@ def run_duckdb(sql: str, sf_dir: str):
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
+    # .df() mirrors the driver's DuckDB materialization (HUGEINT ->
+    # float64, nullable BIGINT -> float64), re-run cheaply off the
+    # same connection for the driver-faithful pass
+    pdf = con.execute(sql).df()
+    # .df() widens DATE to datetime64 midnight; the driver's hasher
+    # matched DATE oracle outputs against Spark date objects in r01
+    # (modis_date_codes green), so restore date-ness for declared
+    # DATE columns to avoid a false drift alarm
+    for c, t in zip(cols, types):
+        if t.upper() == "DATE" and pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].dt.date
     con.close()
-    return cols, rows
+    return cols, rows, pdf
 
 
 def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:
     sdf = spark_fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = run_duckdb(oracle, sf_dir)
+    d_cols, d_rows, d_pdf = run_duckdb(oracle, sf_dir)
     assert sorted(s_cols) == sorted(
         [c for c in d_cols]
     ), f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"
     assert len(s_rows) == len(d_rows), f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}"
+
+    # 1) semantic comparison (tolerant of types, strict on values)
     ms_s = _multiset(s_rows, s_cols)
     ms_d = _multiset(d_rows, d_cols)
     if ms_s != ms_d:
@@ -70,4 +151,18 @@ def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:
         only_d = list((ms_d - ms_s).items())[:5]
         raise AssertionError(
             f"{name}: value mismatch\n only in spark: {only_s}\n only in duckdb: {only_d}"
+        )
+
+    # 2) driver-faithful comparison (strict on types/rendering)
+    s_pdf = pd.DataFrame(s_rows, columns=s_cols)
+    s_canon = _driver_canon(s_pdf, "spark", name)
+    d_canon = _driver_canon(d_pdf, "duckdb", name)
+    if s_canon != d_canon:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+        ][:5]
+        raise AssertionError(
+            f"{name}: DRIVER-HASH drift (semantics equal, output types/"
+            f"rendering differ — fix oracle/query output types)\n"
+            f" first diffs (row, spark, duckdb): {diffs}"
         )
