@@ -106,12 +106,42 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9) -> DataFra
     )
 
 
-def topk_lsh(embeddings: DataFrame, k: int = 3, query_mod: int = 100) -> DataFrame:
-    """Bucketed variant: candidates share the sign bucket of the query
-    — the equi-join scale path (recall < 1 by design)."""
-    with_bucket = embeddings.withColumn("bucket", sign_bucket(F.col("embedding")))
-    q = with_bucket.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "bucket"
+def sign_bucket_int(vec: Column, n_bits: int = 4) -> Column:
+    """Integer form of the sign-bit bucket (bit i set when dim i+1 is
+    non-negative) — XOR-able, which is what makes multi-probe cheap."""
+    out = F.when(F.element_at(vec, 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+    for i in range(1, n_bits):
+        out = out + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def topk_lsh(
+    embeddings: DataFrame, k: int = 3, query_mod: int = 100, n_bits: int = 4
+) -> DataFrame:
+    """Bucketed variant with MULTI-PROBE: each query probes its own
+    sign bucket plus every 1-bit-flip neighbor bucket (n_bits+1
+    probes), the standard recall lever for hyperplane LSH (Lv et al.,
+    multi-probe LSH) — a near neighbor that disagrees on one
+    hyperplane is still found. The join stays a pure equi-join on the
+    bucket int; candidates grow by (n_bits+1)x over single-probe but
+    remain a ~(n_bits+1)/2^n_bits slice of the corpus per query. The
+    probe buckets are distinct, so no candidate is scored twice."""
+    with_bucket = embeddings.withColumn(
+        "bucket", sign_bucket_int(F.col("embedding"), n_bits)
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+    )
+    q = (
+        with_bucket.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
     )
     c = with_bucket.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "bucket"
@@ -144,18 +174,20 @@ def topk_ivf(
     query_mod: int = 100,
     centroid_mod: int = 100,
     centroid_offset: int = 50,
+    nprobe: int = 2,
 ) -> DataFrame:
     """IVF-style top-k (X3 scale path, variant 2): assign every vector
     to its nearest "centroid" (a deterministic corpus sample standing
     in for k-means cells — the assignment join is identical either
-    way), then probe only the query's cell (nprobe=1, recall < 1 by
-    design).
+    way), then probe the query's nprobe nearest cells (nprobe=2 —
+    the standard IVF recall lever; recall < 1 by design).
 
     Scale posture: the centroid set is small and broadcast twice
     (assignment, probe); the only shuffle is the groupBy(vec_id)
     assignment whose key is unique; candidate scoring shrinks by
-    ~1/n_centroids. A real IVF swaps the sample for trained centroids
-    and this plan does not change shape."""
+    ~nprobe/n_centroids. Corpus vectors live in exactly one cell, so
+    no candidate is scored twice. A real IVF swaps the sample for
+    trained centroids and this plan does not change shape."""
     e = embeddings.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -177,8 +209,21 @@ def topk_ivf(
         ).alias("cell")
     )
     cells = e.join(assigned, "vec_id")
-    q = cells.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"), "cell"
+    # queries probe their nprobe nearest cells (small set: the filter
+    # pushes to the scan, so this branch crosses only the query rows
+    # against the broadcast centroids)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("csim", 4)), F.asc("centroid_id")
+    )
+    q_cells = (
+        sims.filter(F.col("vec_id") % query_mod == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell"))
+    )
+    q = q_cells.join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")),
+        "query_id",
     )
     c = cells.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"

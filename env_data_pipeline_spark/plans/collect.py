@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from env_data_pipeline_spark.functions import scalar as S
 from env_data_pipeline_spark.operators import validation as V
 from env_data_pipeline_spark.plans import envpipe as E
 from env_data_pipeline_spark.plans import raster as R
@@ -151,15 +152,36 @@ _ORACLE = f"""
 """
 
 
-def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-request wide record, including the per-source
+    quality signals (P12/P14) the reference's ProcessingMetadata and
+    errors/warnings carry (shared_schema.py:69-132).
+
+    Per-source quality (P12 + the failure path at e.g.
+    weather_container.py:345,430): 1.0 when the source produced clean
+    data, 0.8 when it produced degraded data (missing wind fields /
+    no valid NDVI / unclassifiable pixel / majority-nodata DEM),
+    0.0 when the source produced nothing for the request."""
     ensure_fixtures(spark, sf_dir, _ALL_FIXTURES)
     valid = (
         V.validate_requests(spark.table("requests"))
         .filter(F.col("is_valid"))
-        .select("request_id")
+        .select("request_id", "event_id", "latitude", "longitude", "buffer_meters", "ts")
     )
-    wc = E.weather_current_conditions(spark, sf_dir).select(
-        "request_id", "temperature_celsius", "fire_weather_risk"
+    from env_data_pipeline_spark.functions import classifiers as C
+    from env_data_pipeline_spark.functions import scalar as S
+
+    # weather branch: one scan carrying the degradation flag (the
+    # fixture nulls wind fields together — weather_container.py:153's
+    # defaulted-zero path) and the observation epoch for P14 latency
+    wc = spark.table("weather_current").select(
+        "request_id",
+        "temperature_celsius",
+        C.fire_weather_risk(
+            F.col("temperature_celsius"), F.col("humidity_percent"), F.col("wind_speed_mps")
+        ).alias("fire_weather_risk"),
+        F.col("wind_speed_mps").isNull().alias("_wx_wind_missing"),
+        F.col("dt").alias("_wx_dt"),
     )
     fs = E.weather_forecast_summary(spark, sf_dir).select(
         "request_id", "high_risk_periods"
@@ -170,9 +192,6 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle keeps separate ndl/mas CTEs, so parity pins the fusion:
     # requests with modis rows but no NDVI rows keep NULL health (not
     # 'UNKNOWN'), matching the missing-ndl-row left join.
-    from env_data_pipeline_spark.functions import classifiers as C
-    from env_data_pipeline_spark.functions import scalar as S
-
     obs = spark.table("modis_observations")
     is_nd = (
         (F.col("product") == "MOD13Q1")
@@ -186,6 +205,7 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             scaled, F.when(is_nd & scaled.between(-1.0, 1.0), F.col("calendar_date"))
         ).alias("_nd"),
+        F.max("calendar_date").alias("_modis_latest_date"),
     )
     ndl_mas = fused.select(
         "request_id",
@@ -194,9 +214,16 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_has_nd") == 1, C.vegetation_health(F.col("_nd"))).alias(
             "vegetation_health"
         ),
+        F.col("_has_nd").isNull().alias("_modis_no_ndvi"),
+        "_modis_latest_date",
     )
+    unknown_cls = F.col("vegetation_class").isNull() | F.col(
+        "vegetation_class"
+    ).startswith("Unknown") | F.col("fuel_model_class").isNull() | F.col(
+        "fuel_model_class"
+    ).startswith("Unknown")
     lfr = R.landfire_combined_risk(spark, sf_dir).select(
-        "request_id", "fire_risk_landfire"
+        "request_id", "fire_risk_landfire", unknown_cls.alias("_lf_unknown")
     )
     dem = (
         spark.table("elevation_cells")
@@ -205,6 +232,7 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.avg("elevation"), 4).alias("mean_elevation_m"),
             (F.max("elevation") - F.min("elevation")).alias("rng"),
+            F.count("*").alias("_dem_valid_cells"),
         )
         .select(
             "request_id",
@@ -213,6 +241,7 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("rng") > 50, "MODERATE")
             .otherwise("LOW")
             .alias("terrain_roughness"),
+            "_dem_valid_cells",
         )
     )
 
@@ -231,20 +260,44 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.col("_l"), F.lit(0))
         + F.coalesce(F.col("_t"), F.lit(0))
     )
-    return wide.select(
-        "request_id",
-        "temperature_celsius",
-        "fire_weather_risk",
-        "high_risk_periods",
-        "ndvi_latest",
-        "vegetation_health",
-        "total_observations",
-        "fire_risk_landfire",
-        "mean_elevation_m",
-        "terrain_roughness",
-        succ.cast("long").alias("sources_successful"),
-        F.round(succ / F.lit(4.0), 4).alias("success_rate"),
+
+    def q(present: str, degraded) -> F.Column:
+        return (
+            F.when(F.col(present).isNull(), F.lit(0.0))
+            .when(degraded, F.lit(0.8))
+            .otherwise(F.lit(1.0))
+        )
+
+    return wide.withColumns(
+        {
+            "sources_successful": succ.cast("long"),
+            "success_rate": F.round(succ / F.lit(4.0), 4),
+            "q_weather": q("_w", F.col("_wx_wind_missing")),
+            "q_modis": q("_m", F.col("_modis_no_ndvi")),
+            "q_landfire": q("_l", F.col("_lf_unknown")),
+            "q_topography": q("_t", F.col("_dem_valid_cells") < 128),
+        }
     )
+
+
+_WIDE_COLUMNS = (
+    "request_id",
+    "temperature_celsius",
+    "fire_weather_risk",
+    "high_risk_periods",
+    "ndvi_latest",
+    "vegetation_health",
+    "total_observations",
+    "fire_risk_landfire",
+    "mean_elevation_m",
+    "terrain_roughness",
+    "sources_successful",
+    "success_rate",
+)
+
+
+def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wide_enriched(spark, sf_dir).select(*_WIDE_COLUMNS)
 
 
 @query("collect_aggregated", oracle=_ORACLE)
@@ -257,24 +310,234 @@ def collect_aggregated(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_EXTRA.add("collect_aggregated")
 
 
+def _container_struct(
+    source: str,
+    data_type: str,
+    payload: F.Column,
+    errors: F.Column,
+    warnings: F.Column,
+    quality: F.Column,
+    data_currency: F.Column,
+) -> F.Column:
+    """One ContainerOutput document (shared_schema.py:96-132 to_dict):
+    source/data_type/location/timestamp/metadata/errors/warnings plus
+    the source's interpreted payload. location is shared response-level
+    (LocationInfo, :60-66); per-source location duplicates it, so the
+    engine emits it once at the response level and keeps the
+    container's own fields here."""
+    metadata = F.struct(
+        F.when(
+            data_currency.isNotNull(),
+            F.abs(
+                (data_currency.cast("double") - F.col("ts").cast("double")) * 1000
+            ).cast("long"),
+        ).alias("processing_time_ms"),
+        F.date_format(data_currency, "yyyy-MM-dd'T'HH:mm:ss").alias("data_currency"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("retrieved_at"),
+        quality.alias("quality_score"),
+        F.lit(f"{source}-container-spark").alias("container_id"),
+        F.lit("1.0.0").alias("container_version"),
+    )
+    return F.struct(
+        F.lit(source).alias("source"),
+        F.lit(data_type).alias("data_type"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+        metadata.alias("metadata"),
+        payload.alias("interpreted_data"),
+        errors.alias("errors"),
+        warnings.alias("warnings"),
+    )
+
+
+def _strs(*exprs) -> F.Column:
+    """Array of the non-null string expressions (errors/warnings);
+    empty-arg form yields a typed empty array<string>."""
+    exprs = exprs or (F.lit(None).cast("string"),)
+    return F.filter(F.array(*exprs), lambda x: x.isNotNull())
+
+
 @query("collect_json_sink", oracle=None)
 def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: the wide record as a nested JSON document
-    (shared_schema.py:114-132 to_dict / orchestrator.py:788-808
-    assembly) — struct() only at the sink per SURVEY.md §1.4.
-    Rows-only check (JSON text formatting is engine-specific)."""
-    wide = _wide(spark, sf_dir)
+    """S7: the wide record as the full AggregatedResponse JSON document
+    (shared_schema.py:96-195 to_dict / orchestrator.py:788-808
+    assembly) — request_id/event_id/location/timestamp at the response
+    level, one ContainerOutput per source carrying ProcessingMetadata
+    (P14 processing_time_ms as data-currency latency, P12
+    quality_score) and errors/warnings arrays, and the summary block.
+    struct() only at the sink per SURVEY.md §1.4. Rows-only check
+    (JSON text formatting is engine-specific)."""
+    wide = _wide_enriched(spark, sf_dir)
+    location = F.struct(
+        F.col("latitude"),
+        F.col("longitude"),
+        F.col("buffer_meters"),
+        F.lit("EPSG:4326").alias("coordinate_system"),
+    )
+    weather = _container_struct(
+        "weather",
+        "current_conditions_and_forecast",
+        F.struct("temperature_celsius", "fire_weather_risk", "high_risk_periods"),
+        _strs(
+            F.when(F.col("_w").isNull(), "Failed to retrieve current weather data"),
+            F.when(F.col("_wx_wind_missing"), "incomplete observation: wind fields missing"),
+        ),
+        _strs(F.when(F.col("_wx_wind_missing"), "wind_speed_mps defaulted to 0")),
+        F.col("q_weather"),
+        S.epoch_to_timestamp(F.col("_wx_dt")),
+    )
+    modis = _container_struct(
+        "modis",
+        "vegetation_indices",
+        F.struct("ndvi_latest", "vegetation_health", "total_observations"),
+        _strs(
+            F.when(F.col("_m").isNull(), "Failed to retrieve MODIS data"),
+            F.when(F.col("_modis_no_ndvi"), "no valid NDVI observation"),
+        ),
+        _strs(F.when(F.col("_modis_no_ndvi"), "vegetation_health unknown")),
+        F.col("q_modis"),
+        F.col("_modis_latest_date").cast("timestamp"),
+    )
+    landfire = _container_struct(
+        "landfire",
+        "vegetation_and_fuel",
+        F.struct("fire_risk_landfire"),
+        _strs(
+            F.when(F.col("_l").isNull(), "Failed to retrieve LANDFIRE data"),
+            F.when(F.col("_lf_unknown"), "unclassified pixel value at coordinate"),
+        ),
+        _strs(),
+        F.col("q_landfire"),
+        F.lit(None).cast("timestamp"),
+    )
+    topography = _container_struct(
+        "topography",
+        "elevation_grid",
+        F.struct("mean_elevation_m", "terrain_roughness"),
+        _strs(
+            F.when(F.col("_t").isNull(), "Failed to retrieve elevation data"),
+            F.when(F.col("_dem_valid_cells") < 128, "majority nodata in DEM grid"),
+        ),
+        _strs(
+            F.when(
+                F.col("_dem_valid_cells").between(128, 255),
+                "nodata pixels present in DEM grid",
+            )
+        ),
+        F.col("q_topography"),
+        F.lit(None).cast("timestamp"),
+    )
     payload = F.struct(
         F.col("request_id"),
-        F.struct("temperature_celsius", "fire_weather_risk", "high_risk_periods").alias(
-            "weather"
-        ),
-        F.struct("ndvi_latest", "vegetation_health", "total_observations").alias("modis"),
-        F.struct("fire_risk_landfire").alias("landfire"),
-        F.struct("mean_elevation_m", "terrain_roughness").alias("topography"),
+        F.col("event_id"),
+        location.alias("location"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+        weather.alias("weather"),
+        modis.alias("modis"),
+        landfire.alias("landfire"),
+        topography.alias("topography"),
         F.struct("sources_successful", "success_rate").alias("summary"),
     )
     return wide.select("request_id", F.to_json(payload).alias("document"))
+
+
+@query(
+    "collect_quality_summary",
+    oracle=f"""
+    {duck_with(*_ALL_FIXTURES)},
+    valid AS (
+      SELECT request_id FROM requests
+      WHERE ({V.duck_reject_reason()}) IS NULL
+    ),
+    wcq AS (
+      SELECT request_id, (wind_speed_mps IS NULL) AS wind_missing
+      FROM weather_current
+    ),
+    nd AS ({E._DUCK_NDVI_VALID}),
+    ndreq AS (SELECT DISTINCT request_id FROM nd),
+    masq AS (SELECT DISTINCT request_id FROM modis_observations),
+    target AS ({R._DUCK_ROWCOL}),
+    p AS (
+      SELECT t.request_id, t.product, px.pixel_value
+      FROM target t
+      JOIN landfire_pixels px
+        ON px.grid_id = t.grid_id AND px.row = t.row AND px.col = t.col
+      WHERE t.product IN ('vegetation_type', 'fuel_model')
+    ),
+    cls AS (
+      SELECT p.request_id, p.product, {R._DUCK_CLASSIFY} AS interpreted
+      FROM p
+      {R._DUCK_ATTR_JOINS}
+    ),
+    lfq AS (
+      SELECT request_id,
+             (MAX(CASE WHEN interpreted LIKE 'Unknown%' THEN 1 ELSE 0 END) = 1
+              OR COUNT(CASE WHEN product = 'vegetation_type' THEN 1 END) = 0
+              OR COUNT(CASE WHEN product = 'fuel_model' THEN 1 END) = 0)
+               AS has_unknown
+      FROM cls GROUP BY request_id
+    ),
+    demq AS (
+      SELECT request_id, COUNT(*) AS n_valid
+      FROM elevation_cells WHERE elevation != nodata GROUP BY request_id
+    ),
+    qual AS (
+      SELECT v.request_id,
+        CASE WHEN wcq.request_id IS NULL THEN 0.0
+             WHEN wcq.wind_missing THEN 0.8 ELSE 1.0 END AS weather,
+        CASE WHEN masq.request_id IS NULL THEN 0.0
+             WHEN ndreq.request_id IS NULL THEN 0.8 ELSE 1.0 END AS modis,
+        CASE WHEN lfq.request_id IS NULL THEN 0.0
+             WHEN lfq.has_unknown THEN 0.8 ELSE 1.0 END AS landfire,
+        CASE WHEN demq.request_id IS NULL THEN 0.0
+             WHEN demq.n_valid < 128 THEN 0.8 ELSE 1.0 END AS topography
+      FROM valid v
+      LEFT JOIN wcq   ON wcq.request_id   = v.request_id
+      LEFT JOIN masq  ON masq.request_id  = v.request_id
+      LEFT JOIN ndreq ON ndreq.request_id = v.request_id
+      LEFT JOIN lfq   ON lfq.request_id   = v.request_id
+      LEFT JOIN demq  ON demq.request_id  = v.request_id
+    ),
+    unp AS (
+      SELECT 'weather' AS source, weather AS quality_score FROM qual
+      UNION ALL SELECT 'modis', modis FROM qual
+      UNION ALL SELECT 'landfire', landfire FROM qual
+      UNION ALL SELECT 'topography', topography FROM qual
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN quality_score = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN quality_score = 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_degraded,
+           CAST(SUM(CASE WHEN quality_score = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           ROUND(AVG(quality_score), 4) AS avg_quality
+    FROM unp GROUP BY source
+    """,
+)
+def collect_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 quality_score aggregated per source across all valid
+    requests (reference landfire_container.py:390,
+    modis_container.py:228, weather_container.py:345,
+    topography_container.py:342 + the 0.0 failure paths) — how many
+    requests each source served cleanly / degraded / not at all.
+
+    Scale: the quality columns ride the same 6-way 1:1 left join as
+    the wide record; the unpivot is a zero-shuffle Expand and the
+    final agg reduces to 4 rows."""
+    wide = _wide_enriched(spark, sf_dir)
+    long = wide.select(
+        "request_id", "q_weather", "q_modis", "q_landfire", "q_topography"
+    ).unpivot(
+        ["request_id"],
+        ["q_weather", "q_modis", "q_landfire", "q_topography"],
+        "source",
+        "quality_score",
+    ).withColumn("source", F.expr("substring(source, 3)"))
+    return long.groupBy("source").agg(
+        F.count("*").alias("n_requests"),
+        F.sum(F.when(F.col("quality_score") == 1.0, 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("quality_score") == 0.8, 1).otherwise(0)).alias("n_degraded"),
+        F.sum(F.when(F.col("quality_score") == 0.0, 1).otherwise(0)).alias("n_failed"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
 
 
 # ---------------------------------------------------------------------------

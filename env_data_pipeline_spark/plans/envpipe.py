@@ -378,6 +378,71 @@ def modis_date_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "modis_request_windows",
+    oracle=f"""
+    {duck_with("requests")},
+    shaped AS (
+      SELECT request_id, latitude, longitude, ts,
+             coalesce(buffer_meters, 1000) / 111000.0 AS d,
+             CAST(greatest(CASE priority WHEN 'emergency' THEN 30
+                                         WHEN 'urgent' THEN 60
+                                         WHEN 'high' THEN 90
+                                         WHEN 'normal' THEN 120
+                                         ELSE 180 END, 90) AS INT) AS ext_days
+      FROM requests
+    )
+    SELECT request_id,
+           ROUND(d, 6) AS buffer_degrees,
+           ROUND(longitude - d, 6) AS bbox_min_lon,
+           ROUND(latitude  - d, 6) AS bbox_min_lat,
+           ROUND(longitude + d, 6) AS bbox_max_lon,
+           ROUND(latitude  + d, 6) AS bbox_max_lat,
+           ext_days AS search_period_days,
+           ts::DATE - ext_days AS window_start,
+           concat('A', cast(year(ts::DATE - ext_days) AS STRING),
+                  lpad(cast(dayofyear(ts::DATE - ext_days) AS STRING), 3, '0'))
+             AS start_code,
+           concat('A', cast(year(ts::DATE) AS STRING),
+                  lpad(cast(dayofyear(ts::DATE) AS STRING), 3, '0')) AS end_code
+    FROM shaped
+    """,
+)
+def modis_request_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P8/P10 in one request-shaping pass: buffer meters->degrees
+    (landfire_container.py:221), the WCS bbox corners
+    (landfire_container.py:259), and the MODIS temporal window —
+    priority-derived days_back floored at 90 for the 16-day composites
+    (modis_container.py:88-98) — plus the P9 AYYYYDDD codes for both
+    window endpoints. Pure column math over one scan of requests;
+    every expression folds into the same codegen stage."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    r = spark.table("requests")
+    buf = F.coalesce(F.col("buffer_meters"), F.lit(1000))
+    d = S.buffer_degrees(buf)
+    days = (
+        F.when(F.col("priority") == "emergency", 30)
+        .when(F.col("priority") == "urgent", 60)
+        .when(F.col("priority") == "high", 90)
+        .when(F.col("priority") == "normal", 120)
+        .otherwise(180)
+    )
+    bbox = S.bbox_struct(F.col("latitude"), F.col("longitude"), buf)
+    start = S.modis_window_start(F.col("ts"), days)
+    return r.select(
+        "request_id",
+        F.round(d, 6).alias("buffer_degrees"),
+        F.round(bbox.getField("min_lon"), 6).alias("bbox_min_lon"),
+        F.round(bbox.getField("min_lat"), 6).alias("bbox_min_lat"),
+        F.round(bbox.getField("max_lon"), 6).alias("bbox_max_lon"),
+        F.round(bbox.getField("max_lat"), 6).alias("bbox_max_lat"),
+        F.greatest(days, F.lit(90)).cast("int").alias("search_period_days"),
+        start.alias("window_start"),
+        S.modis_date_code(start).alias("start_code"),
+        S.modis_date_code(F.col("ts").cast("date")).alias("end_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O5: event priority routing
 # ---------------------------------------------------------------------------

@@ -280,42 +280,97 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.topk_bruteforce(table(spark, sf_dir, "embeddings"), k=5)
 
 
+def _duck_int_bucket(n: int = 4) -> str:
+    """Integer sign-bit bucket (bit i set when dim i+1 >= 0)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+# shared LSH CTEs: 4-bit int bucket, queries multi-probe their own
+# bucket plus every 1-bit flip (mirrors extensions/similarity.py)
+_DUCK_LSH_CTES = f"""
+    cb AS (SELECT vec_id, embedding, {_duck_int_bucket(4)} AS bucket FROM embeddings),
+    qp AS (
+      SELECT vec_id, embedding,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS bucket
+      FROM cb WHERE vec_id % 100 = 0
+    ),
+    lscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
+      FROM qp q JOIN cb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+"""
+
+# shared IVF CTEs: corpus assigned to its 1 nearest cell, queries
+# probe their 2 nearest cells (nprobe=2)
+_DUCK_IVF_CTES = f"""
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding FROM e WHERE vec_id % 100 = 50
+    ),
+    sims AS (
+      SELECT q.vec_id, c.centroid_id, {_DUCK_COSINE} AS csim
+      FROM e q CROSS JOIN (SELECT centroid_id, embedding FROM cent) c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cell
+      FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(csim, 4) DESC, centroid_id ASC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    cells AS (SELECT e.vec_id, e.embedding, a.cell FROM e JOIN assigned a USING (vec_id)),
+    qcells AS (
+      SELECT vec_id AS query_id, centroid_id AS cell
+      FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(csim, 4) DESC, centroid_id ASC) AS rn
+        FROM sims WHERE vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    qc AS (
+      SELECT qc0.query_id, e.embedding, qc0.cell
+      FROM qcells qc0 JOIN e ON e.vec_id = qc0.query_id
+    ),
+    iscored AS (
+      SELECT q.query_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
+      FROM qc q JOIN cells c ON q.cell = c.cell AND q.query_id != c.vec_id
+    )
+"""
+
+
 @query(
     "similarity_topk_lsh",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             concat(
-               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
-             ) AS bucket
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_DUCK_COSINE} AS sim
-      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 100 = 0
-    ),
+    WITH {_DUCK_LSH_CTES},
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
-      FROM scored
+      FROM lscored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
     FROM ranked WHERE rank <= 3
     """,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: sign-bit LSH bucket equi-join instead of the
-    cross join — at 100 TB candidates shrink ~2^-8 per bucket."""
+    """X3 scale path: sign-bit LSH bucket equi-join with 1-bit
+    multi-probe instead of the cross join — at 100 TB each query
+    scores a ~(n_bits+1)/2^n_bits slice of the corpus."""
     return X.topk_lsh(table(spark, sf_dir, "embeddings"), k=3)
 
 
@@ -377,7 +432,13 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_profile(table(spark, sf_dir, "documents"))
 
 
-BENCH_EXTRA.update({"dedup_minhash_lsh", "similarity_topk", "text_quality_profile"})
+# headline set leads with the SCALE paths (banded LSH joins); the
+# brute-force broadcast cross stays registered + oracle-checked as the
+# small-query-set tool it is documented to be, but is not a headline
+BENCH_EXTRA.update(
+    {"dedup_minhash_lsh", "similarity_topk_lsh", "similarity_topk_ivf",
+     "text_quality_profile"}
+)
 
 
 # --------------------------------------------------------------------------
@@ -487,38 +548,12 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_topk_ivf",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT vec_id AS centroid_id, embedding FROM e WHERE vec_id % 100 = 50
-    ),
-    sims AS (
-      SELECT q.vec_id, c.centroid_id, {_DUCK_COSINE} AS csim
-      FROM e q CROSS JOIN (SELECT centroid_id, embedding FROM cent) c
-    ),
-    assigned AS (
-      SELECT vec_id, centroid_id AS cell
-      FROM (
-        SELECT vec_id, centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(csim, 4) DESC, centroid_id ASC) AS rn
-        FROM sims
-      ) WHERE rn = 1
-    ),
-    cells AS (SELECT e.vec_id, e.embedding, a.cell FROM e JOIN assigned a USING (vec_id)),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
-      FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 100 = 0
-    ),
+    WITH {_DUCK_IVF_CTES},
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
-      FROM scored
+      FROM iscored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
     FROM ranked WHERE rank <= 3
@@ -526,9 +561,98 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, IVF variant: nearest-centroid cell assignment
-    (deterministic corpus sample as centroids), probe only the query's
-    cell (see extensions/similarity.py::topk_ivf)."""
+    (deterministic corpus sample as centroids), queries probe their
+    2 nearest cells (see extensions/similarity.py::topk_ivf)."""
     return X.topk_ivf(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "similarity_recall_at_k",
+    oracle=f"""
+    WITH bscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+        FROM bscored
+      ) WHERE rank <= 3
+    ),
+    {_DUCK_LSH_CTES.strip().lstrip()},
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+        FROM lscored
+      ) WHERE rank <= 3
+    ),
+    {_DUCK_IVF_CTES.strip().lstrip()},
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+        FROM iscored
+      ) WHERE rank <= 3
+    ),
+    nq AS (SELECT DISTINCT query_id FROM truth),
+    lhit AS (
+      SELECT t.query_id, COUNT(*) AS n_hit
+      FROM truth t JOIN lsh a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    ),
+    ihit AS (
+      SELECT t.query_id, COUNT(*) AS n_hit
+      FROM truth t JOIN ivf a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(coalesce(n_hit, 0) / 3.0), 4) AS recall_at_3
+    FROM nq LEFT JOIN lhit USING (query_id)
+    UNION ALL
+    SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(coalesce(n_hit, 0) / 3.0), 4) AS recall_at_3
+    FROM nq LEFT JOIN ihit USING (query_id)
+    """,
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality gate: recall@3 of the two approximate-NN scale paths
+    (sign-bucket LSH, IVF nprobe=1) against brute-force ground truth.
+
+    This is a VALIDATION query: the exact top-k it compares against is
+    the intentional broadcast nested loop (allowlisted), run over the
+    same small query set; the approximate paths under test are pure
+    equi-joins. At 100 TB this runs on a sampled query set exactly as
+    here — recall measurement never needs the full corpus crossed."""
+    e = table(spark, sf_dir, "embeddings")
+    truth = X.topk_bruteforce(e, k=3).select("query_id", "neighbor_id")
+    approx = {
+        "lsh": X.topk_lsh(e, k=3).select("query_id", "neighbor_id"),
+        "ivf": X.topk_ivf(e, k=3).select("query_id", "neighbor_id"),
+    }
+
+    def recall(method: str) -> DataFrame:
+        hits = (
+            truth.join(approx[method], ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        per_q = truth.select("query_id").distinct().join(hits, "query_id", "left")
+        return per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.round(
+                F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(3.0)), 4
+            ).alias("recall_at_3"),
+        ).select(F.lit(method).alias("method"), "n_queries", "recall_at_3")
+
+    return recall("lsh").unionByName(recall("ivf"))
 
 
 @query(

@@ -50,6 +50,8 @@ def read_schemas(plan: str) -> list[str]:
 NESTED_LOOP_OK = {
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_recall_at_k",  # brute-force ground truth by design
+    "collect_quality_summary",  # rides the collect join tree
     "semi_anti_join_customers",
     "set_ops_part_types",
     "landfire_center_classification",
@@ -69,7 +71,7 @@ HEADLINE = [
     "events_sessionized_stats",
     "events_asof_last_touch",
     "collect_aggregated",
-    "similarity_topk",
+    "similarity_topk_lsh",
     "text_quality_profile",
     "small_quantity_revenue",
     "dedup_exact",
@@ -125,6 +127,22 @@ def test_pivot_single_scan(spark, sf_dir):
     plan = formatted_plan(spark, "orders_status_pivot", sf_dir)
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_simhash_pairs_banded_equi_join(spark, sf_dir):
+    """dedup_simhash_pairs must pair candidates through the banded
+    (band, key) equi-join — a hash/sort-merge join keyed on the probe,
+    never a nested-loop over fingerprints."""
+    plan = formatted_plan(spark, "dedup_simhash_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the probe explode feeds the join: Generate(explode) + a join
+    # whose keys are the band/key pair
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "band" in plan and "key" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
 
 
 def test_selective_scans_prune_columns(spark, sf_dir):
