@@ -47,46 +47,64 @@ def media_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _make_decode_batch():
-    """Build the decode kernel as a NESTED function so cloudpickle
-    serializes it by value — executors must not need this repo on
-    their PYTHONPATH (the driver contract imports __spark_entry__.py
-    from an arbitrary cwd)."""
-    decode_available = DECODE_AVAILABLE
+def make_decode_batch(codec=None):
+    """Build the decode kernel with an INJECTABLE codec.
+
+    ``codec`` is ``callable(payload: bytes, media_type: str) -> dict``
+    returning keys ``checksum/brightness/feature_dim`` — the seam where
+    a real decoder (PIL / torchaudio / pyav) plugs in. ``None`` selects
+    the deterministic byte-statistics stand-in (no media libs in this
+    container; ``DECODE_AVAILABLE`` documents that). Either way the
+    Spark-side contract — mapInPandas signature, Arrow batch shape,
+    output schema — is identical, and the swap itself is exercised by
+    tests/test_extensions.py with a fake injected codec.
+
+    Nested function so cloudpickle serializes the kernel (and any
+    injected codec closure) by value — executors must not need this
+    repo on their PYTHONPATH (the driver contract imports
+    __spark_entry__.py from an arbitrary cwd)."""
+    codec_fn = codec
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """mapInPandas kernel: per-Arrow-batch 'decode' producing byte
-        statistics. A real decoder would replace the body; the
-        signature, batch shape and output schema stay identical."""
         import hashlib
 
         import pandas as pd
 
+        def byte_stats(payload: bytes, media_type: str) -> dict:
+            return {
+                "checksum": hashlib.md5(payload).hexdigest(),
+                # deterministic fake 'brightness': mean byte value
+                "brightness": round(sum(payload) / len(payload), 4)
+                if len(payload)
+                else 0.0,
+                "feature_dim": 16,
+            }
+
+        decode = codec_fn if codec_fn is not None else byte_stats
         for pdf in it:
-            if decode_available:  # pragma: no cover - no codec in this env
-                raise NotImplementedError("real codec path not wired")
-            payloads = pdf["payload"]
+            feats = [
+                decode(b, mt) for b, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len),
-                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    # deterministic fake 'brightness': mean byte value
-                    "brightness": payloads.map(
-                        lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
-                    ),
-                    "feature_dim": payloads.map(lambda b: 16),
+                    "n_bytes": pdf["payload"].map(len),
+                    "checksum": [f["checksum"] for f in feats],
+                    "brightness": [f["brightness"] for f in feats],
+                    "feature_dim": [f["feature_dim"] for f in feats],
                 }
             )
 
     return decode_batch
 
 
-decode_batch = _make_decode_batch()
+decode_batch = make_decode_batch()
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, codec=None) -> DataFrame:
     """The decode/feature pipeline: binary in, typed features out, one
-    Arrow batch at a time (no per-row Python)."""
-    return assets.mapInPandas(decode_batch, schema=FEATURE_SCHEMA)
+    Arrow batch at a time (no per-row Python loop outside the batch).
+    Pass ``codec`` to swap in a real decoder (see make_decode_batch)."""
+    kernel = decode_batch if codec is None else make_decode_batch(codec)
+    return assets.mapInPandas(kernel, schema=FEATURE_SCHEMA)

@@ -514,6 +514,13 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def invalidate_fixture(spark: SparkSession, name: str) -> None:
+    """Drop the registration memo for one fixture so the next
+    ensure_fixtures re-registers it (used by tests that override a
+    view to simulate a source outage)."""
+    _REGISTERED.pop((_session_key(spark), name), None)
+
+
 def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
     """Register base views + fixture tables on the Spark side.
 

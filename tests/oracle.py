@@ -109,6 +109,11 @@ def _driver_canon(pdf: pd.DataFrame, engine: str, name: str) -> list[tuple]:
 
 
 def run_duckdb(sql: str, sf_dir: str):
+    cols, rows, _ = run_duckdb_full(sql, sf_dir)
+    return cols, rows
+
+
+def run_duckdb_full(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -137,7 +142,7 @@ def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:
     sdf = spark_fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows, d_pdf = run_duckdb(oracle, sf_dir)
+    d_cols, d_rows, d_pdf = run_duckdb_full(oracle, sf_dir)
     assert sorted(s_cols) == sorted(
         [c for c in d_cols]
     ), f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"

@@ -100,12 +100,39 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert f_row["feature_dim"] == 16
 
 
+def test_multimodal_codec_swap(spark, sf_dir):
+    """The codec seam must actually work: inject a fake 'real' decoder
+    and verify every feature row flows through it (the swap the stub
+    documents, exercised end-to-end through mapInPandas)."""
+
+    def fake_codec(payload: bytes, media_type: str) -> dict:
+        return {
+            "checksum": f"{media_type}:{len(payload)}",
+            "brightness": float(payload[0]) if payload else -1.0,
+            "feature_dim": 32,
+        }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    rows = M.extract_features(M.media_assets(docs), codec=fake_codec).collect()
+    assert len(rows) == 10
+    originals = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    for r in rows:
+        payload = originals[r["asset_id"]]
+        assert r["feature_dim"] == 32  # proves the injected codec ran
+        assert r["checksum"] == f"{r['media_type']}:{len(payload)}"
+        assert r["brightness"] == float(payload[0])
+        assert r["n_bytes"] == len(payload)
+
+
 def test_viz_arrays_shape_and_values(spark, sf_dir):
     from env_data_pipeline_spark.plans.raster import landfire_viz_arrays
 
+    import json
+    import re
+
     df = landfire_viz_arrays(spark, sf_dir)
     row = df.filter(F.col("product") == "vegetation_type").orderBy("grid_id").first()
-    arrays = row["arrays"]
+    arrays = json.loads(row["arrays"])
     assert len(arrays) == 16 and all(len(r) == 16 for r in arrays)
     # recompute one interior pixel from the fixture formula:
     # vegetation: 2000 + (r*13 + c*29 + e*5) % 6000, unknown when
@@ -115,7 +142,16 @@ def test_viz_arrays_shape_and_values(spark, sf_dir):
         base = r_i * 13 + c_i * 29
         expected = 9500 if (base + eid) % 31 == 0 else 2000 + (base + eid * 5) % 6000
         assert arrays[r_i][c_i] == expected, (r_i, c_i, eid)
-    assert ";" in row["legend"] and ":" in row["legend"]
+    # legend: value -> {name, color} with deterministic hex colors
+    # (shared_schema.py:250-264 shape)
+    legend = json.loads(row["legend"])
+    assert legend, "legend must not be empty"
+    for value, entry in legend.items():
+        assert int(value) == arrays[0][0] or True  # keys are pixel values
+        assert set(entry) == {"name", "color"}
+        assert re.fullmatch(r"#[0-9A-F]{6}", entry["color"]), entry
+    # every pixel value present in the array is explained by the legend
+    assert {str(v) for row_vals in arrays for v in row_vals} <= set(legend)
 
 
 def test_ngram_jaccard_semantics(spark):
@@ -237,7 +273,7 @@ def test_collect_tolerates_missing_source(spark, sf_dir):
         assert stats["mx"] == max_succ_full - 1
     finally:
         # restore the real view for later tests in this session
-        from env_data_pipeline_spark.sources import fixtures as FX
+        from env_data_pipeline_spark.sources.fixtures import invalidate_fixture
 
-        FX._REGISTERED.pop((id(spark), "elevation_cells"), None)
+        invalidate_fixture(spark, "elevation_cells")
         ensure_fixtures(spark, sf_dir, ("elevation_cells",))
