@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.sources.fixtures import duck_with
 from env_data_pipeline_spark.streaming import event_trigger as ET
 
 
@@ -64,6 +65,42 @@ def streaming_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4/O5/O6: the event-trigger path as a streaming query — routing
     per event, emitted in append mode."""
     return ET.priority_routed_events(spark, sf_dir)
+
+
+@query(
+    "streaming_cache_dedup",
+    oracle="""
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket
+    FROM events
+    """,
+)
+def streaming_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/X1 streaming analog: dropDuplicatesWithinWatermark on the
+    (user, hour) cache key — bounded dedup state; the emitted key set
+    over a full replay equals batch DISTINCT, so it gets a full
+    oracle."""
+    return ET.cache_dedup_keys(spark, sf_dir)
+
+
+@query(
+    "streaming_enriched_events",
+    oracle=f"""
+    {duck_with("requests")},
+    dim AS (
+      SELECT CAST(substring(request_id, 5) AS BIGINT) AS event_id,
+             request_id, priority, event_type AS request_event_type
+      FROM requests
+    )
+    SELECT e.event_id, d.request_id, e.event_type, d.request_event_type, d.priority
+    FROM events e JOIN dim d ON d.event_id = e.event_id
+    """,
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: live events x static requests
+    dimension (1:1 on the event key), broadcast per micro-batch —
+    equals the batch join over a full replay, so full oracle."""
+    return ET.enriched_events(spark, sf_dir)
 
 
 @query(

@@ -76,6 +76,50 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, agg, "windowed_event_counts_sink", "complete")
 
 
+def cache_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/X1 on the live stream: one computation per (user, hour)
+    cache key via dropDuplicatesWithinWatermark — the streaming form
+    of the batch request-cache dedup. State for a key is held only
+    until the watermark passes it (bounded state at any stream
+    length, unlike plain dropDuplicates). Only the KEY columns are
+    emitted: which physical row represents a key is
+    arrival-order-dependent in a stream, the key set is not."""
+    ev = _event_stream(spark, sf_dir)
+    keys = (
+        ev.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour_bucket", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "hour_bucket"])
+        .select(
+            "user_id",
+            F.date_format("hour_bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        )
+    )
+    return _drain(spark, keys, "cache_dedup_keys_sink", "append")
+
+
+def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the canonical enrichment shape): the live
+    event stream joined to the static requests dimension on the
+    event key. The static side is re-read per micro-batch by the
+    engine, so dimension updates between batches are picked up; the
+    join itself needs no state store (no watermark bookkeeping) —
+    at scale this is a broadcast of the dimension into every batch."""
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    dim = spark.table("requests").select(
+        F.expr("CAST(substring(request_id, 5) AS BIGINT)").alias("event_id"),
+        "request_id",
+        "priority",
+        F.col("event_type").alias("request_event_type"),
+    )
+    ev = _event_stream(spark, sf_dir)
+    joined = ev.select("event_id", "event_type", "value").join(
+        F.broadcast(dim), "event_id"
+    ).select("event_id", "request_id", "event_type", "request_event_type", "priority")
+    return _drain(spark, joined, "enriched_events_sink", "append")
+
+
 def priority_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 routing applied to the live stream: derive event_type /
     priority vocab (same arithmetic as the requests fixture), route to

@@ -1,0 +1,133 @@
+"""Streaming semantics that only show up across MICRO-BATCH
+boundaries: watermark advancement, late-data drop, append-mode window
+finalization. The oracle-parity checks replay everything in one batch,
+so these behaviors need a staged multi-batch replay (one file per
+micro-batch via maxFilesPerTrigger=1, file order pinned by mtime)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.streaming.event_trigger import EVENTS_STREAM_SCHEMA
+
+BASE_S = 1_700_000_000  # epoch seconds; windows floor to the hour
+
+
+def _stage_file(spark, watch_dir: str, name: str, rows, mtime: float) -> None:
+    """Write one parquet file into the watched directory with a pinned
+    mtime (the file source processes oldest-mtime first)."""
+    staging = os.path.join(os.path.dirname(watch_dir), f"_stage_{name}")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+    dst = os.path.join(watch_dir, f"{name}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def _ev(event_id: int, hour_offset: int) -> tuple:
+    ts_nanos = (BASE_S + hour_offset * 3600) * 1_000_000_000
+    return (event_id, ts_nanos, event_id % 7, "created", 1.0, "{}")
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Three micro-batches: H+10 events advance the watermark to H+9,
+    then H+0 events arrive LATE (window end far behind the watermark)
+    and must be dropped; H+20 advances the watermark past the first
+    window's end so append mode finalizes exactly that one window.
+    If late rows were NOT dropped, the H+0 window (end H+1 << final
+    watermark H+19) would be emitted too."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = 1_000_000.0  # synthetic mtimes: only the ORDER matters
+    _stage_file(spark, watch, "a_fresh", [_ev(1, 10), _ev(2, 10)], now + 1)
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(watch)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_sink")
+        .start()
+    )
+    # batch boundaries pinned by staging each file only after the
+    # previous one is fully processed (watermark advances per batch)
+    q.processAllAvailable()
+    _stage_file(spark, watch, "b_late", [_ev(3, 0), _ev(4, 0)], now + 2)
+    q.processAllAvailable()
+    _stage_file(spark, watch, "c_advance", [_ev(5, 20)], now + 3)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = spark.table("late_drop_sink").collect()
+    # exactly ONE finalized window: the H+10 one, with only the two
+    # on-time rows; no window for the late H+0 rows, and the H+20
+    # window is still open (end > final watermark)
+    assert len(rows) == 1, rows
+    assert rows[0]["n"] == 2
+    assert rows[0]["window_start"].timestamp() <= BASE_S + 10 * 3600 < rows[0][
+        "window_start"
+    ].timestamp() + 3600
+
+
+def test_streaming_dedup_emits_each_key_once_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same (user, hour) key
+    re-arriving in a LATER micro-batch (while still inside the
+    watermark) must not be emitted again."""
+    watch = str(tmp_path / "watch2")
+    os.makedirs(watch)
+    now = 2_000_000.0
+    # same user 3, same hour 10, split across two batches + one new key
+    _stage_file(spark, watch, "a", [(10, (BASE_S + 36000) * 10**9, 3, "created", 1.0, "{}")], now + 1)
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(watch)
+    )
+    keys = (
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour_bucket", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "hour_bucket"])
+        .select("user_id")
+    )
+    q = (
+        keys.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    _stage_file(
+        spark,
+        watch,
+        "b",
+        [
+            (11, (BASE_S + 36000 + 60) * 10**9, 3, "updated", 2.0, "{}"),
+            (12, (BASE_S + 36000 + 120) * 10**9, 4, "created", 3.0, "{}"),
+        ],
+        now + 2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = sorted(r["user_id"] for r in spark.table("dedup_sink").collect())
+    assert got == [3, 4], got
