@@ -432,6 +432,51 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_profile(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             greatest(len(string_split_regex(text, '[^a-zA-Z0-9]+')),
+                      CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS INT))
+               AS n_tok_est
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok_est) AS BIGINT) AS total_tokens_bpe_est,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+           ROUND(quantile_cont(n_tok, 0.95), 4) AS p95_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+    FROM m GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus budgeting: per-language token totals and distribution
+    — the numbers a training-data pipeline needs to size a mixture
+    (docs, whitespace + BPE-ish token totals, mean/median/p95/max per
+    doc). One scan, one hash agg keyed on lang; at 100 TB the exact
+    percentile swaps to approx_percentile (t-digest, mergeable)."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        TX.n_tokens(F.col("text")).alias("n_tok"),
+        TX.n_tokens_bpe_ish(F.col("text")).alias("n_tok_est"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_tok_est").alias("total_tokens_bpe_est"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.95)"), 4).alias("p95_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
 # headline set leads with the SCALE paths (banded LSH joins); the
 # brute-force broadcast cross stays registered + oracle-checked as the
 # small-query-set tool it is documented to be, but is not a headline
