@@ -283,6 +283,70 @@ def simhash_band_keys(sh: Column) -> Column:
     return F.array(*probes)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster construction: connected components over the
+    candidate-pair graph by iterative min-label propagation. Returns
+    one row per node appearing in ``pairs``: (doc_id, cluster_id),
+    cluster_id = the smallest doc_id in the component.
+
+    This is the step that turns pairwise near-dup evidence into an
+    actionable keep/drop decision (keep one representative per
+    cluster) — pairs alone over-count when A~B and B~C but the
+    pipeline drops both B and C.
+
+    Scale posture: each iteration is ONE shuffle (join on the label
+    key) + a map-side-combinable min-aggregate; rows carry two longs.
+    Convergence needs O(diameter) iterations and LSH duplicate
+    clusters are near-cliques (diameter ~2), so the loop exits after
+    2-4 passes in practice; ``max_iter`` is a safety bound, and the
+    loop raises if it is exhausted before convergence rather than
+    returning a partially-propagated labeling. Lineage is truncated
+    every pass with ``localCheckpoint`` — without it the plan doubles
+    per iteration and the optimizer chokes long before the data does
+    (on a cluster, swap for ``checkpoint()`` against the job's
+    checkpoint dir; same call shape). The convergence probe
+    (``changed == 0``) is a count on the propagated frame, not a
+    collect — nothing wider than a long ever reaches the driver.
+    """
+    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new = (
+            prop.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # min-label only ever decreases, so "<" is "changed"
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance via banded equi-join.
 

@@ -83,10 +83,10 @@ _DUCK_BANDS = "\n      UNION ALL\n".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH aug AS ({_DUCK_AUG}),
+# Full MinHash-LSH candidate-pair pipeline as a reusable CTE chain:
+# dedup_minhash_lsh selects from it directly; dedup_clusters extends
+# it with a recursive connected-components walk.
+_DUCK_LSH_CTES = f"""aug AS ({_DUCK_AUG}),
     w AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -106,13 +106,22 @@ _DUCK_BANDS = "\n      UNION ALL\n".join(
     ),
     bands AS (
 {_DUCK_BANDS}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(DISTINCT a.band) AS shared_bands
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    ),
+    lsh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(DISTINCT a.band) AS shared_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES}
+    SELECT doc_a, doc_b, shared_bands FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +136,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band (J≈0.97)."""
     sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
     return D.lsh_candidate_pairs(D.minhash_signatures(sh))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LSH_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT wk.node, e.d FROM walk wk JOIN edges e ON e.s = wk.reach
+    ),
+    lab AS (
+      SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_representative
+    FROM lab
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 follow-through: near-dup PAIRS -> duplicate CLUSTERS via
+    connected components (iterative min-label propagation,
+    extensions/dedup.py:connected_components), with the smallest
+    doc_id as the cluster representative.
+
+    This is the missing half of a production dedup pipeline: pairwise
+    evidence is transitive (A~B, B~C) and the keep/drop decision must
+    be made per component, not per pair. Mirrors the reference's
+    dedup-then-keep-one flow at corpus scale.
+
+    Scale: the pair graph is a vanishing fraction of the corpus (only
+    banded LSH collisions), each propagation round is one narrow
+    shuffle, and convergence takes O(cluster diameter) rounds —
+    near-dup clusters are near-cliques, so 2-4. The oracle walks the
+    same graph with a recursive CTE (transitive closure is fine at
+    oracle SF, wrong tool at 100 TB — which is exactly why the engine
+    side iterates instead)."""
+    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    labels = D.connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
 
 
 @query(

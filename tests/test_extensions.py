@@ -277,3 +277,29 @@ def test_collect_tolerates_missing_source(spark, sf_dir):
 
         invalidate_fixture(spark, "elevation_cells")
         ensure_fixtures(spark, sf_dir, ("elevation_cells",))
+
+
+def test_connected_components_chain_and_islands(spark):
+    # transitive chain 1-2-3 fuses into one cluster labeled by its min;
+    # disjoint pair 10-11 stays separate; pairs-only nodes (no
+    # singletons) appear in the output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path is the worst case for propagation diameter; the
+    # loop must converge (not exhaust max_iter) and label all by min
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    rows = D.connected_components(pairs).collect()
+    assert len(rows) == n + 1
+    assert {r.cluster_id for r in rows} == {0}
