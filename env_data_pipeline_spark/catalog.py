@@ -28,25 +28,58 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# testdata is immutable within a run: probe each events file once
+_TS_VINTAGE_CACHE: dict[str, str] = {}
+
+
+def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
+    """Raw Spark dtype of ``events.ts`` as written on disk.
+
+    The driver's testdata has shipped two vintages: TIMESTAMP(NANOS)
+    (which Spark only reads with the ``nanosAsLong`` legacy flag, as
+    ``bigint``) and TIMESTAMP(MICROS) (read natively as
+    ``timestamp_ntz``). Probe the file instead of hard-coding one
+    vintage so a testdata refresh cannot silently break every
+    events-derived fixture again.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    if path in _TS_VINTAGE_CACHE:
+        return _TS_VINTAGE_CACHE[path]
+    try:
+        vintage = dict(spark.read.parquet(path).dtypes).get("ts", "missing")
+    except Exception:
+        # nanos without the legacy flag fails at schema resolution
+        vintage = "bigint"
+    _TS_VINTAGE_CACHE[path] = vintage
+    return vintage
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one base table — no caching, Catalyst prunes/pushes.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    cannot read natively: read nanos as long and convert to a
-    microsecond timestamp (truncation matches DuckDB's ns->us
-    conversion). Set per-read so it works on driver-owned sessions.
+    ``events.ts`` is normalized to session-TZ TimestampType whatever
+    the on-disk vintage (see ``events_ts_vintage``); sessions pin the
+    TZ to UTC so wall-clock values match the DuckDB oracle's naive
+    timestamps.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: float division loses precision at 1e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        vintage = events_ts_vintage(spark, sf_dir)
+        if vintage == "bigint":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            # integer `div`, not `/`: float division loses precision at 1e18 ns
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(path)
+        if vintage == "timestamp_ntz":
+            # wall-clock-preserving cast; UTC session TZ keeps epoch
+            # semantics aligned with the oracle as well
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -17,30 +17,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS): declare long and convert
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source replay of events with the ts vintage detected from
+    the on-disk parquet (see catalog.events_ts_vintage): nanos-era
+    files are declared long and converted, micros-era files are read
+    as TIMESTAMP_NTZ and cast — declaring the wrong one would not
+    error, it would silently build 1970-era timestamps."""
+    from env_data_pipeline_spark.catalog import events_ts_vintage
+
+    vintage = events_ts_vintage(spark, sf_dir)
+    if vintage == "bigint":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_stream_schema(T.LongType())
+    elif vintage == "timestamp_ntz":
+        schema = _events_stream_schema(T.TimestampNTZType())
+    else:
+        schema = _events_stream_schema(T.TimestampType())
     # the file stream source requires a directory: load sf_dir and
     # glob-filter down to the events file
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if vintage == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if vintage == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:

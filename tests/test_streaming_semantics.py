@@ -12,7 +12,13 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from env_data_pipeline_spark.streaming.event_trigger import EVENTS_STREAM_SCHEMA
+from pyspark.sql import types as T
+
+from env_data_pipeline_spark.streaming.event_trigger import _events_stream_schema
+
+# this suite stages its own nanos-as-long files (the legacy vintage),
+# so the long-typed schema is always the right declaration here
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.LongType())
 
 BASE_S = 1_700_000_000  # epoch seconds; windows floor to the hour
 

@@ -1,0 +1,56 @@
+"""Testdata schema-drift guard.
+
+The driver regenerates /root/testdata between rounds and has already
+changed the on-disk type of ``events.ts`` once (TIMESTAMP(NANOS) ->
+TIMESTAMP(MICROS)), which silently invalidated every events-derived
+fixture. This suite pins the contract the engine depends on, so a
+future testdata change fails ONE named assert here instead of the
+whole suite with identical tracebacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.catalog import TABLES, events_ts_vintage, table
+
+
+def test_every_base_table_loads(spark, sf_dir):
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        assert len(df.columns) > 0, name
+        assert df.limit(1).count() == 1, f"{name} is empty"
+
+
+def test_events_ts_is_timestamp_in_expected_range(spark, sf_dir):
+    """Whatever the on-disk vintage, catalog.table must yield a
+    session-TZ timestamp with values in the generator's 2024 range —
+    1970-era values mean a unit conversion was applied to an
+    already-converted column (the r02 silent-wrong failure mode)."""
+    vintage = events_ts_vintage(spark, sf_dir)
+    assert vintage in ("bigint", "timestamp_ntz", "timestamp"), vintage
+
+    ev = table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024, f"min(ts)={lo} — wrong unit conversion?"
+    assert hi.year in (2024, 2025), f"max(ts)={hi}"
+
+
+def test_events_columns_stable(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    assert ev.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_all_sf_dirs_share_events_vintage(spark, sf_dir):
+    """The bench (sf0.1) and tests (sf0.001) must see the same vintage;
+    a split would mean green tests and a broken bench."""
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    vintages = {
+        d: events_ts_vintage(spark, os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, d, "events.parquet"))
+    }
+    assert len(set(vintages.values())) == 1, vintages
