@@ -355,13 +355,17 @@ def _duck_int_bucket(n: int = 4) -> str:
 
 
 # shared LSH CTEs: 4-bit int bucket, queries multi-probe their own
-# bucket plus every 1-bit flip (mirrors extensions/similarity.py)
+# bucket plus every <=2-bit flip (mirrors extensions/similarity.py;
+# the mask list comes from the same probe_masks helper so the two
+# engines cannot drift)
+_DUCK_PROBES = ", ".join(
+    f"xor(bucket, {m})" if m else "bucket" for m in X.probe_masks(4, 2)
+)
 _DUCK_LSH_CTES = f"""
     cb AS (SELECT vec_id, embedding, {_duck_int_bucket(4)} AS bucket FROM embeddings),
     qp AS (
       SELECT vec_id, embedding,
-             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-                     xor(bucket, 4), xor(bucket, 8)]) AS bucket
+             unnest([{_DUCK_PROBES}]) AS bucket
       FROM cb WHERE vec_id % 100 = 0
     ),
     lscored AS (
@@ -371,7 +375,7 @@ _DUCK_LSH_CTES = f"""
 """
 
 # shared IVF CTEs: corpus assigned to its 1 nearest cell, queries
-# probe their 2 nearest cells (nprobe=2)
+# probe their 4 nearest cells (nprobe=4)
 _DUCK_IVF_CTES = f"""
     e AS (
       SELECT vec_id,
@@ -402,7 +406,7 @@ _DUCK_IVF_CTES = f"""
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY ROUND(csim, 4) DESC, centroid_id ASC) AS rn
         FROM sims WHERE vec_id % 100 = 0
-      ) WHERE rn <= 2
+      ) WHERE rn <= 4
     ),
     qc AS (
       SELECT qc0.query_id, e.embedding, qc0.cell
@@ -669,7 +673,7 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, IVF variant: nearest-centroid cell assignment
     (deterministic corpus sample as centroids), queries probe their
-    2 nearest cells (see extensions/similarity.py::topk_ivf)."""
+    4 nearest cells (see extensions/similarity.py::topk_ivf)."""
     return X.topk_ivf(table(spark, sf_dir, "embeddings"), k=3)
 
 
@@ -731,7 +735,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 quality gate: recall@3 of the two approximate-NN scale paths
-    (sign-bucket LSH, IVF nprobe=1) against brute-force ground truth.
+    (multi-probe sign-bucket LSH, IVF nprobe=4) against brute-force
+    ground truth. The testdata embeddings are ~isotropic, so recall
+    tracks candidate fraction; clustered real embeddings do better at
+    the same settings.
 
     This is a VALIDATION query: the exact top-k it compares against is
     the intentional broadcast nested loop (allowlisted), run over the

@@ -2,8 +2,9 @@
 cwd with a plain SparkSession, compare every query against its DuckDB
 oracle at sf0.01 (rows-only where no oracle), and report failures.
 
-Usage:  python scripts/verify_driver_contract.py [sf_dir]
-Exit code 0 = every check passed.
+Usage:  python scripts/verify_driver_contract.py [sf_dir] [name_substr ...]
+Exit code 0 = every check passed. Optional name substrings restrict
+the run to matching queries (entry() still runs).
 """
 
 from __future__ import annotations
@@ -43,6 +44,9 @@ def main() -> int:
     from tests.oracle import compare
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if len(sys.argv) > 2:
+        pats = sys.argv[2:]
+        qs = {n_: f for n_, f in qs.items() if any(p in n_ for p in pats)}
     fails = []
     for name in sorted(qs):
         try:
