@@ -23,12 +23,16 @@ from env_data_pipeline_spark.streaming import event_trigger as ET
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS total_value
     FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+          (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
     GROUP BY 1, 2
     """,
 )
 def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window streaming agg with watermark — oracle-checked
-    against the batch date_trunc equivalent."""
+    """Tumbling-window streaming agg, APPEND mode (bounded state: a
+    window's state is evicted when the watermark finalizes it) —
+    oracle-checked against the batch date_trunc equivalent restricted
+    to finalized windows (window end <= max(ts) - 1h watermark)."""
     return ET.windowed_event_counts(spark, sf_dir)
 
 

@@ -77,8 +77,15 @@ def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFram
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type with a 1-hour watermark
-    (the engine-native streaming agg of SURVEY.md §2.9). Complete
-    output mode so every window is emitted for the oracle check."""
+    (the engine-native streaming agg of SURVEY.md §2.9). APPEND output
+    mode: a window is emitted exactly once, when the watermark passes
+    its end, and its state is evicted — state is bounded by the
+    watermark horizon, not the stream length (complete mode would hold
+    every window ever seen). The availableNow drain's final no-data
+    batch finalizes every window whose end <= max(ts) - 1h; the last
+    still-open windows are intentionally NOT emitted (they would close
+    on the next batch of a live stream), and the oracle applies the
+    same finalization cutoff."""
     ev = _event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -91,7 +98,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _drain(spark, agg, "windowed_event_counts_sink", "complete")
+    return _drain(spark, agg, "windowed_event_counts_sink", "append")
 
 
 def cache_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
