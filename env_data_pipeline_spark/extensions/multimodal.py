@@ -15,8 +15,9 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DECODE_AVAILABLE = False  # flip when a real codec (PIL/torchaudio) ships
 
@@ -44,6 +45,55 @@ def media_assets(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
             F.lit("stub/v1").alias("codec"),
         ).alias("meta"),
+    )
+
+
+def _b64(col: Column) -> Column:
+    # Spark's base64 emits MIME-chunked text (CRLF every 76 chars);
+    # strip to the standard unchunked form b64encode().decode() produces
+    return F.regexp_replace(F.base64(col), "\r\n", "")
+
+
+def sanitize_binary(col: Column, dt: T.DataType) -> Column:
+    """RECURSIVE binary->base64 sanitize over an arbitrarily nested
+    type — the exact semantics of the reference's sanitize_binary_data
+    (landfire_container.py:308-320 / topography_container.py:180-192),
+    which walks dicts/lists and b64-encodes every bytes leaf, leaving
+    other values untouched. Schema recursion happens at PLAN TIME
+    (driver-side, over the static schema), so the result is a pure
+    Column expression tree — whole-stage-codegen'd, zero Python at row
+    time, any nesting depth."""
+    if isinstance(dt, T.BinaryType):
+        return _b64(col)
+    if isinstance(dt, T.StructType):
+        rebuilt = F.struct(
+            *[
+                sanitize_binary(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        # F.struct over a NULL struct's fields yields a struct of
+        # nulls; preserve the null itself
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, T.ArrayType):
+        elem = dt.elementType
+        return F.transform(col, lambda x: sanitize_binary(x, elem))
+    if isinstance(dt, T.MapType):
+        val = dt.valueType
+        # like the reference: keys (JSON object keys) pass through,
+        # values are sanitized
+        return F.transform_values(col, lambda _k, v: sanitize_binary(v, val))
+    return col
+
+
+def sanitize_binary_columns(df: DataFrame) -> DataFrame:
+    """Apply sanitize_binary to every column: the JSON-boundary export
+    shape — no BinaryType survives anywhere in the output schema."""
+    return df.select(
+        *[
+            sanitize_binary(F.col(f.name), f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
     )
 
 

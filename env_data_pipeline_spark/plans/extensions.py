@@ -622,6 +622,50 @@ def multimodal_base64_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_nested_sanitize",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           to_base64(encode(text)) AS payload_b64,
+           to_base64(encode(substring(text, 1, 16))) AS thumb_b64,
+           to_base64(encode(substring(text, 1, 8))) AS frame0_b64,
+           to_base64(encode(substring(text, 9, 8))) AS frame1_b64
+    FROM documents
+    """,
+)
+def multimodal_nested_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 full fidelity: the reference's sanitize_binary_data walks
+    nested dicts/lists and b64-encodes every bytes leaf
+    (landfire_container.py:308-320). Build a nested document shape —
+    struct payload + struct thumbnail + array of binary frames — run
+    the schema-recursive sanitizer (extensions/multimodal.py::
+    sanitize_binary), then flatten the sanitized leaves for the
+    oracle. Slices are char-based on the text BEFORE encoding so both
+    engines cut identical bytes on multibyte UTF-8."""
+    docs = table(spark, sf_dir, "documents")
+    nested = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.struct(
+            F.encode("text", "UTF-8").alias("payload"),
+            F.struct(
+                F.encode(F.substring("text", 1, 16), "UTF-8").alias("thumb"),
+            ).alias("meta"),
+            F.array(
+                F.encode(F.substring("text", 1, 8), "UTF-8"),
+                F.encode(F.substring("text", 9, 8), "UTF-8"),
+            ).alias("frames"),
+        ).alias("asset"),
+    )
+    clean = M.sanitize_binary_columns(nested)
+    return clean.select(
+        "asset_id",
+        F.col("asset.payload").alias("payload_b64"),
+        F.col("asset.meta.thumb").alias("thumb_b64"),
+        F.element_at("asset.frames", 1).alias("frame0_b64"),
+        F.element_at("asset.frames", 2).alias("frame1_b64"),
+    )
+
+
+@query(
     "text_langid_accuracy",
     oracle=f"""
     WITH w AS (

@@ -303,3 +303,45 @@ def test_connected_components_long_path_converges(spark):
     rows = D.connected_components(pairs).collect()
     assert len(rows) == n + 1
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_sanitize_binary_recursive(spark):
+    """The schema-recursive sanitizer must match the reference's
+    recursive walk (landfire_container.py:308-320): every bytes leaf
+    at any depth becomes unchunked base64, non-binary values and map
+    keys pass through, nulls stay null."""
+    import base64
+
+    from env_data_pipeline_spark.extensions.multimodal import (
+        sanitize_binary_columns,
+    )
+
+    payload = bytes(range(200)) * 2  # >76 b64 chars: catches MIME CRLF
+    df = spark.createDataFrame(
+        [
+            (1, payload, {"raw": "abc", "note": "keep"},
+             [b"x", None], ("inner", b"deep")),
+            (2, None, None, None, None),
+        ],
+        "id long, blob binary, "
+        "m map<string,string>, frames array<binary>, "
+        "s struct<label:string, data:binary>",
+    )
+    # map<string,string> above can't hold bytes; rebuild m as binary values
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "mb", F.create_map(F.lit("k"), F.col("blob"))
+    )
+    out = {r["id"]: r for r in sanitize_binary_columns(df).collect()}
+    b64 = base64.b64encode(payload).decode()
+    assert out[1]["blob"] == b64
+    assert "\r" not in out[1]["blob"] and "\n" not in out[1]["blob"]
+    assert out[1]["frames"] == [base64.b64encode(b"x").decode(), None]
+    assert out[1]["s"]["label"] == "inner"
+    assert out[1]["s"]["data"] == base64.b64encode(b"deep").decode()
+    assert out[1]["mb"] == {"k": b64}
+    assert out[1]["m"] == {"raw": "abc", "note": "keep"}
+    assert out[2]["blob"] is None
+    assert out[2]["s"] is None
+    assert out[2]["frames"] is None
