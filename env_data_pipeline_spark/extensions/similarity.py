@@ -29,8 +29,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms computed ONCE per row instead of once per
+    pair — same expression tree as ``cosine`` (sqrt of the same
+    left-fold dot), so results are bitwise identical, but candidate
+    scoring does 1 dot product per pair instead of 3. At scale this is
+    the difference between O(pairs) and O(3*pairs) higher-order-function
+    evaluations, the dominant cost of every similarity join."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
@@ -49,10 +63,14 @@ def topk_bruteforce(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> 
     """Top-k cosine neighbors for query vectors (vec_id % query_mod = 0)
     against the full corpus."""
     q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -60,7 +78,9 @@ def topk_bruteforce(embeddings: DataFrame, k: int = 5, query_mod: int = 100) -> 
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
         )
     )
     # rank on the ROUNDED similarity (the output precision): JVM vs
@@ -90,17 +110,33 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9) -> DataFra
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    b = e.withColumn("bucket", sign_bucket(F.col("embedding")))
+    b = e.withColumn("bucket", sign_bucket(F.col("embedding"))).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     lhs = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+        "bucket",
     )
     rhs = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+        "bucket",
     )
     return (
         lhs.join(rhs, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("e_a"), F.col("e_b")), 4))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine_sim") >= tau)
         .select("vec_a", "vec_b", "cosine_sim")
     )
@@ -152,7 +188,7 @@ def topk_lsh(
     distinct, so no candidate is scored twice."""
     with_bucket = embeddings.withColumn(
         "bucket", sign_bucket_int(F.col("embedding"), n_bits)
-    )
+    ).withColumn("nrm", norm(F.col("embedding")))
     probes = F.array(
         *[
             F.col("bucket").bitwiseXOR(F.lit(m))
@@ -164,11 +200,15 @@ def topk_lsh(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
             F.explode(probes).alias("bucket"),
         )
     )
     c = with_bucket.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "bucket",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -176,7 +216,9 @@ def topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
         )
     )
     # rank on the ROUNDED similarity (the output precision): JVM vs
@@ -216,14 +258,18 @@ def topk_ivf(
     e = embeddings.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
+    ).withColumn("nrm", norm(F.col("embedding")))
     cent = e.filter(F.col("vec_id") % centroid_mod == centroid_offset).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+        F.col("nrm").alias("cent_norm"),
     )
     sims = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
-        cosine(F.col("embedding"), F.col("cent_vec")).alias("csim"),
+        cosine_prenormed(
+            F.col("embedding"), F.col("cent_vec"), F.col("nrm"), F.col("cent_norm")
+        ).alias("csim"),
     )
     # nearest centroid, ties to the smallest centroid_id; rounded csim
     # so the assignment is engine-deterministic on near-ties
@@ -247,11 +293,18 @@ def topk_ivf(
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell"))
     )
     q = q_cells.join(
-        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")),
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+        ),
         "query_id",
     )
     c = cells.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"), "cell"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -259,7 +312,9 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
         )
     )
     # rank on the ROUNDED similarity (the output precision): JVM vs
