@@ -98,6 +98,37 @@ def bag_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(text))), " "))
 
 
+# polynomial rolling hash (Rabin-Karp): h = fold(h*B + v_i mod P) over
+# per-word 48-bit md5 values. P < 2^31 keeps h*B + v < 2^36 — exact in
+# BIGINT on both engines. Fold is LEFT-assoc with the first element as
+# the seed, matching DuckDB list_reduce's 2-arg semantics exactly.
+ROLL_B = 31
+ROLL_P = 2_147_483_647
+
+
+def word_hash_vals(text: Column) -> Column:
+    """Per-word 48-bit md5 prefix reduced mod P — materialize this as
+    its own projection before folding: referencing it from several
+    sub-expressions of one projection would re-run the transform per
+    reference (same Catalyst pitfall as the shingle split)."""
+    return F.transform(
+        words(text),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("bigint")
+        % ROLL_P,
+    )
+
+
+def rolling_fingerprint(vals: Column) -> Column:
+    """Order-SENSITIVE fingerprint from word_hash_vals — the rolling-
+    hash complement of bag_fingerprint: equal only when the word
+    sequence is equal."""
+    return F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, v: (acc * ROLL_B + v) % ROLL_P,
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     t = F.col("text")
     nw = n_tokens(t)

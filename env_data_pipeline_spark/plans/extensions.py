@@ -543,6 +543,50 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    v AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % {TX.ROLL_P})
+               AS vals
+      FROM aug
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(vals,
+               (acc, x) -> (acc * {TX.ROLL_B} + x) % {TX.ROLL_P}) AS fingerprint
+      FROM v
+    )
+    SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS representative_doc_id
+    FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 rolling-hash fingerprint (Rabin-Karp polynomial fold over
+    per-word hashes): order-SENSITIVE duplicate groups — the sequence-
+    equality complement of the bag fingerprint. The augmented corpus's
+    exact copies collide; the first-word-dropped near copies do not.
+    One narrow shuffle on the 8-byte fingerprint, like dedup_exact —
+    the text never crosses the wire."""
+    docs = _aug_docs(spark, sf_dir)
+    vals = docs.select("doc_id", TX.word_hash_vals(F.col("text")).alias("vals"))
+    fp = vals.select(
+        "doc_id", TX.rolling_fingerprint(F.col("vals")).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("representative_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # headline set leads with the SCALE paths (banded LSH joins); the
 # brute-force broadcast cross stays registered + oracle-checked as the
 # small-query-set tool it is documented to be, but is not a headline

@@ -61,6 +61,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+# final StreamingQueryProgress per drained sink (observability +
+# bounded-state assertions in tests): keyed by sink name
+LAST_QUERY_PROGRESS: dict[str, dict] = {}
+
+
 def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
     q = (
         df.writeStream.outputMode(mode)
@@ -70,6 +75,9 @@ def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFram
         .start()
     )
     q.processAllAvailable()
+    lp = q.lastProgress
+    if lp is not None:
+        LAST_QUERY_PROGRESS[name] = lp if isinstance(lp, dict) else lp.json
     q.stop()
     q.awaitTermination(60)
     return spark.table(name)
