@@ -613,3 +613,40 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[zero(f"{s}_n").alias(f"status_{s.lower()}") for s in ("F", "O", "P")],
         F.round(zero("F_s") + zero("O_s") + zero("P_s"), 4).alias("total_price"),
     )
+
+
+@query(
+    "events_props_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS total_k,
+           ROUND(AVG(k), 4) AS avg_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (the props payload column):
+    typed from_json parse -> per-type aggregate.
+
+    Scale notes. from_json with an explicit schema parses ONCE into a
+    typed struct inside the scan projection (get_json_object per field
+    would re-parse the document per extraction); the agg is a plain
+    two-phase hash aggregate on 5 keys. At 100 TB this is the
+    schema-on-read pattern: parse early, carry typed columns, never
+    re-parse downstream."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    parsed = ev.select("event_type", k.alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("total_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
