@@ -44,3 +44,51 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+    cluster_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a dataset into right-sized files — the maintenance pass
+    every long-lived 100 TB store needs (streaming sinks and
+    fine-grained partition writes both accrete small files; read
+    throughput then drops to open/seek overhead).
+
+    - File count is computed from the ACTUAL row count, so compaction
+      adapts as the dataset grows; ``repartition(n)`` (round-robin)
+      spreads rows evenly regardless of input skew.
+    - ``cluster_by``: optional range-clustering instead — files carry
+      disjoint key ranges, so min/max stats prune file-level for
+      range predicates (the poor man's Z-order for one key prefix).
+    - Writes to a sibling temp dir then swaps, so a crashed compaction
+      never corrupts the live dataset; returns the new file count.
+    """
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_records_per_file))
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    # atomic-enough swap on a posix fs; object stores would rename the
+    # manifest instead (table-format territory: Delta/Iceberg)
+    bak = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    new_files = [
+        f for f in os.listdir(path) if f.endswith(f".{fmt}") or f.startswith("part-")
+    ]
+    return len([f for f in new_files if f.startswith("part-")])

@@ -60,3 +60,52 @@ def test_write_dataset_partition_pruning_in_plan(spark, sf_dir, tmp_path):
         for r in back.withColumn("f", F.input_file_name()).select("f").collect()
     }
     assert files and all("lang=en" in f for f in files)
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    """1000 rows scattered over ~50 tiny files compact into the
+    row-count-derived file number; rows and values survive exactly."""
+    from env_data_pipeline_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(50).write.parquet(path)
+    import os
+
+    before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert before >= 40  # genuinely fragmented
+
+    n_files = compact_dataset(spark, path, target_records_per_file=500)
+    assert n_files == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.agg({"k": "sum"}).first()[0] == 499500
+
+
+def test_compact_dataset_range_clustering_prunes(spark, tmp_path):
+    """cluster_by writes disjoint key ranges per file: a point/range
+    predicate then reads fewer files than the total (file-level
+    min/max pruning)."""
+    from env_data_pipeline_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "clust")
+    spark.range(10_000).withColumnRenamed("id", "k").repartition(20).write.parquet(
+        path
+    )
+    n_files = compact_dataset(
+        spark, path, target_records_per_file=2500, cluster_by=("k",)
+    )
+    assert n_files == 4
+    # each output file covers a disjoint quarter of the key range
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(_g.glob(path + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0).statistics
+        spans.append((col.min, col.max))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, spans
