@@ -1,0 +1,57 @@
+"""Property tests for the X4 fingerprint pair: the rolling hash must
+be order-SENSITIVE and the bag fingerprint order-INSENSITIVE — the
+invariant that makes them complements — and both must be
+whitespace-tokenization-stable. Hypothesis drives word lists through
+one Spark round trip per case batch (batched via a single DataFrame
+so the property run stays fast)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.extensions import text as TX
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _fingerprints(spark, texts: list[str]) -> list[tuple]:
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    vals = df.select("text", TX.word_hash_vals(F.col("text")).alias("vals"))
+    out = vals.select(
+        "text",
+        TX.rolling_fingerprint(F.col("vals")).alias("roll"),
+        TX.bag_fingerprint(F.col("text")).alias("bag"),
+    )
+    return [(r["roll"], r["bag"]) for r in out.collect()]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=st.lists(WORD, min_size=2, max_size=12, unique=True))
+def test_reversal_changes_rolling_but_not_bag(spark, words):
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))
+    (roll_f, bag_f), (roll_r, bag_r) = _fingerprints(spark, [fwd, rev])
+    assert bag_f == bag_r, "bag fingerprint must ignore order"
+    if words != list(reversed(words)):
+        assert roll_f != roll_r, "rolling fingerprint must see order"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=st.lists(WORD, min_size=1, max_size=12))
+def test_fingerprints_deterministic(spark, words):
+    text = " ".join(words)
+    (a_roll, a_bag), (b_roll, b_bag) = _fingerprints(spark, [text, text])
+    assert a_roll == b_roll and a_bag == b_bag
