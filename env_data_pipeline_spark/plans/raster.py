@@ -296,14 +296,54 @@ def elevation_center_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grid_id", "request_id", F.col("elevation").alias("center_elevation_m"))
 
 
-@query("landfire_viz_arrays", oracle=None)
+@query(
+    "landfire_viz_arrays",
+    oracle=f"""
+    {{DUCK_WITH}},
+    rows_ AS (
+      SELECT grid_id, request_id, product, row,
+             list(pixel_value ORDER BY col) AS row_values
+      FROM landfire_pixels
+      GROUP BY grid_id, request_id, product, row
+    ),
+    grids AS (
+      SELECT grid_id, request_id, product,
+             to_json(list(row_values ORDER BY row))::VARCHAR AS arrays
+      FROM rows_ GROUP BY grid_id, request_id, product
+    ),
+    p AS (
+      SELECT grid_id, product, pixel_value FROM landfire_pixels
+    ),
+    cls AS (
+      SELECT DISTINCT p.grid_id, p.pixel_value, {_DUCK_CLASSIFY} AS interpreted
+      FROM p
+      {_DUCK_ATTR_JOINS}
+    ),
+    legends AS (
+      SELECT grid_id,
+             '{{' || string_agg(
+               '"' || pixel_value || '":' ||
+               json_object('name', interpreted,
+                           'color', '#' || upper(substr(md5(interpreted), 1, 6))),
+               ',' ORDER BY pixel_value) || '}}' AS legend
+      FROM cls GROUP BY grid_id
+    )
+    SELECT g.grid_id, g.request_id, g.product, g.arrays, l.legend
+    FROM grids g JOIN legends l USING (grid_id)
+    """.replace(
+        "{DUCK_WITH}", duck_with("landfire_pixels", "landfire_attributes")
+    ),
+)
 def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5: re-pivot long-form pixels to the 2-D visualization array +
     legend map (shared_schema.py:79-86; populated at
     topography_container.py:357-376). The 2-D array and the legend are
     serialized to JSON text so every output column is scalar (sortable
     / hashable by any downstream comparator); a real sink would keep
-    the typed array/map forms one select earlier.
+    the typed array/map forms one select earlier. The oracle assembles
+    byte-identical JSON text (DuckDB to_json list formatting and
+    string_agg-built object keys match Spark's to_json conventions;
+    one product per grid, so legend keys cannot collide).
 
     Legend entries carry the reference's value -> {name, color} shape
     (shared_schema.py:250-264); color is a deterministic hex derived
