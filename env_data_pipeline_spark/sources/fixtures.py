@@ -491,10 +491,28 @@ _SNAPSHOT_PARTITION: dict[str, tuple[str, ...]] = {
 }
 
 
+def _source_signature(sf_dir: str) -> str:
+    """Size+mtime fingerprint of every base-table parquet in sf_dir.
+
+    The driver regenerates /root/testdata between rounds AT THE SAME
+    PATH; a cache key that ignored the source would keep serving
+    fixtures derived from the previous vintage — silently wrong
+    against oracles computed on the fresh files. (The round-2 ts-type
+    change was the loud variant of this failure; a value-only refresh
+    would be the quiet one.)"""
+    sig = []
+    for name in sorted(os.listdir(sf_dir)) if os.path.isdir(sf_dir) else ():
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, name))
+            sig.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(sig)
+
+
 def _snapshot_path(sf_dir: str, name: str) -> str:
     part = ",".join(_SNAPSHOT_PARTITION.get(name, ()))
     key = hashlib.md5(
-        f"v{_SNAPSHOT_FILES}|{part}|{FIXTURES[name]['spark']}".encode()
+        f"v{_SNAPSHOT_FILES}|{part}|{_source_signature(sf_dir)}|"
+        f"{FIXTURES[name]['spark']}".encode()
     ).hexdigest()[:10]
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     return os.path.join(_CACHE_ROOT, sf_tag, f"{name}-{key}.parquet")
@@ -543,6 +561,18 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
         if not os.path.exists(path):
             try:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
+                # drop snapshots keyed to older SQL/source vintages —
+                # they are unreachable once the key moved on
+                for old in os.listdir(os.path.dirname(path)):
+                    if (
+                        old.startswith(f"{name}-")
+                        and old.endswith(".parquet")
+                        and old != os.path.basename(path)
+                    ):
+                        shutil.rmtree(
+                            os.path.join(os.path.dirname(path), old),
+                            ignore_errors=True,
+                        )
                 tmp = f"{path}.tmp-{os.getpid()}"
                 # Parallelize the GENERATION, not the output: the
                 # events input is tiny (1-2 parquet files -> 1-2

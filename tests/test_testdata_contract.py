@@ -54,3 +54,24 @@ def test_all_sf_dirs_share_events_vintage(spark, sf_dir):
         if os.path.exists(os.path.join(root, d, "events.parquet"))
     }
     assert len(set(vintages.values())) == 1, vintages
+
+
+def test_fixture_cache_key_tracks_source_data(tmp_path):
+    """Regenerated testdata (same path, new bytes) must map to a NEW
+    fixture snapshot path — stale cached fixtures were the quiet
+    variant of the round-2 failure mode."""
+    import shutil
+
+    from env_data_pipeline_spark.sources import fixtures as FX
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    name = next(iter(FX.FIXTURES))
+    p1 = FX._snapshot_path(str(src), name)
+    # same content, same mtime -> stable key
+    assert FX._snapshot_path(str(src), name) == p1
+    # touch the source -> key must change
+    os.utime(src / "events.parquet")
+    p2 = FX._snapshot_path(str(src), name)
+    assert p2 != p1
