@@ -544,6 +544,67 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture_summary",
+    oracle="""
+    WITH m AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             (n_chars = length(text)) AS chars_consistent
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN chars_consistent THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_chars_mismatch
+      FROM m GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens, total_chars, n_chars_mismatch,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 4) AS corpus_frac
+    FROM g
+    """,
+)
+def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 mixture accounting: docs/tokens/chars per (source, lang) plus
+    each cell's fraction of the corpus — the table a pretraining run is
+    sampled from — and a metadata-consistency count (rows whose stored
+    n_chars disagrees with length(text), the cheap corruption tripwire).
+    One scan, one hash agg; the fraction is a single whole-frame window
+    over the tiny aggregated result, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        TX.n_tokens(F.col("text")).alias("n_tok"),
+        (F.col("n_chars") == F.length("text")).alias("chars_consistent"),
+    )
+    g = m.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("chars_consistent"), 0).otherwise(1)).alias(
+            "n_chars_mismatch"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_chars_mismatch",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 4
+        ).alias("corpus_frac"),
+    )
+
+
+@query(
     "text_rolling_fingerprint",
     oracle=f"""
     WITH aug AS ({_DUCK_AUG}),
@@ -763,6 +824,78 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic corpus sample as centroids), queries probe their
     4 nearest cells (see extensions/similarity.py::topk_ivf)."""
     return X.topk_ivf(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "similarity_knn_label_agreement",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES},
+    lsh3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+        FROM lscored
+      ) WHERE rank <= 3
+    ),
+    votes AS (
+      SELECT l.query_id, n.label, COUNT(*) AS c
+      FROM lsh3 l JOIN embeddings n ON n.vec_id = l.neighbor_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT q.label AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           ROUND(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS agreement
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    GROUP BY q.label
+    """,
+)
+def similarity_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 applied: 3-NN majority-vote label agreement through the LSH
+    scale path — the standard embedding-quality probe (do neighbors
+    share the query's label?). Votes and the argmax are tiny
+    aggregations over the top-k output; ties break deterministically
+    (max count, then smallest label) on both engines."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    top3 = X.topk_lsh(e, k=3).select("query_id", "neighbor_id")
+    labels = e.select("vec_id", "label")
+    votes = (
+        top3.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(hit).alias("n_agree"),
+            F.round(F.sum(hit) / F.count("*"), 4).alias("agreement"),
+        )
+    )
 
 
 @query(
