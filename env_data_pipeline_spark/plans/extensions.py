@@ -605,6 +605,66 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH sized AS (
+      SELECT source, lang, COUNT(*) AS n_in
+      FROM documents GROUP BY source, lang
+    ),
+    rated AS (
+      SELECT source, lang, n_in,
+             least(1.0, 60.0 / n_in) AS target_rate
+      FROM sized
+    ),
+    tagged AS (
+      SELECT d.source, d.lang, r.n_in, r.target_rate,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000) < CAST(r.target_rate * 10000 AS BIGINT) AS keep
+      FROM documents d JOIN rated r USING (source, lang)
+    )
+    SELECT source, lang,
+           CAST(MIN(n_in) AS BIGINT) AS n_in,
+           ROUND(MIN(target_rate), 4) AS target_rate,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                 / CAST(MIN(n_in) AS DOUBLE), 4) AS realized_rate
+    FROM tagged GROUP BY source, lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap every (source, lang)
+    cell at ~60 docs via HASH-based Bernoulli (keep iff
+    md5(doc_id) mod 10k < rate*10k) — reproducible across runs,
+    engines, and cluster sizes, unlike RNG sampleBy, and exactly
+    oracle-checkable for the same reason. Per-cell rates come from a
+    tiny aggregate broadcast back onto the scan; the doc row never
+    shuffles (filter evaluates in the scan projection). The summary
+    reports target vs realized rate per cell — hash sampling's
+    realized rate converges to target as cells grow."""
+    docs = table(spark, sf_dir, "documents")
+    rated = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_in"))
+        .withColumn("target_rate", F.least(F.lit(1.0), F.lit(60.0) / F.col("n_in")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    tagged = docs.join(F.broadcast(rated), ["source", "lang"]).withColumn(
+        "keep", bucket < (F.col("target_rate") * 10000).cast("bigint")
+    )
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return tagged.groupBy("source", "lang").agg(
+        F.min("n_in").alias("n_in"),
+        F.round(F.min("target_rate"), 4).alias("target_rate"),
+        kept.alias("n_sampled"),
+        F.round(kept / F.min("n_in"), 4).alias("realized_rate"),
+    )
+
+
+@query(
     "text_rolling_fingerprint",
     oracle=f"""
     WITH aug AS ({_DUCK_AUG}),
