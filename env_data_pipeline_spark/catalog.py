@@ -47,9 +47,15 @@ def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
         return _TS_VINTAGE_CACHE[path]
     try:
         vintage = dict(spark.read.parquet(path).dtypes).get("ts", "missing")
-    except Exception:
-        # nanos without the legacy flag fails at schema resolution
-        vintage = "bigint"
+    except Exception as ex:
+        # ONLY the nanos schema-resolution error means legacy vintage;
+        # caching any transient failure (missing file mid-regeneration,
+        # permissions) as "bigint" would poison every later read
+        msg = str(ex)
+        if "NANOS" in msg or "Illegal Parquet type" in msg:
+            vintage = "bigint"
+        else:
+            raise
     _TS_VINTAGE_CACHE[path] = vintage
     return vintage
 

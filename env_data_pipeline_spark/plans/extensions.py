@@ -619,7 +619,7 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged AS (
       SELECT d.source, d.lang, r.n_in, r.target_rate,
              (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % 10000) < CAST(r.target_rate * 10000 AS BIGINT) AS keep
+               % 10000) < CAST(floor(r.target_rate * 10000) AS BIGINT) AS keep
       FROM documents d JOIN rated r USING (source, lang)
     )
     SELECT source, lang,
@@ -652,8 +652,11 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 10000
     )
+    # explicit floor on BOTH engines: DuckDB CAST(double AS BIGINT)
+    # rounds to nearest while Spark's cast truncates — without the
+    # floor the keep-thresholds differ by 1 on half the cells
     tagged = docs.join(F.broadcast(rated), ["source", "lang"]).withColumn(
-        "keep", bucket < (F.col("target_rate") * 10000).cast("bigint")
+        "keep", bucket < F.floor(F.col("target_rate") * 10000).cast("bigint")
     )
     kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
     return tagged.groupBy("source", "lang").agg(

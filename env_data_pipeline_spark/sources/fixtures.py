@@ -514,7 +514,11 @@ def _snapshot_path(sf_dir: str, name: str) -> str:
         f"v{_SNAPSHOT_FILES}|{part}|{_source_signature(sf_dir)}|"
         f"{FIXTURES[name]['spark']}".encode()
     ).hexdigest()[:10]
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # tag includes a hash of the ABSOLUTE sf_dir: two checkouts whose
+    # sf_dirs share a basename must not share (and stale-clean) one
+    # snapshot directory
+    abs_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    sf_tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + "-" + abs_tag
     return os.path.join(_CACHE_ROOT, sf_tag, f"{name}-{key}.parquet")
 
 
@@ -561,18 +565,6 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
         if not os.path.exists(path):
             try:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                # drop snapshots keyed to older SQL/source vintages —
-                # they are unreachable once the key moved on
-                for old in os.listdir(os.path.dirname(path)):
-                    if (
-                        old.startswith(f"{name}-")
-                        and old.endswith(".parquet")
-                        and old != os.path.basename(path)
-                    ):
-                        shutil.rmtree(
-                            os.path.join(os.path.dirname(path), old),
-                            ignore_errors=True,
-                        )
                 tmp = f"{path}.tmp-{os.getpid()}"
                 # Parallelize the GENERATION, not the output: the
                 # events input is tiny (1-2 parquet files -> 1-2
@@ -596,6 +588,20 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
                     os.rename(tmp, path)
                 except OSError:  # lost a concurrent race; ours is equivalent
                     shutil.rmtree(tmp, ignore_errors=True)
+                # AFTER the new snapshot is live: drop snapshots keyed
+                # to older SQL/source vintages (unreachable once the
+                # key moved on); a failed generation must never have
+                # deleted the previous vintage first
+                for old in os.listdir(os.path.dirname(path)):
+                    if (
+                        old.startswith(f"{name}-")
+                        and old.endswith(".parquet")
+                        and old != os.path.basename(path)
+                    ):
+                        shutil.rmtree(
+                            os.path.join(os.path.dirname(path), old),
+                            ignore_errors=True,
+                        )
             except Exception:
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"

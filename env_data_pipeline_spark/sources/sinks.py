@@ -64,14 +64,37 @@ def compact_dataset(
     - ``cluster_by``: optional range-clustering instead — files carry
       disjoint key ranges, so min/max stats prune file-level for
       range predicates (the poor man's Z-order for one key prefix).
-    - Writes to a sibling temp dir then swaps, so a crashed compaction
-      never corrupts the live dataset; returns the new file count.
+    - Writes to a sibling temp dir then swaps; a crash between the two
+      swap renames leaves the data intact in the `._compact_old`
+      sibling, and the next compact_dataset call restores it before
+      proceeding. Returns the new file count. (On an object store the
+      swap would be a manifest commit — table-format territory:
+      Delta/Iceberg.)
     """
+    import glob
     import os
     import shutil
 
+    bak = path.rstrip("/") + "._compact_old"
+    if not os.path.exists(path) and os.path.exists(bak):
+        # prior run crashed mid-swap: the backup IS the live data
+        os.rename(bak, path)
+
     df = spark.read.format(fmt).load(path)
-    n_rows = df.count()
+    if fmt == "parquet":
+        # row count from footer metadata: no data scan
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        # hive-partitioned inputs keep files in subdirs — fall back to
+        # a count job there rather than miscounting zero
+        n_rows = (
+            sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if files
+            else df.count()
+        )
+    else:
+        n_rows = df.count()
     n_files = max(1, -(-n_rows // target_records_per_file))
     if cluster_by:
         out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
@@ -81,14 +104,10 @@ def compact_dataset(
         out = df.repartition(n_files)
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").format(fmt).save(tmp)
-    # atomic-enough swap on a posix fs; object stores would rename the
-    # manifest instead (table-format territory: Delta/Iceberg)
-    bak = path.rstrip("/") + "._compact_old"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
-    new_files = [
-        f for f in os.listdir(path) if f.endswith(f".{fmt}") or f.startswith("part-")
-    ]
-    return len([f for f in new_files if f.startswith("part-")])
+    return len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )

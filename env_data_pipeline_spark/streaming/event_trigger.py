@@ -77,7 +77,11 @@ def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFram
     q.processAllAvailable()
     lp = q.lastProgress
     if lp is not None:
-        LAST_QUERY_PROGRESS[name] = lp if isinstance(lp, dict) else lp.json
+        if not isinstance(lp, dict):  # older API returns an object
+            import json
+
+            lp = json.loads(lp.json)
+        LAST_QUERY_PROGRESS[name] = lp
     q.stop()
     q.awaitTermination(60)
     return spark.table(name)

@@ -47,6 +47,9 @@ def main() -> int:
     if len(sys.argv) > 2:
         pats = sys.argv[2:]
         qs = {n_: f for n_, f in qs.items() if any(p in n_ for p in pats)}
+        if not qs:
+            print(f"no queries match {pats!r} — nothing was verified")
+            return 1
     fails = []
     for name in sorted(qs):
         try:

@@ -139,29 +139,24 @@ def test_streaming_dedup_emits_each_key_once_across_batches(spark, tmp_path):
     assert got == [3, 4], got
 
 
-def test_windowed_counts_append_state_is_bounded(spark):
+def test_windowed_counts_append_state_is_bounded(spark, sf_dir):
     """Append mode must EVICT finalized windows from the state store:
     after the drain, state holds only the trailing still-open windows,
     not every window of the month-long replay (complete mode held all
     of them — the unbounded-state shape this test guards against)."""
-    import json
-
     from env_data_pipeline_spark.streaming import event_trigger as ET
 
-    sf = "/root/testdata/sf0.001"
-    out = ET.windowed_event_counts(spark, sf)
+    out = ET.windowed_event_counts(spark, sf_dir)
     n_emitted = out.count()
-    assert n_emitted > 500  # ~866 finalized windows at sf0.001
+    assert n_emitted > 100  # a month of hourly windows at any test SF
 
     lp = ET.LAST_QUERY_PROGRESS["windowed_event_counts_sink"]
-    if isinstance(lp, str):
-        lp = json.loads(lp)
     ops = lp["stateOperators"]
     assert ops, "no state operator reported"
     state_rows = sum(op["numRowsTotal"] for op in ops)
     # open windows = (hour buckets not yet past the watermark) x
     # event types — a handful, orders of magnitude below the total
-    assert 0 < state_rows < 100, (
+    assert 0 < state_rows < n_emitted / 5, (
         f"state holds {state_rows} rows for {n_emitted} emitted windows "
         "— eviction is not happening"
     )
