@@ -345,3 +345,44 @@ def test_sanitize_binary_recursive(spark):
     assert out[2]["blob"] is None
     assert out[2]["s"] is None
     assert out[2]["frames"] is None
+
+
+def test_stratified_sample_threshold_matches_duckdb_on_rounding_boundary(spark):
+    """Keep-threshold parity on the case where rounding and truncation
+    diverge: 60/109*10000 = 5504.587 — DuckDB CAST would round to 5505
+    while Spark cast truncates to 5504. Both sides must floor. A doc
+    whose hash bucket is exactly 5504 is kept by round-semantics and
+    dropped by floor-semantics, so the chosen doc pins the behavior."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    n_in = 109
+    rate = 60.0 / n_in
+    # find a doc_id whose md5 bucket lands exactly on the truncated
+    # threshold (5504): guaranteed divergence point
+    target = int(rate * 10000)  # 5504
+    doc_id = next(
+        i
+        for i in range(200000)
+        if int(__import__("hashlib").md5(str(i).encode()).hexdigest()[:8], 16)
+        % 10000
+        == target
+    )
+    spark_keep = (
+        spark.range(1)
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.lit(str(doc_id))), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 10000
+                < F.floor(F.lit(rate) * 10000).cast("bigint")
+            ).alias("keep")
+        )
+        .first()["keep"]
+    )
+    duck_keep = duckdb.sql(
+        f"""SELECT (('0x' || substr(md5('{doc_id}'), 1, 8))::BIGINT % 10000)
+                   < CAST(floor(CAST({rate} AS DOUBLE) * 10000) AS BIGINT)"""
+    ).fetchone()[0]
+    assert spark_keep == duck_keep is False
