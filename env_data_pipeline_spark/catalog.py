@@ -28,8 +28,12 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# testdata is immutable within a run: probe each events file once
-_TS_VINTAGE_CACHE: dict[str, str] = {}
+# Probe each events file once per on-disk version. Keyed on
+# (path, size, mtime_ns) — NOT path alone — because the driver
+# regenerates /root/testdata in place between rounds; a session that
+# outlives a refresh must re-probe, or it would build timestamps with
+# the stale vintage (same signature discipline as fixtures._source_signature).
+_TS_VINTAGE_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
@@ -43,8 +47,10 @@ def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
     events-derived fixture again.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    if path in _TS_VINTAGE_CACHE:
-        return _TS_VINTAGE_CACHE[path]
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key in _TS_VINTAGE_CACHE:
+        return _TS_VINTAGE_CACHE[key]
     try:
         vintage = dict(spark.read.parquet(path).dtypes).get("ts", "missing")
     except Exception as ex:
@@ -56,7 +62,7 @@ def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
             vintage = "bigint"
         else:
             raise
-    _TS_VINTAGE_CACHE[path] = vintage
+    _TS_VINTAGE_CACHE[key] = vintage
     return vintage
 
 
@@ -76,6 +82,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         vintage = events_ts_vintage(spark, sf_dir)
         if vintage == "bigint":
+            # Session-wide by necessity: nanosAsLong is a SQL conf, not a
+            # per-read datasource option. It only changes how physical
+            # TIMESTAMP(NANOS) columns resolve, so micros/timestamp
+            # co-reads on the same session are unaffected — pinned by
+            # tests/test_testdata_contract.py::
+            # test_nanos_flag_does_not_disturb_micros_coread.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             # integer `div`, not `/`: float division loses precision at 1e18 ns
