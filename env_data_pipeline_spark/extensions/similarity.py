@@ -153,6 +153,57 @@ def sign_bucket_int(vec: Column, n_bits: int = 4) -> Column:
     return out
 
 
+def rademacher_hyperplanes(
+    n_bits: int = 4, dim: int = 64, seed: int = 42
+) -> list[list[int]]:
+    """Seeded random hyperplane family with ±1 (Rademacher) entries.
+
+    Sign-of-coordinate bucketing keys on the leading dims only — fine
+    for isotropic testdata, degenerate on real normalized embeddings
+    whose leading dims correlate. A random hyperplane mixes EVERY
+    dimension into each bit (Charikar's SimHash for vectors). ±1
+    entries are chosen over Gaussians deliberately: each projection
+    term is exactly ±x (no rounding at the multiply), so as long as
+    both engines sum terms in the same order the projection is
+    bit-identical and the sign test cannot diverge. Python's
+    ``random.Random`` (Mersenne Twister) is stable across platforms
+    and versions, so the family is a pure function of (n_bits, dim,
+    seed) — the Spark plan and the DuckDB oracle both derive their
+    literals from this one function.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.getrandbits(1) else -1 for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def hyperplane_projection(vec: Column, plane: list[int]) -> Column:
+    """Signed left-to-right sum of ±vec[i] as an explicit Column chain
+    — same association order as the oracle's generated SQL, so the
+    double result is bit-identical across engines (see
+    ``rademacher_hyperplanes``)."""
+    out = F.element_at(vec, 1).cast("double") * plane[0]
+    for i in range(1, len(plane)):
+        term = F.element_at(vec, i + 1).cast("double")
+        out = (out + term) if plane[i] > 0 else (out - term)
+    return out
+
+
+def hyperplane_bucket_int(vec: Column, planes: list[list[int]]) -> Column:
+    """XOR-able integer bucket from hyperplane sign bits (bit b set
+    when the b-th projection is non-negative) — drop-in replacement
+    for ``sign_bucket_int`` behind the same multi-probe interface."""
+    out = None
+    for b, plane in enumerate(planes):
+        bit = F.when(hyperplane_projection(vec, plane) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        out = bit if out is None else out + bit
+    return out
+
+
 def probe_masks(n_bits: int, max_flips: int) -> list[int]:
     """XOR masks for multi-probe: the zero mask plus every 1..max_flips
     bit combination — shared by the Spark plan and the DuckDB oracle so
@@ -175,6 +226,7 @@ def topk_lsh(
     query_mod: int = 100,
     n_bits: int = 4,
     max_flips: int = 2,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Bucketed variant with MULTI-PROBE: each query probes its own
     sign bucket plus every bucket within max_flips bit flips — the
@@ -185,10 +237,22 @@ def topk_lsh(
     embeddings are ~isotropic (no cluster structure), so recall tracks
     the candidate fraction; on real clustered embeddings the same
     setting prunes far harder at equal recall. Probe buckets are
-    distinct, so no candidate is scored twice."""
-    with_bucket = embeddings.withColumn(
-        "bucket", sign_bucket_int(F.col("embedding"), n_bits)
-    ).withColumn("nrm", norm(F.col("embedding")))
+    distinct, so no candidate is scored twice.
+
+    ``planes`` switches the hash family: None keys on raw coordinate
+    signs (dependency-free), a Rademacher matrix keys on random
+    hyperplane projections (robust to correlated leading dims) — the
+    join shape is identical either way."""
+    bucket = (
+        hyperplane_bucket_int(F.col("embedding"), planes)
+        if planes is not None
+        else sign_bucket_int(F.col("embedding"), n_bits)
+    )
+    if planes is not None:
+        n_bits = len(planes)
+    with_bucket = embeddings.withColumn("bucket", bucket).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     probes = F.array(
         *[
             F.col("bucket").bitwiseXOR(F.lit(m))

@@ -318,7 +318,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "similarity_topk",
+    "similarity_topk_exact_baseline",
     oracle=f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -336,9 +336,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 5
     """,
 )
-def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 baseline: brute-force cosine top-5 — broadcast query set,
-    zip_with/aggregate dot products (JVM-side), ranking window."""
+def similarity_topk_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 GROUND-TRUTH BASELINE — deliberately brute-force: broadcast
+    query set crossed against the corpus (the one intentional nested
+    loop in the registry, allowlisted in the plan audit). Exists to
+    measure the approximate paths' recall; ``similarity_topk`` is the
+    user-facing top-k and routes to the LSH equi-join."""
     return X.topk_bruteforce(table(spark, sf_dir, "embeddings"), k=5)
 
 
@@ -438,6 +441,92 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe instead of the cross join — at 100 TB each query
     scores a ~(n_bits+1)/2^n_bits slice of the corpus."""
     return X.topk_lsh(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES},
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+      FROM lscored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 user-facing top-k: routes to the multi-probe LSH equi-join —
+    the plan that survives 100 TB. The brute-force cross join is
+    deliberately NOT reachable under this name anymore; it lives on as
+    ``similarity_topk_exact_baseline`` for recall measurement only."""
+    return X.topk_lsh(table(spark, sf_dir, "embeddings"), k=5)
+
+
+# Rademacher hyperplane family shared by the Spark plan and the
+# DuckDB oracle: both sides derive their ±1 literals from the same
+# seeded function, and both sum terms left-to-right in double, so the
+# projections are bit-identical and the sign bits cannot diverge.
+_HP_PLANES = X.rademacher_hyperplanes(n_bits=4, dim=64, seed=42)
+
+
+def _duck_hp_proj(plane: list[int], rel: str = "") -> str:
+    """Left-to-right ±embedding[i] chain matching hyperplane_projection."""
+    col = f"{rel}embedding" if not rel else f"{rel}.embedding"
+    terms = [f"CAST({col}[1] AS DOUBLE) * {plane[0]}"]
+    for i in range(1, len(plane)):
+        op = "+" if plane[i] > 0 else "-"
+        terms.append(f"{op} CAST({col}[{i + 1}] AS DOUBLE)")
+    return "(" + " ".join(terms) + ")"
+
+
+def _duck_hp_bucket() -> str:
+    bits = [
+        f"CASE WHEN {_duck_hp_proj(plane)} >= 0 THEN {1 << b} ELSE 0 END"
+        for b, plane in enumerate(_HP_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+_DUCK_HP_CTES = f"""
+    hb AS (SELECT vec_id, embedding, {_duck_hp_bucket()} AS bucket FROM embeddings),
+    hqp AS (
+      SELECT vec_id, embedding,
+             unnest([{_DUCK_PROBES}]) AS bucket
+      FROM hb WHERE vec_id % 100 = 0
+    ),
+    hscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COSINE} AS sim
+      FROM hqp q JOIN hb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+"""
+
+
+@query(
+    "similarity_topk_hyperplane",
+    oracle=f"""
+    WITH {_DUCK_HP_CTES},
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+      FROM hscored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_topk_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, hyperplane variant: the bucket bit b is the sign
+    of a seeded Rademacher projection mixing ALL 64 dims — robust on
+    real normalized embeddings whose leading dims correlate, where
+    sign-of-coordinate degenerates into a handful of buckets. Same
+    multi-probe equi-join shape as similarity_topk_lsh."""
+    return X.topk_lsh(
+        table(spark, sf_dir, "embeddings"), k=3, max_flips=2, planes=_HP_PLANES
+    )
 
 
 # --------------------------------------------------------------------------
@@ -995,6 +1084,15 @@ def similarity_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         FROM iscored
       ) WHERE rank <= 3
     ),
+    {_DUCK_HP_CTES.strip().lstrip()},
+    hp AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+        FROM hscored
+      ) WHERE rank <= 3
+    ),
     nq AS (SELECT DISTINCT query_id FROM truth),
     lhit AS (
       SELECT t.query_id, COUNT(*) AS n_hit
@@ -1007,6 +1105,12 @@ def similarity_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFram
       FROM truth t JOIN ivf a
         ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
       GROUP BY t.query_id
+    ),
+    hhit AS (
+      SELECT t.query_id, COUNT(*) AS n_hit
+      FROM truth t JOIN hp a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
     )
     SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
            ROUND(AVG(coalesce(n_hit, 0) / 3.0), 4) AS recall_at_3
@@ -1015,14 +1119,18 @@ def similarity_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
            ROUND(AVG(coalesce(n_hit, 0) / 3.0), 4) AS recall_at_3
     FROM nq LEFT JOIN ihit USING (query_id)
+    UNION ALL
+    SELECT 'hyperplane' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(coalesce(n_hit, 0) / 3.0), 4) AS recall_at_3
+    FROM nq LEFT JOIN hhit USING (query_id)
     """,
 )
 def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 quality gate: recall@3 of the two approximate-NN scale paths
-    (multi-probe sign-bucket LSH, IVF nprobe=4) against brute-force
-    ground truth. The testdata embeddings are ~isotropic, so recall
-    tracks candidate fraction; clustered real embeddings do better at
-    the same settings.
+    """X3 quality gate: recall@3 of the three approximate-NN scale
+    paths (multi-probe sign-bucket LSH, IVF nprobe=4, multi-probe
+    Rademacher-hyperplane LSH) against brute-force ground truth. The
+    testdata embeddings are ~isotropic, so recall tracks candidate
+    fraction; clustered real embeddings do better at the same settings.
 
     This is a VALIDATION query: the exact top-k it compares against is
     the intentional broadcast nested loop (allowlisted), run over the
@@ -1034,6 +1142,9 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "lsh": X.topk_lsh(e, k=3).select("query_id", "neighbor_id"),
         "ivf": X.topk_ivf(e, k=3).select("query_id", "neighbor_id"),
+        "hyperplane": X.topk_lsh(e, k=3, planes=_HP_PLANES).select(
+            "query_id", "neighbor_id"
+        ),
     }
 
     def recall(method: str) -> DataFrame:
@@ -1050,7 +1161,7 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_3"),
         ).select(F.lit(method).alias("method"), "n_queries", "recall_at_3")
 
-    return recall("lsh").unionByName(recall("ivf"))
+    return recall("lsh").unionByName(recall("ivf")).unionByName(recall("hyperplane"))
 
 
 @query(

@@ -40,8 +40,9 @@ def read_schemas(plan: str) -> list[str]:
 # each case is a broadcast of a provably tiny side, never a shuffle
 # cross product:
 # - brute-force cosine top-k: intentional cross product of a small
-#   broadcast query set against the corpus (SURVEY §2.11 X3 baseline;
-#   the LSH and IVF variants are the scale path);
+#   broadcast query set against the corpus — reachable ONLY under the
+#   explicit `similarity_topk_exact_baseline` name (the user-facing
+#   `similarity_topk` routes to the LSH equi-join);
 # - IVF: centroid assignment cross-joins every vector against the
 #   broadcast centroid sample (|centroids| = sqrt-scale, tiny);
 # - landfire family: J1 range-classification fallback is a broadcast
@@ -49,7 +50,7 @@ def read_schemas(plan: str) -> list[str]:
 # - semi/anti + set-op counts: 1-row scalar aggregates cross-joined
 #   into the single result row (condition-less, both sides 1 row).
 NESTED_LOOP_OK = {
-    "similarity_topk",
+    "similarity_topk_exact_baseline",
     "similarity_topk_ivf",
     "similarity_recall_at_k",  # brute-force ground truth by design
     "collect_quality_summary",  # rides the collect join tree
@@ -209,7 +210,12 @@ def test_similarity_joins_carry_prebuilt_norms(spark, sf_dir):
     sim expression instead of 1. Count the aggregate-HOF occurrences
     in the final projection of each similarity query: the dot product
     appears once per scored pair, the norms must not."""
-    for name in ("similarity_topk_lsh", "similarity_topk_ivf"):
+    for name in (
+        "similarity_topk_lsh",
+        "similarity_topk_ivf",
+        "similarity_topk",
+        "similarity_topk_hyperplane",
+    ):
         plan = formatted_plan(spark, name, sf_dir)
         # norms are built where the vectors are scanned, before the
         # join: the join-side projections must reference the norm
