@@ -356,7 +356,356 @@ def _strs(*exprs) -> F.Column:
     return F.filter(F.array(*exprs), lambda x: x.isNotNull())
 
 
-@query("collect_json_sink", oracle=None)
+# --- byte-identical JSON oracle for collect_json_sink -----------------
+#
+# Spark's to_json drops null fields, writes no spaces, keeps struct
+# field order, and formats doubles with Java Double.toString (decimal
+# form for 1e-3 <= |x| < 1e7, E-notation below/above). The oracle
+# rebuilds the document with string concatenation under exactly those
+# rules, so the comparison is full-fidelity text equality — the same
+# approach landfire_viz_arrays proved out (raster.py).
+
+
+def _jd(e: str) -> str:
+    """DuckDB SQL: format DOUBLE ``e`` as Java's Double.toString.
+
+    Covers the value families this document contains: 0 (Spark's
+    round() normalizes -0.0 to 0.0 upstream, verified empirically),
+    plain decimals in [1e-3, 1e7) where DuckDB's shortest-round-trip
+    VARCHAR cast matches Java, and the round(,4)-quantized sub-milli
+    band k*1e-4 (k=1..9) that Java prints as 'k.0E-4' — only
+    ndvi_latest can land there."""
+    return (
+        f"(CASE WHEN {e} = 0 THEN '0.0' "
+        f"WHEN abs({e}) >= 0.001 THEN CAST({e} AS VARCHAR) "
+        f"ELSE (CASE WHEN {e} < 0 THEN '-' ELSE '' END) || "
+        f"CAST(CAST(round(abs({e}) * 10000, 0) AS BIGINT) AS VARCHAR) "
+        f"|| '.0E-4' END)"
+    )
+
+
+def _fnum(name: str, e: str) -> str:
+    """Nullable DOUBLE field fragment (NULL -> elided)."""
+    return f"(CASE WHEN {e} IS NOT NULL THEN '\"{name}\":' || {_jd(e)} END)"
+
+
+def _fint(name: str, e: str) -> str:
+    """Nullable integer field fragment."""
+    return f"(CASE WHEN {e} IS NOT NULL THEN '\"{name}\":' || CAST({e} AS VARCHAR) END)"
+
+
+def _fstr(name: str, e: str) -> str:
+    """Nullable string field fragment (values contain no JSON-escaped
+    chars: ids, enums, ISO timestamps)."""
+    return f"(CASE WHEN {e} IS NOT NULL THEN '\"{name}\":\"' || {e} || '\"' END)"
+
+
+def _fobj(name: str, *frags: str) -> str:
+    """Struct field: always present (Spark structs here are built from
+    literals, never null); null MEMBER fragments elide via
+    array_to_string skipping NULL elements. coalesce matters: an
+    all-NULL list renders NULL (not ''), which would elide the whole
+    struct instead of emitting '{}'."""
+    body = f"coalesce(array_to_string([{', '.join(frags)}], ','), '')"
+    return f"""'"{name}":{{' || {body} || '}}'"""
+
+
+def _farr(name: str, *elems: str) -> str:
+    """Array-of-strings field from conditional elements (empty -> [])."""
+    inner = ", ".join(elems) if elems else "NULL"
+    return f"""'"{name}":[' || coalesce(array_to_string([{inner}], ','), '') || ']'"""
+
+
+def _elem(cond: str, msg: str) -> str:
+    return f"""(CASE WHEN {cond} THEN '"{msg}"' END)"""
+
+
+def _fcontainer(
+    source: str,
+    data_type: str,
+    pt: str,
+    dc: str,
+    quality: str,
+    interp: list[str],
+    errors: list[str],
+    warnings: list[str],
+) -> str:
+    """One ContainerOutput document mirroring _container_struct's field
+    order: source, data_type, timestamp, metadata, interpreted_data,
+    errors, warnings."""
+    metadata = _fobj(
+        "metadata",
+        _fint("processing_time_ms", pt),
+        _fstr("data_currency", dc),
+        _fstr("retrieved_at", "tstr"),
+        _fnum("quality_score", quality),
+        f"""'"container_id":"{source}-container-spark"'""",
+        """'"container_version":"1.0.0"'""",
+    )
+    return _fobj(
+        source,
+        f"""'"source":"{source}"'""",
+        f"""'"data_type":"{data_type}"'""",
+        _fstr("timestamp", "tstr"),
+        metadata,
+        _fobj("interpreted_data", *interp),
+        _farr("errors", *errors),
+        _farr("warnings", *warnings),
+    )
+
+
+_JSON_DOC = " || ',' || ".join(
+    [
+        """'{' || array_to_string([""" + ", ".join(
+            [
+                _fstr("request_id", "request_id"),
+                _fstr("event_id", "event_id"),
+                _fobj(
+                    "location",
+                    _fnum("latitude", "latitude"),
+                    _fnum("longitude", "longitude"),
+                    _fint("buffer_meters", "buffer_meters"),
+                    """'"coordinate_system":"EPSG:4326"'""",
+                ),
+                _fstr("timestamp", "tstr"),
+            ]
+        ) + "], ',')",
+        _fcontainer(
+            "weather",
+            "current_conditions_and_forecast",
+            "pt_weather",
+            "dc_weather",
+            "q_weather",
+            interp=[
+                _fnum("temperature_celsius", "temperature_celsius"),
+                _fstr("fire_weather_risk", "fire_weather_risk"),
+                _fint("high_risk_periods", "high_risk_periods"),
+            ],
+            errors=[
+                _elem("NOT w_ok", "Failed to retrieve current weather data"),
+                _elem(
+                    "coalesce(wind_missing, FALSE)",
+                    "incomplete observation: wind fields missing",
+                ),
+            ],
+            warnings=[
+                _elem("coalesce(wind_missing, FALSE)", "wind_speed_mps defaulted to 0")
+            ],
+        ),
+        _fcontainer(
+            "modis",
+            "vegetation_indices",
+            "pt_modis",
+            "dc_modis",
+            "q_modis",
+            interp=[
+                _fnum("ndvi_latest", "ndvi_latest"),
+                _fstr("vegetation_health", "vegetation_health"),
+                _fint("total_observations", "total_observations"),
+            ],
+            errors=[
+                _elem("NOT m_ok", "Failed to retrieve MODIS data"),
+                _elem("modis_no_ndvi", "no valid NDVI observation"),
+            ],
+            warnings=[_elem("modis_no_ndvi", "vegetation_health unknown")],
+        ),
+        _fcontainer(
+            "landfire",
+            "vegetation_and_fuel",
+            "NULL",
+            "NULL",
+            "q_landfire",
+            interp=[_fstr("fire_risk_landfire", "fire_risk_landfire")],
+            errors=[
+                _elem("NOT l_ok", "Failed to retrieve LANDFIRE data"),
+                _elem(
+                    "coalesce(has_unknown, FALSE)",
+                    "unclassified pixel value at coordinate",
+                ),
+            ],
+            warnings=[],
+        ),
+        _fcontainer(
+            "topography",
+            "elevation_grid",
+            "NULL",
+            "NULL",
+            "q_topography",
+            interp=[
+                _fnum("mean_elevation_m", "mean_elevation_m"),
+                _fstr("terrain_roughness", "terrain_roughness"),
+            ],
+            errors=[
+                _elem("NOT t_ok", "Failed to retrieve elevation data"),
+                _elem("n_valid < 128", "majority nodata in DEM grid"),
+            ],
+            warnings=[
+                _elem("n_valid BETWEEN 128 AND 255", "nodata pixels present in DEM grid")
+            ],
+        ),
+        _fobj(
+            "summary",
+            _fint("sources_successful", "sources_successful"),
+            _fnum("success_rate", "success_rate"),
+        )
+        + " || '}'",
+    ]
+)
+
+
+_JSON_ORACLE = f"""
+    {duck_with(*_ALL_FIXTURES)},
+    valid AS (
+      SELECT request_id, event_id, latitude, longitude, buffer_meters, ts
+      FROM requests
+      WHERE ({V.duck_reject_reason()}) IS NULL
+    ),
+    wc AS (
+      SELECT request_id, temperature_celsius, dt,
+             (wind_speed_mps IS NULL) AS wind_missing,
+             CASE WHEN risk_score >= 7 THEN 'EXTREME'
+                  WHEN risk_score >= 5 THEN 'HIGH'
+                  WHEN risk_score >= 3 THEN 'MODERATE'
+                  ELSE 'LOW' END AS fire_weather_risk
+      FROM (
+        SELECT *,
+          (CASE WHEN temperature_celsius > 30 THEN 3
+                WHEN temperature_celsius > 25 THEN 2
+                WHEN temperature_celsius > 20 THEN 1 ELSE 0 END
+         + CASE WHEN humidity_percent < 20 THEN 3
+                WHEN humidity_percent < 40 THEN 2
+                WHEN humidity_percent < 60 THEN 1 ELSE 0 END
+         + CASE WHEN coalesce(wind_speed_mps, 0.0) > 15 THEN 3
+                WHEN coalesce(wind_speed_mps, 0.0) > 10 THEN 2
+                WHEN coalesce(wind_speed_mps, 0.0) > 5 THEN 1 ELSE 0 END) AS risk_score
+        FROM weather_current
+      )
+    ),
+    fs AS (
+      SELECT request_id,
+             CAST(SUM(CASE WHEN risk_score >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_risk_periods
+      FROM ({E._DUCK_FORECAST_RISK}) GROUP BY request_id
+    ),
+    nd AS ({E._DUCK_NDVI_VALID}),
+    ndreq AS (SELECT DISTINCT request_id FROM nd),
+    ndl AS (
+      SELECT b.request_id, ROUND(l.scaled_ndvi, 4) AS ndvi_latest,
+             CASE WHEN l.scaled_ndvi IS NULL THEN 'UNKNOWN'
+                  WHEN l.scaled_ndvi > 0.6 THEN 'HEALTHY'
+                  WHEN l.scaled_ndvi > 0.3 THEN 'MODERATE'
+                  WHEN l.scaled_ndvi > 0.1 THEN 'STRESSED'
+                  ELSE 'SEVERELY_STRESSED' END AS vegetation_health
+      FROM (SELECT DISTINCT request_id FROM nd) b
+      LEFT JOIN (
+        SELECT request_id, scaled_ndvi,
+               ROW_NUMBER() OVER (PARTITION BY request_id ORDER BY calendar_date DESC) AS rn
+        FROM nd WHERE scaled_ndvi BETWEEN -1.0 AND 1.0
+      ) l ON l.request_id = b.request_id AND l.rn = 1
+    ),
+    mas AS (
+      SELECT request_id, CAST(COUNT(*) AS BIGINT) AS total_observations,
+             MAX(calendar_date) AS latest_date
+      FROM modis_observations GROUP BY request_id
+    ),
+    target AS ({R._DUCK_ROWCOL}),
+    ctr AS (
+      SELECT t.request_id, t.product, px.pixel_value
+      FROM target t
+      JOIN landfire_pixels px
+        ON px.grid_id = t.grid_id AND px.row = t.row AND px.col = t.col
+      WHERE t.product IN ('vegetation_type', 'fuel_model')
+    ),
+    cls AS (
+      SELECT p.request_id, p.product, {R._DUCK_CLASSIFY} AS interpreted
+      FROM ctr p
+      {R._DUCK_ATTR_JOINS}
+    ),
+    lfr AS (
+      SELECT request_id,
+             CASE WHEN contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'developed')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'urban')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'vegetation_type' THEN interpreted END), '')), 'water')
+                  THEN 'LOW'
+                  WHEN contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'chaparral')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'timber')
+                    OR contains(lower(coalesce(max(CASE WHEN product = 'fuel_model' THEN interpreted END), '')), 'grass')
+                  THEN 'MODERATE_TO_HIGH'
+                  ELSE 'MODERATE' END AS fire_risk_landfire,
+             (MAX(CASE WHEN interpreted LIKE 'Unknown%' THEN 1 ELSE 0 END) = 1
+              OR COUNT(CASE WHEN product = 'vegetation_type' THEN 1 END) = 0
+              OR COUNT(CASE WHEN product = 'fuel_model' THEN 1 END) = 0)
+               AS has_unknown
+      FROM cls GROUP BY request_id
+    ),
+    dem AS (
+      SELECT request_id,
+             ROUND(AVG(elevation), 4) AS mean_elevation_m,
+             CASE WHEN MAX(elevation) - MIN(elevation) > 100 THEN 'HIGH'
+                  WHEN MAX(elevation) - MIN(elevation) > 50 THEN 'MODERATE'
+                  ELSE 'LOW' END AS terrain_roughness,
+             COUNT(*) AS n_valid
+      FROM elevation_cells WHERE elevation != nodata
+      GROUP BY request_id
+    ),
+    w AS (
+      SELECT v.request_id, v.event_id, v.latitude, v.longitude, v.buffer_meters,
+             strftime(v.ts, '%Y-%m-%dT%H:%M:%S') AS tstr,
+             wc.request_id IS NOT NULL AS w_ok,
+             wc.temperature_celsius, wc.fire_weather_risk, wc.wind_missing,
+             CASE WHEN wc.dt IS NOT NULL
+                  THEN CAST(trunc(abs((wc.dt - epoch(v.ts)) * 1000)) AS BIGINT) END
+               AS pt_weather,
+             CASE WHEN wc.dt IS NOT NULL
+                  THEN strftime(to_timestamp(wc.dt), '%Y-%m-%dT%H:%M:%S') END
+               AS dc_weather,
+             fs.high_risk_periods,
+             mas.request_id IS NOT NULL AS m_ok,
+             ndl.ndvi_latest, ndl.vegetation_health, mas.total_observations,
+             (mas.request_id IS NOT NULL AND ndreq.request_id IS NULL) AS modis_no_ndvi,
+             CASE WHEN mas.latest_date IS NOT NULL
+                  THEN CAST(trunc(abs((epoch(CAST(mas.latest_date AS TIMESTAMP))
+                                        - epoch(v.ts)) * 1000)) AS BIGINT) END
+               AS pt_modis,
+             CASE WHEN mas.latest_date IS NOT NULL
+                  THEN strftime(CAST(mas.latest_date AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') END
+               AS dc_modis,
+             lfr.request_id IS NOT NULL AS l_ok,
+             lfr.fire_risk_landfire, lfr.has_unknown,
+             dem.request_id IS NOT NULL AS t_ok,
+             dem.mean_elevation_m, dem.terrain_roughness, dem.n_valid,
+             (CASE WHEN wc.request_id  IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS sources_successful,
+             ROUND((CASE WHEN wc.request_id  IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN mas.request_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN lfr.request_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN dem.request_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(4.0 AS DOUBLE), 4) AS success_rate,
+             CASE WHEN wc.request_id IS NULL THEN 0.0
+                  WHEN wc.wind_missing THEN 0.8 ELSE 1.0 END AS q_weather,
+             CASE WHEN mas.request_id IS NULL THEN 0.0
+                  WHEN ndreq.request_id IS NULL THEN 0.8 ELSE 1.0 END AS q_modis,
+             CASE WHEN lfr.request_id IS NULL THEN 0.0
+                  WHEN lfr.has_unknown THEN 0.8 ELSE 1.0 END AS q_landfire,
+             CASE WHEN dem.request_id IS NULL THEN 0.0
+                  WHEN dem.n_valid < 128 THEN 0.8 ELSE 1.0 END AS q_topography
+      FROM valid v
+      LEFT JOIN wc    ON wc.request_id    = v.request_id
+      LEFT JOIN fs    ON fs.request_id    = v.request_id
+      LEFT JOIN ndl   ON ndl.request_id   = v.request_id
+      LEFT JOIN ndreq ON ndreq.request_id = v.request_id
+      LEFT JOIN mas   ON mas.request_id   = v.request_id
+      LEFT JOIN lfr   ON lfr.request_id   = v.request_id
+      LEFT JOIN dem   ON dem.request_id   = v.request_id
+    )
+    SELECT request_id, {_JSON_DOC} AS document FROM w
+"""
+
+
+@query("collect_json_sink", oracle=_JSON_ORACLE)
 def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: the wide record as the full AggregatedResponse JSON document
     (shared_schema.py:96-195 to_dict / orchestrator.py:788-808
@@ -364,8 +713,10 @@ def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     level, one ContainerOutput per source carrying ProcessingMetadata
     (P14 processing_time_ms as data-currency latency, P12
     quality_score) and errors/warnings arrays, and the summary block.
-    struct() only at the sink per SURVEY.md §1.4. Rows-only check
-    (JSON text formatting is engine-specific)."""
+    struct() only at the sink per SURVEY.md §1.4. The oracle rebuilds
+    the document TEXT byte-identically (to_json conventions: null
+    elision, struct order, Java double formatting — see _JSON_ORACLE),
+    so this row is a full rows+schema+hash check."""
     wide = _wide_enriched(spark, sf_dir)
     location = F.struct(
         F.col("latitude"),
