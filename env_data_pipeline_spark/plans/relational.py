@@ -624,8 +624,15 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(k), 4) AS avg_k,
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM (
+      -- mirror Spark's lenient from_json('k BIGINT'): malformed JSON,
+      -- a missing key, or a non-integral/string-typed k all yield
+      -- NULL there — guard with json_valid + json_type + TRY_CAST so
+      -- dirty rows agree instead of hard-erroring the oracle
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CASE WHEN json_valid(props)
+                   AND json_type(json_extract(props, '$.k'))
+                       IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       FROM events
     )
     GROUP BY event_type

@@ -23,8 +23,14 @@ from env_data_pipeline_spark.streaming import event_trigger as ET
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS total_value
     FROM events
+    -- Spark's WatermarkTracker holds the watermark in MILLISECONDS
+    -- (max event time floored to ms, minus the delay); truncate the
+    -- oracle's cutoff the same way so a max(ts) with sub-ms micros
+    -- cannot admit a window Spark hasn't finalized. Exact-boundary
+    -- ties (max(ts) hour-aligned at ms precision) are excluded by
+    -- tests/test_testdata_contract.py::test_events_max_ts_not_hour_aligned.
     WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
-          (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+          (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR FROM events)
     GROUP BY 1, 2
     """,
 )

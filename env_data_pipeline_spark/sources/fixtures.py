@@ -481,6 +481,9 @@ _CACHE_ROOT = os.path.join(
 
 
 _SNAPSHOT_FILES = 32
+# stale other-keyed snapshots younger than this survive cleanup — a
+# concurrent session from another checkout may still be reading them
+_STALE_SNAPSHOT_SECONDS = 6 * 3600
 
 # hive-style partition columns per fixture: queries that filter on the
 # partition column (e.g. 2 of 9 LANDFIRE products) prune whole
@@ -591,17 +594,28 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | N
                 # AFTER the new snapshot is live: drop snapshots keyed
                 # to older SQL/source vintages (unreachable once the
                 # key moved on); a failed generation must never have
-                # deleted the previous vintage first
+                # deleted the previous vintage first. AGE-GATED: a
+                # concurrently running session from another checkout
+                # (same sf_dir, different fixture SQL -> different
+                # key) may still hold temp views over a fresh
+                # other-keyed snapshot; only reap snapshots old
+                # enough that no live session can be reading them.
+                import time
+
+                horizon = time.time() - _STALE_SNAPSHOT_SECONDS
                 for old in os.listdir(os.path.dirname(path)):
+                    old_path = os.path.join(os.path.dirname(path), old)
                     if (
                         old.startswith(f"{name}-")
                         and old.endswith(".parquet")
                         and old != os.path.basename(path)
                     ):
-                        shutil.rmtree(
-                            os.path.join(os.path.dirname(path), old),
-                            ignore_errors=True,
-                        )
+                        try:
+                            if os.stat(old_path).st_mtime > horizon:
+                                continue
+                        except OSError:
+                            continue
+                        shutil.rmtree(old_path, ignore_errors=True)
             except Exception:
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {FIXTURES[name]['spark']}"

@@ -80,14 +80,33 @@ def compact_dataset(
         # prior run crashed mid-swap: the backup IS the live data
         os.rename(bak, path)
 
-    df = spark.read.format(fmt).load(path)
+    # Hive-partitioned input: the rewrite must preserve the partition
+    # LAYOUT (or downstream pruning is silently lost) and the partition
+    # VALUES (inference would re-type '01' -> 1 and bake the re-typed
+    # value in as a data column). Detect key=value subdir levels and
+    # read with partition-column type inference off so values stay the
+    # literal directory strings.
+    pcols = _hive_partition_cols(path)
+    if pcols:
+        prev_inf = spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        try:
+            df = spark.read.format(fmt).load(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionColumnTypeInference.enabled", prev_inf
+            )
+    else:
+        df = spark.read.format(fmt).load(path)
     if fmt == "parquet":
         # row count from footer metadata: no data scan
         import pyarrow.parquet as pq
 
-        files = glob.glob(os.path.join(path, "*.parquet"))
-        # hive-partitioned inputs keep files in subdirs — fall back to
-        # a count job there rather than miscounting zero
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         n_rows = (
             sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             if files
@@ -97,17 +116,51 @@ def compact_dataset(
         n_rows = df.count()
     n_files = max(1, -(-n_rows // target_records_per_file))
     if cluster_by:
-        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
-            *cluster_by
+        out = df.repartitionByRange(n_files, *pcols, *cluster_by).sortWithinPartitions(
+            *pcols, *cluster_by
         )
+    elif pcols:
+        # co-locate each hive partition's rows so the per-directory
+        # file count stays ~1 task's worth instead of n_files slices
+        out = df.repartition(n_files, *pcols)
     else:
         out = df.repartition(n_files)
     tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").format(fmt).save(tmp)
+    writer = out.write.mode("overwrite").format(fmt)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.save(tmp)
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
     return len(
-        [f for f in os.listdir(path) if f.startswith("part-")]
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+            if not f.endswith(".crc")
+        ]
     )
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Partition column names from nested key=value directory levels
+    (one name per level, outermost first); [] when unpartitioned."""
+    import os
+
+    cols: list[str] = []
+    p = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(p)
+            if "=" in d and os.path.isdir(os.path.join(p, d))
+        ]
+        if not subs:
+            return cols
+        keys = {d.split("=", 1)[0] for d in subs}
+        if len(keys) != 1:
+            # mixed keys at one level is not hive layout — treat as flat
+            return []
+        cols.append(keys.pop())
+        p = os.path.join(p, subs[0])

@@ -109,3 +109,46 @@ def test_compact_dataset_range_clustering_prunes(spark, tmp_path):
     spans.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
         assert hi_a < lo_b, spans
+
+
+def test_compact_dataset_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a hive-partitioned dataset must keep the partition
+    LAYOUT (pruning survives) and the raw partition VALUES — type
+    inference would re-read bucket '01' as int 1 and an unpartitioned
+    rewrite would bake that re-typed value in as a data column."""
+    from env_data_pipeline_spark.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "hive")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.format_string("%02d", (F.col("id") % 3).cast("int")).alias("bucket"),
+    )
+    df.repartition(10).write.partitionBy("bucket").parquet(path)
+    assert sorted(os.path.basename(d) for d in glob.glob(path + "/bucket=*")) == [
+        "bucket=00",
+        "bucket=01",
+        "bucket=02",
+    ]
+
+    compact_dataset(spark, path, target_records_per_file=200)
+
+    # layout preserved: same hive directories, zero-padded values intact
+    assert sorted(os.path.basename(d) for d in glob.glob(path + "/bucket=*")) == [
+        "bucket=00",
+        "bucket=01",
+        "bucket=02",
+    ]
+    # data survives exactly; the partition column reads back with its
+    # original values (inference maps '01'->1, so compare as strings)
+    back = spark.read.option(
+        "basePath", path
+    ).parquet(path)
+    assert back.count() == 400
+    assert back.agg(F.sum("k")).first()[0] == sum(range(400))
+    # pruning still works after compaction
+    pruned = spark.read.parquet(path).filter(F.col("bucket") == 1)
+    files = {
+        r["f"]
+        for r in pruned.withColumn("f", F.input_file_name()).select("f").collect()
+    }
+    assert files and all("bucket=01" in f for f in files)

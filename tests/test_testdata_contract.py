@@ -131,3 +131,24 @@ def test_fixture_cache_key_tracks_source_data(tmp_path):
     os.utime(src / "events.parquet")
     p2 = FX._snapshot_path(str(src), name)
     assert p2 != p1
+
+
+def test_events_max_ts_not_hour_aligned(spark, sf_dir):
+    """The streaming append-mode oracle finalizes windows with
+    end <= floor_ms(max(ts)) - 1h. At an EXACT hour boundary the
+    trailing window's fate depends on the pinned Spark version's
+    eviction predicate (< vs <=) — keep the comparison tie-free by
+    pinning that the generator's max(ts) is never hour-aligned at ms
+    precision. A refresh that lands on a boundary fails HERE with a
+    name, not as an opaque streaming oracle mismatch."""
+    import os as _os
+
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    for d in sorted(_os.listdir(root)):
+        p = os.path.join(root, d, "events.parquet")
+        if not os.path.exists(p):
+            continue
+        ev = table(spark, os.path.join(root, d), "events")
+        hi = ev.agg(F.max("ts")).first()[0]
+        ms = (hi.minute, hi.second, hi.microsecond // 1000)
+        assert ms != (0, 0, 0), f"{d}: max(ts)={hi} is hour-aligned"
