@@ -160,3 +160,130 @@ def test_windowed_counts_append_state_is_bounded(spark, sf_dir):
         f"state holds {state_rows} rows for {n_emitted} emitted windows "
         "— eviction is not happening"
     )
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a windowed streaming query mid-stream and resume it from
+    the SAME checkpoint into the SAME file sink: the recovered run
+    must neither drop nor double-count anything — the final sink
+    contents equal the batch computation over the full input at the
+    final watermark. This is the persistence the reference's
+    background worker promises but never implements
+    (orchestrator.py:960-986); here it is the checkpoint + file-sink
+    manifest making good on it provably."""
+    from pyspark.sql.window import Window
+
+    from env_data_pipeline_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # stage the stream as 4 TIME-ORDERED files: later phases only add
+    # data newer than the recovered watermark, so nothing arrives late
+    # because of the split itself
+    staged = ev.withColumn("part", F.ntile(4).over(Window.orderBy("ts")))
+    watch = str(tmp_path / "in")
+    os.makedirs(watch)
+    now = 2_000_000.0
+    for i in range(1, 5):
+        _stage_file_typed(
+            spark,
+            watch,
+            f"seg{i}",
+            staged.filter(F.col("part") == i).drop("part"),
+            now + i,
+        )
+        if i == 2:
+            break  # phase A sees only the first two segments
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start(max_files=None):
+        raw = spark.readStream.schema(ev.schema).format("parquet")
+        if max_files is not None:
+            raw = raw.option("maxFilesPerTrigger", max_files)
+        agg = (
+            raw.load(watch)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n_events"
+            )
+        )
+        return (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase A: one file per micro-batch; kill after the FIRST batch
+    # commits (a genuine between/mid-batch kill, not a clean drain)
+    q = start(max_files=1)
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # the rest of the input arrives while the query is down
+    for i in range(3, 5):
+        _stage_file_typed(
+            spark,
+            watch,
+            f"seg{i}",
+            staged.filter(F.col("part") == i).drop("part"),
+            now + i,
+        )
+
+    # phase B: resume from the checkpoint, drain everything
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch truth at the final watermark (floored to ms like Spark's
+    # WatermarkTracker): windows whose end <= max(ts) - 1h, counted
+    # over the FULL input exactly once
+    hi = ev.agg(F.max("ts")).first()[0]
+    import datetime as _dt
+
+    hi_ms = hi.replace(microsecond=(hi.microsecond // 1000) * 1000)
+    cutoff = hi_ms - _dt.timedelta(hours=1)
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .filter(
+                F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff)
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def _stage_file_typed(spark, watch_dir: str, name: str, df, mtime: float) -> None:
+    """Stage an already-typed DataFrame as one file in the watched dir
+    (the nanos helper _stage_file declares the legacy long schema;
+    this one keeps the DataFrame's own schema)."""
+    staging = os.path.join(os.path.dirname(watch_dir), f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+    dst = os.path.join(watch_dir, f"{name}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
