@@ -5,6 +5,13 @@ ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 Timing = full plan execution to a count/collect action, after one
 untimed warm-up of the session (JVM + parquet footer caches), so the
 number reflects steady-state engine throughput, not JVM startup.
+
+Scale proof: the same queries are also timed at a LOWER tier
+($SPARK_GRAFT_SF_LO_DIR, default the sibling sf0.01) and the JSON
+carries "tiers" (per-tier timings) and "scaling" (per-query high/low
+time ratio next to the high/low input-row ratio). A bucketed/equi-join
+plan shows a time ratio well under the data ratio; a plan hiding an
+all-pairs stage shows it blowing past it.
 """
 
 from __future__ import annotations
@@ -27,19 +34,11 @@ HEADLINE = [
     "events_sessionized_stats",
 ]
 
+# tables whose row counts define the data-scale ratio per query family
+_SCALE_TABLES = ("lineitem", "events", "documents", "embeddings")
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    registry.load_all()
-    spark = get_spark("env_data_pipeline_spark-bench")
 
-    names = [n for n in HEADLINE if n in registry.QUERIES]
-    # extend with any registered headline-worthy queries not listed yet
-    for n in registry.QUERIES:
-        if n not in names and n in registry.BENCH_EXTRA:
-            names.append(n)
-
+def _time_tier(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         # per-query warm-up: the first execution pays one-time costs
@@ -58,19 +57,59 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             assert n >= 0
         timings[name] = round(best, 4)
+    return timings
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+def _row_ratios(spark, hi_dir: str, lo_dir: str) -> dict[str, float]:
+    from env_data_pipeline_spark.catalog import table
+
+    out = {}
+    for t in _SCALE_TABLES:
+        hi = table(spark, hi_dir, t).count()
+        lo = table(spark, lo_dir, t).count()
+        out[t] = round(hi / lo, 2) if lo else None
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo_dir = os.environ.get(
+        "SPARK_GRAFT_SF_LO_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"),
     )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("env_data_pipeline_spark-bench")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # extend with any registered headline-worthy queries not listed yet
+    for n in registry.QUERIES:
+        if n not in names and n in registry.BENCH_EXTRA:
+            names.append(n)
+
+    timings = _time_tier(spark, names, sf_dir)
+    total = round(sum(timings.values()), 4)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.path.isdir(lo_dir) and os.path.abspath(lo_dir) != os.path.abspath(sf_dir):
+        lo_sf = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
+        lo_timings = _time_tier(spark, names, lo_dir)
+        result["tiers"] = {sf: timings, lo_sf: lo_timings}
+        result["data_ratio"] = _row_ratios(spark, sf_dir, lo_dir)
+        result["scaling"] = {
+            n: round(timings[n] / lo_timings[n], 2)
+            for n in names
+            if lo_timings.get(n)
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
