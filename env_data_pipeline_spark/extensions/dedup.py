@@ -328,7 +328,15 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    # Probe convergence only every PROBE_EVERY passes: each probe is a
+    # driver-side scalar count (one extra job), and min-labels are
+    # monotone, so "unchanged since the last probe" implies unchanged
+    # on every pass in between. Costs at most PROBE_EVERY-1 redundant
+    # propagation passes after the fixpoint; halves probe overhead on
+    # long chains.
+    PROBE_EVERY = 2
+    at_last_probe = labels
+    for it in range(max_iter):
         prop = edges.join(labels, edges["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
         )
@@ -338,16 +346,18 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        # min-label only ever decreases, so "<" is "changed"
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
         labels = new
-        if changed == 0:
-            break
+        if (it + 1) % PROBE_EVERY == 0 or it == max_iter - 1:
+            # min-label only ever decreases, so "<" is "changed"
+            changed = (
+                new.alias("n")
+                .join(at_last_probe.alias("o"), "node")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                break
+            at_last_probe = new
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,299 @@
+"""Training-data pipeline operators beyond the reference's own set:
+repetition-based quality (Gopher-style), eval-set decontamination,
+sequence packing, token heavy-hitters, temperature-based corpus
+reweighting, and PII redaction.
+
+These are the operations a 100 TB pretraining-corpus build runs after
+ingestion (the reference pipeline stops at per-source interpretation,
+`containers/orchestrator/orchestrator.py:569-618`); each is designed
+shuffle-minimal first:
+
+- repetition_profile: zero shuffles — every metric is a per-row
+  higher-order-function over the word array (embarrassingly parallel).
+- contamination: the only shuffle carries (doc_id, 48-bit shingle
+  hash); the eval side is distinct-reduced before the join.
+- pack_sequences: one window per shard — shards bound partition
+  width, so no global sort.
+- heavy_hitters: explode -> partial-agg (map-side combine) -> one
+  shuffle keyed by word; top-k runs over the vocab-sized aggregate.
+- temperature_weights: one tiny groupBy on the mixture key.
+- redact_pii: per-row regexp chain, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.extensions.text import words
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality (word-level analogs of the
+# duplicate-line / top-n-gram rules in Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+
+def dup_word_frac(w: Column) -> Column:
+    """1 - distinct/total: fraction of word occurrences that repeat an
+    earlier word. Pure array expr — no explode, no shuffle."""
+    n = F.size(w)
+    return F.lit(1.0) - F.size(F.array_distinct(w)) / F.greatest(n, F.lit(1))
+
+
+def top_word_frac(w: Column) -> Column:
+    """Share of the single most frequent word: longest equal run over
+    the SORTED array, folded with one aggregate() pass. O(n log n)
+    per row, still zero shuffles."""
+    s = F.array_sort(w)
+    best = F.aggregate(
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(s, 1).alias("prev"),
+            F.lit(1).alias("run"),
+            F.lit(1).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    return best / F.greatest(F.size(w), F.lit(1))
+
+
+def bigrams(w: Column) -> Column:
+    n = F.size(w)
+    return F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def dup_bigram_frac(w: Column) -> Column:
+    bg = bigrams(w)
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+
+
+def repetition_bucket(dupw: Column, topw: Column, dupbg: Column) -> Column:
+    """Keep/flag decision from the repetition signals. Thresholds sit
+    at the observed corpus tails (see plans.llmops docstring) so the
+    gate actually splits the synthetic corpus instead of passing or
+    rejecting everything."""
+    return (
+        F.when((dupbg > 0.05) | (topw > 0.15), "HIGH_REPETITION")
+        .when(dupw > 0.6, "MODERATE_REPETITION")
+        .otherwise("OK")
+    )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    w = words(F.col("text"))
+    # materialize the split ONCE: referencing words(text) from every
+    # metric sub-expression would re-split per reference (same
+    # Catalyst pitfall as the shingle path, extensions/dedup.py)
+    base = docs.select("doc_id", w.alias("w"))
+    wc = F.col("w")
+    dupw = dup_word_frac(wc)
+    topw = top_word_frac(wc)
+    dupbg = dup_bigram_frac(wc)
+    return base.select(
+        "doc_id",
+        F.size(wc).alias("n_words"),
+        F.round(dupw, 4).alias("dup_word_frac"),
+        F.round(topw, 4).alias("top_word_frac"),
+        F.round(dupbg, 4).alias("dup_bigram_frac"),
+        repetition_bucket(dupw, topw, dupbg).alias("repetition_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (n-gram collision join, the GPT-3/PaLM
+# appendix-C recipe: flag training docs sharing any n-gram with a
+# held-out benchmark)
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Distinct (doc_id, 48-bit word-n-gram hash). Hash BEFORE the
+    shuffle so rows carry (long, long), never text."""
+    w = words(F.col("text"))
+    base = docs.select("doc_id", w.alias("w"))
+    n_grams = F.size(F.col("w")) - (n - 1)
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to
+    # an empty shingle set instead of relying on it
+    grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(F.col("w"), i, n), " ")), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    return (
+        base.select("doc_id", F.explode(grams).alias("ghash"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    train: DataFrame, eval_docs: DataFrame, n: int = 4
+) -> DataFrame:
+    """Per contaminated train doc: how many of its distinct n-grams
+    appear anywhere in the eval set. Eval side reduces to distinct
+    hashes (tiny vs the corpus) before the equi-join, so at 100 TB the
+    join's build side is benchmark-sized and broadcastable."""
+    train_sh = shingle_hashes(train, n)
+    eval_sh = shingle_hashes(eval_docs, n).select("ghash").distinct()
+    return (
+        train_sh.join(F.broadcast(eval_sh), "ghash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_ngram_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fixed token budget, per-shard greedy chunking)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 256, n_shards: int = 16
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences: within a
+    shard, docs are taken in doc_id order and a doc belongs to the
+    sequence its exclusive token prefix-sum lands in (the standard
+    pack-then-split accounting — a sequence may overflow by at most
+    its last doc, which the trainer truncates or rolls).
+
+    Sharding bounds the sort width: the window partitions by
+    ``doc_id % n_shards`` so no global single-partition sort exists;
+    at 100 TB raise n_shards to O(cores) and each shard packs
+    independently."""
+    from pyspark.sql import Window
+
+    toks = F.size(words(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "seq_id", F.floor(F.coalesce(F.sum("n_tokens").over(win), F.lit(0)) / budget)
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias("fill_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token heavy-hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Exact global top-k tokens with corpus share. One shuffle keyed
+    by token (partial counts combine map-side); the rank window runs
+    over the vocab-sized aggregate, not the corpus. Ties break by
+    token text so the result is deterministic."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    total = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.sum("n_occurrences").over(total), 6).alias(
+            "corpus_share"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("token")))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture reweighting (multilingual sampling, the
+# p^alpha renormalization of Conneau & Lample 2019 §3.1)
+# ---------------------------------------------------------------------------
+
+
+def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) -> DataFrame:
+    """Per mixture key: raw corpus share p, temperature-flattened
+    share p^alpha / sum(p^alpha), and the implied up/down-sampling
+    factor. One tiny groupBy; the window runs over K rows."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(key).agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(everything)
+    pa = F.pow(p, F.lit(alpha))
+    out = counts.select(
+        key,
+        "n_docs",
+        F.round(p, 6).alias("p_raw"),
+        F.round(pa / F.sum(pa).over(everything), 6).alias("p_temp"),
+        F.round((pa / F.sum(pa).over(everything)) / p, 4).alias("sample_factor"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub; patterns restricted to the RE2-safe
+# subset so the DuckDB oracle runs the literal same patterns)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+# order matters: emails contain dots/digits, so scrub them before the
+# looser numeric patterns
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for name in PII_ORDER:
+        pat, rep = PII_PATTERNS[name]
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        name: F.regexp_count(text, F.lit(PII_PATTERNS[name][0]))
+        for name in PII_ORDER
+    }

@@ -1,0 +1,257 @@
+"""Query registrations for the training-data pipeline family
+(extensions/llmops.py): repetition quality, decontamination, sequence
+packing, heavy hitters, temperature reweighting, PII redaction.
+
+Beyond-the-reference scope: the reference pipeline's quality notion
+stops at per-source completeness scoring
+(`containers/orchestrator/orchestrator.py:569-618`); these are the
+corpus-level operations the same data would need on the way into a
+pretraining set.
+
+Repetition thresholds are pinned to the measured sf0.01 corpus tails
+(dup_bigram_frac median 0.028 / max 0.133; top_word_frac median 0.093
+/ max 0.30; dup_word_frac median 0.54 / max 0.72) so every bucket is
+populated — a gate that passes or rejects everything tests nothing.
+
+The PII corpus derives a deterministic contact string from testdata
+columns (doc_id, source) because the synthetic text itself is
+PII-free; this checks real cross-engine regex behavior (Java regex vs
+RE2) on the literal same patterns, not just that zero stays zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import llmops as L
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+
+# headline representatives for the family: the zero-shuffle HOF
+# profile and the hashed n-gram decontamination join
+BENCH_EXTRA.update({"text_repetition_profile", "decontaminate_eval_overlap"})
+
+_EVAL_SOURCE = "src0"
+_PACK_BUDGET = 256
+_PACK_SHARDS = 16
+_TEMP_ALPHA = 0.7
+
+# the one shared metric CTE for the repetition oracle: 1-based list
+# indexing; range(1, len) stops at len-1, exactly the bigram count
+_DUCK_REP = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tw AS (SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, u.x AS word, count(*) AS c
+        FROM w, unnest(ws) AS u(x) GROUP BY 1, 2) GROUP BY 1),
+    m AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+          FROM w),
+    j AS (SELECT m.doc_id, n, nd, topc,
+          CASE WHEN len(bg) = 0 THEN 0.0
+               ELSE 1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+          END AS dupbg,
+          1 - nd / CAST(n AS DOUBLE) AS dupw,
+          topc / CAST(n AS DOUBLE) AS topw
+          FROM m JOIN tw USING (doc_id))
+"""
+
+
+@query(
+    "text_repetition_profile",
+    oracle=_DUCK_REP
+    + """
+    SELECT doc_id, n AS n_words,
+           ROUND(dupw, 4) AS dup_word_frac,
+           ROUND(topw, 4) AS top_word_frac,
+           ROUND(dupbg, 4) AS dup_bigram_frac,
+           CASE WHEN dupbg > 0.05 OR topw > 0.15 THEN 'HIGH_REPETITION'
+                WHEN dupw > 0.6 THEN 'MODERATE_REPETITION'
+                ELSE 'OK' END AS repetition_bucket
+    FROM j
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (word/bigram analogs of Rae et al.
+    2021 table A1). Zero shuffles: every metric is a per-row
+    higher-order function over the split array."""
+    return L.repetition_profile(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+           ('0x' || substr(md5(g), 1, 12))::BIGINT AS ghash
+           FROM (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(ws) - 2), i ->
+                     list_aggr(ws[i:i+3], 'string_agg', ' '))) AS g
+                 FROM w WHERE len(ws) >= 4)),
+    ev AS (SELECT DISTINCT ghash FROM sh WHERE source = '{_EVAL_SOURCE}')
+    SELECT t.doc_id, COUNT(*) AS n_eval_ngram_hits
+    FROM (SELECT doc_id, ghash FROM sh WHERE source <> '{_EVAL_SOURCE}') t
+    JOIN ev USING (ghash)
+    GROUP BY 1
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C recipe): flag
+    every training doc sharing a word-4-gram with the held-out eval
+    slice (source = src0). Hashes travel, text never does; the eval
+    side reduces to distinct hashes and broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != _EVAL_SOURCE)
+    eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
+    return L.contamination_report(train, eval_docs, n=4)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                  len(string_split(text, ' ')) AS n_tokens
+                  FROM documents),
+    packed AS (SELECT *,
+        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+        FROM base)
+    SELECT shard, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           ROUND(SUM(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing: per shard, docs in doc_id
+    order belong to the sequence their exclusive token prefix-sum
+    lands in. The window partitions by shard, so no global sort."""
+    return L.pack_sequences(
+        table(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT u.x AS token, count(*) AS n_occurrences
+               FROM documents, unnest(string_split(text, ' ')) AS u(x)
+               GROUP BY 1),
+    r AS (SELECT token, n_occurrences,
+          ROUND(n_occurrences / CAST(SUM(n_occurrences) OVER () AS DOUBLE), 6)
+              AS corpus_share,
+          ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM c)
+    SELECT token, n_occurrences, corpus_share, rank FROM r WHERE rank <= 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 tokens with corpus share. One shuffle keyed
+    by token (map-side partial counts); the rank window covers the
+    vocab-sized aggregate only."""
+    return L.heavy_hitters(table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "corpus_temperature_weights",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT lang, n_docs,
+          n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p FROM c),
+    s AS (SELECT lang, n_docs, p, POW(p, {_TEMP_ALPHA}) AS pa,
+          SUM(POW(p, {_TEMP_ALPHA})) OVER () AS spa FROM t)
+    SELECT lang, n_docs, ROUND(p, 6) AS p_raw,
+           ROUND(pa / spa, 6) AS p_temp,
+           ROUND((pa / spa) / p, 4) AS sample_factor
+    FROM s
+    """,
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (p^alpha renorm,
+    Conneau & Lample 2019 §3.1) with the implied up/down-sampling
+    factor per language. One K-row groupBy."""
+    return L.temperature_weights(
+        table(spark, sf_dir, "documents"), key="lang", alpha=_TEMP_ALPHA
+    )
+
+
+def _pii_contact_spark() -> F.Column:
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit("user"), did.cast("string"), F.lit("@"), F.col("source"), F.lit(".net")
+    )
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10.0."),
+        ((did * 3) % 256).cast("string"),
+        F.lit("."),
+        ((did * 11) % 256).cast("string"),
+    )
+    return (
+        F.when(did % 3 == 0, F.concat(F.lit(" contact "), email))
+        .when(did % 3 == 1, F.concat(F.lit(" call "), phone, F.lit(" from "), ip))
+        .otherwise(F.lit(""))
+    )
+
+
+_DUCK_PII_CONTACT = """
+    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@' || source || '.net'
+         WHEN doc_id % 3 = 1 THEN ' call 555-'
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 11) % 256 AS VARCHAR)
+         ELSE '' END
+"""
+
+
+def _pii_oracle() -> str:
+    email_pat, _ = L.PII_PATTERNS["email"]
+    phone_pat, _ = L.PII_PATTERNS["phone"]
+    ip_pat, _ = L.PII_PATTERNS["ipv4"]
+    email_rep = L.PII_PATTERNS["email"][1]
+    phone_rep = L.PII_PATTERNS["phone"][1]
+    ip_rep = L.PII_PATTERNS["ipv4"][1]
+    return f"""
+    WITH augmented AS (SELECT doc_id, text || ({_DUCK_PII_CONTACT}) AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{email_pat}')) AS n_emails,
+           len(regexp_extract_all(t, '{phone_pat}')) AS n_phones,
+           len(regexp_extract_all(t, '{ip_pat}')) AS n_ips,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{email_pat}', '{email_rep}', 'g'),
+                   '{phone_pat}', '{phone_rep}', 'g'),
+               '{ip_pat}', '{ip_rep}', 'g')) AS redacted_md5
+    FROM augmented
+    """
+
+
+@query("text_pii_redaction", oracle=_pii_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically PII-augmented corpus:
+    per-doc match counts per pattern class plus the md5 of the
+    redacted text — byte-level parity of Java-regex vs RE2 behavior on
+    the literal same RE2-safe patterns. Zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    full = docs.select(
+        "doc_id", F.concat(F.col("text"), _pii_contact_spark()).alias("t")
+    )
+    counts = L.pii_counts(F.col("t"))
+    return full.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"),
+        F.md5(L.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )

@@ -1,0 +1,209 @@
+"""Unit tests for the training-data pipeline operators
+(extensions/llmops.py) on constructed inputs with hand-computed
+expectations — the corpus-level queries are oracle-checked separately
+(test_oracle_parity via the registry), so these pin the operator
+semantics where the synthetic corpus has no coverage (real PII
+strings, exact repetition ratios, packing invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.extensions import llmops as L
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_real_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+spam@ex-ample.co.uk now"),
+            (2, "call 555-867-5309 or 555-000-1111 today"),
+            (3, "host 192.168.0.1 and 10.0.255.3"),
+            (4, "clean text with no identifiers at all"),
+            (5, "mixed bob@x.io 555-123-4567 127.0.0.1"),
+        ],
+        "doc_id bigint, t string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            L.redact_pii(F.col("t")).alias("red"),
+            *[c.alias(n) for n, c in L.pii_counts(F.col("t")).items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> now"
+    assert out[1]["email"] == 1
+    assert out[2]["red"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["phone"] == 2
+    assert out[3]["red"] == "host <IP> and <IP>"
+    assert out[3]["ipv4"] == 2
+    assert out[4]["red"] == "clean text with no identifiers at all"
+    assert (out[4]["email"], out[4]["phone"], out[4]["ipv4"]) == (0, 0, 0)
+    assert out[5]["red"] == "mixed <EMAIL> <PHONE> <IP>"
+
+
+def test_pii_email_scrubbed_before_numeric_patterns(spark):
+    # an email whose local part contains a phone-shaped token must be
+    # consumed by the email pass, not double-redacted
+    df = spark.createDataFrame([(1, "x 555-123-4567@corp.com y")], "doc_id bigint, t string")
+    red = df.select(L.redact_pii(F.col("t")).alias("r")).first()["r"]
+    assert red == "x <EMAIL> y"
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_exact_ratios(spark):
+    prof = {
+        r["doc_id"]: r
+        for r in L.repetition_profile(
+            _docs(
+                spark,
+                [
+                    (1, "a a a a"),  # 1 distinct / 4 words; bigrams: aa x3
+                    (2, "a b c d e f g h i j"),  # all distinct, long enough
+                    # that top_word_frac 0.1 clears the 0.15 gate
+                    (3, "a b a b a"),  # 2 distinct / 5; bigrams ab,ba,ab,ba
+                ],
+            )
+        ).collect()
+    }
+    r1 = prof[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == pytest.approx(0.75)
+    assert r1["top_word_frac"] == pytest.approx(1.0)
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert r1["repetition_bucket"] == "HIGH_REPETITION"
+    r2 = prof[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_word_frac"] == pytest.approx(0.1)
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["repetition_bucket"] == "OK"
+    r3 = prof[3]
+    assert r3["top_word_frac"] == pytest.approx(3 / 5, abs=1e-4)
+    assert r3["dup_bigram_frac"] == pytest.approx(0.5)
+
+
+def test_repetition_single_word_doc(spark):
+    r = L.repetition_profile(_docs(spark, [(1, "solo")])).first()
+    assert r["n_words"] == 1
+    assert r["dup_word_frac"] == 0.0
+    assert r["top_word_frac"] == 1.0  # the one word is 100% of the doc
+    assert r["dup_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_copied_ngram_only(spark):
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    train = _docs(
+        spark,
+        [
+            (1, "x y alpha beta gamma delta z"),  # shares 4-grams
+            (2, "totally different words here now"),  # disjoint
+            (3, "beta gamma delta epsilon trailing"),  # shares one 4-gram
+        ],
+    )
+    hits = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in L.contamination_report(train, eval_docs, n=4).collect()
+    }
+    # doc 1 contains 'alpha beta gamma delta' (1 hit of eval's 2 grams)
+    assert hits == {1: 1, 3: 1}
+
+
+def test_contamination_short_docs_produce_no_shingles(spark):
+    short = _docs(spark, [(1, "one two three")])  # < 4 words
+    assert L.shingle_hashes(short, n=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    budget, shards = 256, 16
+    packed = L.pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    # every doc lands exactly once
+    assert sum(r["n_docs"] for r in packed) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        # seq ids contiguous from 0 (no empty sequences skipped...
+        # gaps can only appear if a single doc overflows multiple
+        # budgets, which the corpus (max ~100 tokens) cannot do)
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        # each sequence starts before the budget line: tokens BEFORE
+        # the last doc of the sequence stay under budget (overflow is
+        # only ever the final straddling doc)
+        for r in rows:
+            assert r["seq_tokens"] >= 1
+            assert r["fill_ratio"] == pytest.approx(r["seq_tokens"] / budget, abs=1e-4)
+
+
+def test_pack_sequences_exact_tiny_case(spark):
+    # shard 0 only: tokens 3,2,4 with budget 5 ->
+    # prefix-excl 0,3,5 -> seq 0,0,1
+    docs = _docs(spark, [(0, "a b c"), (16, "d e"), (32, "f g h i")])
+    rows = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+        for r in L.pack_sequences(docs, budget=5, n_shards=16).collect()
+    }
+    assert rows == {(0, 0): (2, 5), (0, 1): (1, 4)}
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters / temperature weights
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_ranking_and_share(spark):
+    docs = _docs(spark, [(1, "a a a b b c"), (2, "b a d")])
+    rows = L.heavy_hitters(docs, k=2).collect()
+    assert [(r["token"], r["n_occurrences"], r["rank"]) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 3, 2),
+    ]
+    assert rows[0]["corpus_share"] == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_temperature_alpha_one_is_identity(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    for r in L.temperature_weights(docs, alpha=1.0).collect():
+        assert r["p_temp"] == pytest.approx(r["p_raw"], abs=1e-6)
+        assert r["sample_factor"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_temperature_flattens_toward_uniform(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = L.temperature_weights(docs, alpha=0.7).collect()
+    for r in rows:
+        if r["p_raw"] > 1 / len(rows):
+            assert r["p_temp"] < r["p_raw"]  # majority lang downweighted
+        else:
+            assert r["p_temp"] > r["p_raw"]  # minority langs upweighted
