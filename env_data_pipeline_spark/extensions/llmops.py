@@ -124,9 +124,10 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_hashes(docs: DataFrame, n: int = 4) -> DataFrame:
-    """Distinct (doc_id, 48-bit word-n-gram hash). Hash BEFORE the
-    shuffle so rows carry (long, long), never text."""
+def _shingle_hashes_raw(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, 48-bit word-n-gram hash), NOT deduplicated — a narrow
+    explode with no shuffle. Hash in the projection so downstream
+    stages carry (long, long), never text."""
     w = words(F.col("text"))
     base = docs.select("doc_id", w.alias("w"))
     n_grams = F.size(F.col("w")) - (n - 1)
@@ -144,25 +145,33 @@ def shingle_hashes(docs: DataFrame, n: int = 4) -> DataFrame:
             ).cast("bigint"),
         )
     )
-    return (
-        base.select("doc_id", F.explode(grams).alias("ghash"))
-        .distinct()
-    )
+    return base.select("doc_id", F.explode(grams).alias("ghash"))
+
+
+def shingle_hashes(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Distinct (doc_id, 48-bit word-n-gram hash)."""
+    return _shingle_hashes_raw(docs, n).distinct()
 
 
 def contamination_report(
     train: DataFrame, eval_docs: DataFrame, n: int = 4
 ) -> DataFrame:
     """Per contaminated train doc: how many of its distinct n-grams
-    appear anywhere in the eval set. Eval side reduces to distinct
-    hashes (tiny vs the corpus) before the equi-join, so at 100 TB the
-    join's build side is benchmark-sized and broadcastable."""
-    train_sh = shingle_hashes(train, n)
-    eval_sh = shingle_hashes(eval_docs, n).select("ghash").distinct()
+    appear anywhere in the eval set.
+
+    Shuffle order matters at 100 TB: the broadcast semi-join against
+    the (tiny, distinct) eval hash set runs FIRST, on the raw
+    un-deduplicated shingle stream — a narrow stage — so the only
+    shuffle (the per-doc distinct-count aggregate) carries hit rows
+    only, typically a vanishing fraction of the corpus. Deduplicating
+    the train side before the join would instead shuffle every shingle
+    of every document."""
+    train_sh = _shingle_hashes_raw(train, n)
+    eval_sh = _shingle_hashes_raw(eval_docs, n).select("ghash").distinct()
     return (
         train_sh.join(F.broadcast(eval_sh), "ghash")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_eval_ngram_hits"))
+        .agg(F.count_distinct(F.col("ghash")).alias("n_eval_ngram_hits"))
     )
 
 
