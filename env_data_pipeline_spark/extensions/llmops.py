@@ -277,6 +277,70 @@ def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) 
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation verdict: every gate composed into one
+# keep/drop-with-reason decision per training doc
+# ---------------------------------------------------------------------------
+
+
+def curation_verdict(
+    docs: DataFrame, eval_source: str, ngram: int = 4
+) -> DataFrame:
+    """One row per TRAINING doc (the eval slice is excluded — it is
+    the benchmark, not the corpus): verdict KEEP/DROP plus the first
+    failing gate, evaluated in severity order:
+
+      contaminated > low_quality > high_repetition > lang_mismatch
+
+    Plan shape: all quality/repetition/lang metrics are per-row HOFs
+    (narrow); the only shuffles belong to the contamination report,
+    whose output (hit docs only) left-broadcast-joins back onto the
+    corpus — so the wide path costs exactly what
+    ``contamination_report`` costs."""
+    from env_data_pipeline_spark.extensions.text import (
+        n_tokens,
+        predicted_lang,
+        punct_ratio,
+        quality_bucket,
+        stopword_ratio,
+    )
+
+    train = docs.filter(F.col("source") != eval_source)
+    eval_docs = docs.filter(F.col("source") == eval_source)
+    hits = contamination_report(
+        train.select("doc_id", "text"), eval_docs.select("doc_id", "text"), ngram
+    ).select("doc_id", F.lit(True).alias("contaminated"))
+
+    t = F.col("text")
+    w = words(t)
+    base = train.select("doc_id", "lang", "text", w.alias("w"))
+    wc = F.col("w")
+    quality = quality_bucket(n_tokens(t), stopword_ratio(t), punct_ratio(t))
+    rep = repetition_bucket(
+        dup_word_frac(wc), top_word_frac(wc), dup_bigram_frac(wc)
+    )
+    flagged = base.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        rep.alias("repetition"),
+        predicted_lang(t).alias("predicted_lang"),
+    ).join(F.broadcast(hits), "doc_id", "left")
+
+    reason = (
+        F.when(F.col("contaminated"), "contaminated")
+        .when(F.col("quality") != "OK", "low_quality")
+        .when(F.col("repetition") == "HIGH_REPETITION", "high_repetition")
+        .when(F.col("predicted_lang") != F.col("lang"), "lang_mismatch")
+    )
+    return flagged.select(
+        "doc_id",
+        "lang",
+        F.when(reason.isNull(), "KEEP").otherwise("DROP").alias("verdict"),
+        reason.alias("drop_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (regex scrub; patterns restricted to the RE2-safe
 # subset so the DuckDB oracle runs the literal same patterns)
 # ---------------------------------------------------------------------------

@@ -179,6 +179,76 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle() -> str:
+    # reuse the literal gate SQL already proven equal to the Spark
+    # expressions by text_quality_profile / text_repetition_profile /
+    # decontaminate_eval_overlap — the verdict must compose the SAME
+    # metrics, so import rather than restate them
+    from env_data_pipeline_spark.plans.extensions import _STOP, _duck_lang_case
+
+    return f"""
+    WITH alldocs AS (
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, source, ('0x' || substr(md5(g), 1, 12))::BIGINT AS ghash
+           FROM (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(w) - 2), i ->
+                     list_aggr(w[i:i+3], 'string_agg', ' '))) AS g
+                 FROM alldocs WHERE len(w) >= 4)),
+    ev AS (SELECT DISTINCT ghash FROM sh WHERE source = '{_EVAL_SOURCE}'),
+    cont AS (SELECT DISTINCT doc_id FROM sh
+             WHERE source <> '{_EVAL_SOURCE}'
+               AND ghash IN (SELECT ghash FROM ev)),
+    m AS (SELECT doc_id, lang, text, w,
+          len(w) AS n,
+          len(list_distinct(w)) AS nd,
+          len(list_filter(w, x -> x IN ({_STOP}))) AS n_stop,
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+          FROM alldocs WHERE source <> '{_EVAL_SOURCE}'),
+    tw AS (SELECT doc_id, max(c) AS topc FROM (
+           SELECT doc_id, u.x AS word, count(*) AS c
+           FROM m, unnest(m.w) AS u(x) GROUP BY 1, 2) GROUP BY 1),
+    j AS (SELECT m.doc_id, m.lang, topc,
+          CASE WHEN len(bg) = 0 THEN 0.0
+               ELSE 1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+          END AS dupbg,
+          topc / CAST(n AS DOUBLE) AS topw,
+          CASE WHEN n < 10 THEN 'TOO_SHORT'
+               WHEN n_punct / CAST(greatest(length(text), 1) AS DOUBLE) > 0.2
+                   THEN 'TOO_NOISY'
+               WHEN n_stop / CAST(greatest(n, 1) AS DOUBLE) < 0.01
+                   THEN 'LOW_NATURALNESS'
+               ELSE 'OK' END AS quality,
+          {_duck_lang_case()} AS predicted_lang
+          FROM m JOIN tw USING (doc_id)),
+    v AS (SELECT doc_id, lang,
+          CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+               WHEN quality <> 'OK' THEN 'low_quality'
+               WHEN dupbg > 0.05 OR topw > 0.15 THEN 'high_repetition'
+               WHEN predicted_lang <> lang THEN 'lang_mismatch'
+               ELSE NULL END AS drop_reason
+          FROM j)
+    SELECT doc_id, lang,
+           CASE WHEN drop_reason IS NULL THEN 'KEEP' ELSE 'DROP' END AS verdict,
+           drop_reason
+    FROM v
+    """
+
+
+@query("corpus_curation_verdict", oracle=_curation_oracle())
+def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition endpoint: every curation gate — contamination,
+    quality, repetition, language-ID agreement — folded into one
+    KEEP/DROP verdict with the first failing reason per training doc.
+    Narrow except for the contamination report, whose hit set
+    broadcast-joins back onto the corpus."""
+    return L.curation_verdict(
+        table(spark, sf_dir, "documents"), eval_source=_EVAL_SOURCE, ngram=4
+    )
+
+
 def _pii_contact_spark() -> F.Column:
     did = F.col("doc_id")
     email = F.concat(
