@@ -42,6 +42,36 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_decision(docs: DataFrame, near_pairs: DataFrame) -> DataFrame:
+    """Turn duplicate evidence into the per-doc KEEP/DROP decision a
+    curation pipeline actually executes: drop every non-representative
+    exact copy (representative = min doc_id per md5 group), then drop
+    the larger side of every near-dup candidate pair. Exact beats near
+    in the reason column (an exact copy usually is an LSH pair too).
+
+    Scale: the exact pass is one shuffle on the 16-byte digest (text
+    never shuffles); the near-dup drop set is DISTINCT doc_b only —
+    duplicate-sized, tiny vs the corpus — and broadcast-joins back."""
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    reps = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
+    exact = hashed.join(reps, "text_hash").select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("exact_dup")
+    )
+    near = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
+        "near_dup", F.lit(True)
+    )
+    flagged = exact.join(F.broadcast(near), "doc_id", "left")
+    reason = (
+        F.when(F.col("exact_dup"), "exact_duplicate")
+        .when(F.col("near_dup"), "near_duplicate")
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(reason.isNull(), "KEEP").otherwise("DROP").alias("verdict"),
+        reason.alias("drop_reason"),
+    )
+
+
 def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """Word-3-shingles per document.
 

@@ -118,6 +118,36 @@ _DUCK_LSH_CTES = f"""aug AS ({_DUCK_AUG}),
 
 
 @query(
+    "corpus_dedup_keep",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES},
+    exact AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM aug),
+    near AS (SELECT DISTINCT doc_b FROM lsh_pairs)
+    SELECT e.doc_id,
+           CASE WHEN e.doc_id <> e.rep OR n.doc_b IS NOT NULL
+                THEN 'DROP' ELSE 'KEEP' END AS verdict,
+           CASE WHEN e.doc_id <> e.rep THEN 'exact_duplicate'
+                WHEN n.doc_b IS NOT NULL THEN 'near_duplicate'
+                ELSE NULL END AS drop_reason
+    FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_b
+    """,
+)
+def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 composed into the executable curation decision: drop
+    non-representative exact copies and the larger side of every
+    MinHash-LSH candidate pair; everything else keeps. Exact evidence
+    wins the reason column. One digest shuffle + the LSH pipeline;
+    the near-dup drop set broadcasts back onto the corpus."""
+    aug = _aug_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_signatures(D.shingles(aug, distinct=False))
+    )
+    return D.dedup_keep_decision(aug, pairs)
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_DUCK_LSH_CTES}
