@@ -1,0 +1,124 @@
+"""Query registrations for incremental maintenance
+(operators/incremental.py): key-based upsert merge and partial-
+aggregate refresh. Both derive their "delta" deterministically from
+the testdata so the oracle can rebuild the identical scenario.
+
+The refresh oracle is the strongest statement available: the
+incremental path (base partial state + delta partial state, merged)
+must hash-equal a FULL RECOMPUTE over all rows — proving the merge
+algebra, not just reproducing it."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.operators import incremental as INC
+from env_data_pipeline_spark.plans.registry import query
+
+# deterministic delta derivation: every 7th doc gets a revision,
+# every 11th spawns a brand-new doc at doc_id + NEW_OFFSET
+_REV_MOD = 7
+_NEW_MOD = 11
+_NEW_OFFSET = 1_000_000
+
+
+def _doc_updates(docs: DataFrame) -> DataFrame:
+    revised = docs.filter(F.col("doc_id") % _REV_MOD == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+        "lang",
+        "source",
+        (F.length(F.col("text")) + F.lit(5)).alias("n_chars"),
+    )
+    fresh_text = F.concat(F.lit("fresh revision of document "), F.col("doc_id").cast("string"))
+    fresh = docs.filter(F.col("doc_id") % _NEW_MOD == 0).select(
+        (F.col("doc_id") + _NEW_OFFSET).alias("doc_id"),
+        fresh_text.alias("text"),
+        "lang",
+        "source",
+        F.length(fresh_text).alias("n_chars"),
+    )
+    return revised.unionByName(fresh)
+
+
+@query(
+    "documents_upsert_merge",
+    oracle=f"""
+    WITH updates AS (
+      SELECT doc_id, text || ' rev2' AS text, lang, source,
+             length(text) + 5 AS n_chars
+      FROM documents WHERE doc_id % {_REV_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {_NEW_OFFSET} AS doc_id,
+             'fresh revision of document ' || CAST(doc_id AS VARCHAR) AS text,
+             lang, source,
+             length('fresh revision of document ' || CAST(doc_id AS VARCHAR))
+                 AS n_chars
+      FROM documents WHERE doc_id % {_NEW_MOD} = 0
+    )
+    SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE b.lang END AS lang,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
+           CAST(CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars
+                     ELSE b.n_chars END AS BIGINT) AS n_chars,
+           CASE WHEN b.doc_id IS NULL THEN 'insert'
+                WHEN u.doc_id IS NULL THEN 'unchanged'
+                ELSE 'update' END AS op
+    FROM documents b FULL OUTER JOIN updates u USING (doc_id)
+    """,
+)
+def documents_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics without a table format: one full-outer
+    shuffle join on the key; update rows win, unmatched updates
+    insert, base rows carry through, and every output row records its
+    op. With both sides bucketed by doc_id (operators/bucketing.py)
+    the exchange disappears — the physical design for a nightly-merged
+    corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return INC.merge_upsert(docs, _doc_updates(docs), key="doc_id")
+
+
+# delta = every 10th event; base = the rest. The incremental path may
+# only aggregate each side separately and merge states.
+_DELTA_MOD = 10
+
+
+@query(
+    "events_incremental_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, proven: per-type
+    count/sum/min/max partial states computed SEPARATELY over the
+    base (90%) and the delta (10%) slices, merged with the mergeable
+    algebra (operators/incremental.py), derived avg at read time —
+    and the oracle is a FULL RECOMPUTE over all rows, so the hash
+    equality proves the refresh, not merely mirrors it. Refresh cost
+    is O(|delta| + |groups|), independent of the base row count."""
+    events = table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % _DELTA_MOD != 0)
+    delta = events.filter(F.col("event_id") % _DELTA_MOD == 0)
+    state = INC.refresh_partial_aggs(
+        INC.partial_aggs(base, ["event_type"], "value"),
+        INC.partial_aggs(delta, ["event_type"], "value"),
+        ["event_type"],
+    )
+    return state.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value"), 4).alias("total_value"),
+        F.round(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
+        F.round(F.col("min_value"), 4).alias("min_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for the incremental-maintenance operators: MERGE
+semantics on constructed frames, partial-state merge equivalence
+against direct aggregation, and batching-invariance (associativity)
+of the refresh algebra."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.operators import incremental as INC
+
+
+def test_merge_upsert_ops(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k bigint, v string"
+    )
+    rows = {r["k"]: r for r in INC.merge_upsert(base, updates, key="k").collect()}
+    assert {k: (r["v"], r["op"]) for k, r in rows.items()} == {
+        1: ("a", "unchanged"),
+        2: ("B", "update"),
+        3: ("c", "unchanged"),
+        4: ("D", "insert"),
+    }
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    bad = spark.createDataFrame([(1, "a")], "k bigint, w string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        INC.merge_upsert(base, bad, key="k")
+
+
+def test_refresh_equals_direct_aggregation(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    events = table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 10 != 0)
+    delta = events.filter(F.col("event_id") % 10 == 0)
+    refreshed = {
+        r["event_type"]: r
+        for r in INC.refresh_partial_aggs(
+            INC.partial_aggs(base, ["event_type"], "value"),
+            INC.partial_aggs(delta, ["event_type"], "value"),
+            ["event_type"],
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in INC.partial_aggs(events, ["event_type"], "value").collect()
+    }
+    assert set(refreshed) == set(direct)
+    for t in direct:
+        assert refreshed[t]["n_rows"] == direct[t]["n_rows"]
+        assert refreshed[t]["sum_value"] == pytest.approx(
+            direct[t]["sum_value"], rel=1e-12
+        )
+        assert refreshed[t]["min_value"] == direct[t]["min_value"]
+        assert refreshed[t]["max_value"] == direct[t]["max_value"]
+
+
+def test_refresh_batching_invariant(spark, sf_dir):
+    """One 2-batch refresh and a 3-batch replay must agree exactly on
+    counts/min/max and to float tolerance on sums — the associativity
+    that lets deltas arrive hourly, daily, or replayed."""
+    from env_data_pipeline_spark.catalog import table
+
+    events = table(spark, sf_dir, "events")
+    parts = [
+        INC.partial_aggs(
+            events.filter(F.col("event_id") % 3 == i), ["event_type"], "value"
+        )
+        for i in range(3)
+    ]
+    two_step = INC.refresh_partial_aggs(
+        INC.refresh_partial_aggs(parts[0], parts[1], ["event_type"]),
+        parts[2],
+        ["event_type"],
+    )
+    flat = INC.refresh_partial_aggs(
+        parts[2], INC.refresh_partial_aggs(parts[1], parts[0], ["event_type"]),
+        ["event_type"],
+    )
+    a = {r["event_type"]: r for r in two_step.collect()}
+    b = {r["event_type"]: r for r in flat.collect()}
+    assert set(a) == set(b)
+    for t in a:
+        assert a[t]["n_rows"] == b[t]["n_rows"]
+        assert a[t]["min_value"] == b[t]["min_value"]
+        assert a[t]["max_value"] == b[t]["max_value"]
+        assert a[t]["sum_value"] == pytest.approx(b[t]["sum_value"], rel=1e-12)
