@@ -29,8 +29,15 @@ from env_data_pipeline_spark.extensions import llmops as L
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 # headline representatives for the family: the zero-shuffle HOF
-# profile and the hashed n-gram decontamination join
-BENCH_EXTRA.update({"text_repetition_profile", "decontaminate_eval_overlap"})
+# profile, the hashed n-gram decontamination join, and the composed
+# curation verdict (every gate in one plan)
+BENCH_EXTRA.update(
+    {
+        "text_repetition_profile",
+        "decontaminate_eval_overlap",
+        "corpus_curation_verdict",
+    }
+)
 
 _EVAL_SOURCE = "src0"
 _PACK_BUDGET = 256
