@@ -122,3 +122,29 @@ def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("min_value"), 4).alias("min_value"),
         F.round(F.col("max_value"), 4).alias("max_value"),
     )
+
+
+@query(
+    "streaming_incremental_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-aggregate form of the refresh: events replayed as
+    4 real micro-batches (maxFilesPerTrigger=1), a foreachBatch sink
+    merging each batch's partial state into a persistent parquet state
+    table, final state checked against a full recompute — O6
+    background maintenance made provable
+    (streaming/incremental_refresh.py)."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_agg_refresh,
+    )
+
+    return streaming_agg_refresh(spark, sf_dir)

@@ -1,0 +1,133 @@
+"""Streaming standing-aggregate maintenance (O6 background execution
+x X7 incremental algebra): a foreachBatch sink that merges each
+micro-batch's partial-aggregate state into a persistent parquet state
+table — the streaming form of a nightly-refresh materialized
+aggregate, and the engine making the reference's background-worker
+promise (`containers/orchestrator/orchestrator.py:960-986`) concrete.
+
+Mechanics proven here, not merely claimed:
+- the events table is split into BATCH_SHARDS delta files and
+  replayed with maxFilesPerTrigger=1, so the refresh REALLY runs
+  once per micro-batch over partial data;
+- state persists as parquet between batches (ping-pong A/B dirs —
+  Spark cannot overwrite a path it is reading within one job);
+- the final state must equal a full recompute over all rows (the
+  DuckDB oracle), which holds only if the merge algebra
+  (operators/incremental.py) is correct across every batch boundary.
+
+Scale posture: per batch the work is O(|batch| + |groups|) — one
+map-side-combined aggregation of the batch plus a groups-sized merge
+join; base rows are never rescanned. State is |groups| rows
+regardless of stream length.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.operators import incremental as INC
+
+BATCH_SHARDS = 4
+_KEYS = ["event_type"]
+
+
+def _split_events(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize events as BATCH_SHARDS single-file deltas named so
+    the file source lists them deterministically (lexicographic order
+    = shard order)."""
+    from env_data_pipeline_spark.catalog import table
+
+    events = table(spark, sf_dir, "events")
+    for i in range(BATCH_SHARDS):
+        shard_tmp = os.path.join(out_dir, f"_build_{i}")
+        events.filter(F.col("event_id") % BATCH_SHARDS == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(shard_tmp)
+        (part,) = glob.glob(os.path.join(shard_tmp, "part-*.parquet"))
+        os.rename(part, os.path.join(out_dir, f"batch_{i}.parquet"))
+        shutil.rmtree(shard_tmp)
+
+
+def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as BATCH_SHARDS micro-batches; foreachBatch
+    merges each batch's count/sum/min/max partial state into the
+    persistent state table. Returns the final state with avg derived
+    at read time."""
+    work = tempfile.mkdtemp(prefix="stream_agg_refresh_")
+    delta_dir = os.path.join(work, "deltas")
+    ckpt_dir = os.path.join(work, "ckpt")
+    state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
+    os.makedirs(delta_dir)
+    _split_events(spark, sf_dir, delta_dir)
+
+    # splitting normalized ts already (catalog.table); stream the
+    # deltas with the normalized schema, no vintage handling needed
+    schema = spark.read.parquet(os.path.join(delta_dir, "batch_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(delta_dir)
+    )
+
+    live: list[str] = []  # last state dir actually written
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = state_dirs[batch_id % 2]
+        nxt = state_dirs[(batch_id + 1) % 2]
+        batch_state = INC.partial_aggs(batch_df, _KEYS, "value")
+        if os.path.exists(cur):
+            merged = INC.refresh_partial_aggs(
+                batch_df.sparkSession.read.parquet(cur), batch_state, _KEYS
+            )
+        else:
+            merged = batch_state
+        merged.write.mode("overwrite").parquet(nxt)
+        live.append(nxt)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    lp = q.lastProgress
+    q.stop()
+    q.awaitTermination(60)
+    if not isinstance(lp, dict):  # older API returns an object
+        import json
+
+        lp = json.loads(lp.json)
+    # the proof requires REAL multi-batch replay: if availableNow ever
+    # stopped honoring maxFilesPerTrigger and collapsed to one batch,
+    # the merge path would be untested while the result stayed green
+    last_batch = lp["batchId"]
+    if last_batch < BATCH_SHARDS - 1:
+        raise RuntimeError(
+            f"streaming refresh replay collapsed to {last_batch + 1} "
+            f"batch(es); expected {BATCH_SHARDS}"
+        )
+
+    final_dir = live[-1]  # last state dir actually written
+    state = spark.read.parquet(final_dir)
+    out = state.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value"), 4).alias("total_value"),
+        F.round(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
+        F.round(F.col("min_value"), 4).alias("min_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+    )
+    # materialize before the temp dirs can be cleaned by the OS; the
+    # result is |groups| rows
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
