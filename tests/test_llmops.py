@@ -207,3 +207,44 @@ def test_temperature_flattens_toward_uniform(spark, sf_dir):
             assert r["p_temp"] < r["p_raw"]  # majority lang downweighted
         else:
             assert r["p_temp"] > r["p_raw"]  # minority langs upweighted
+
+
+# ---------------------------------------------------------------------------
+# curation verdict priority
+# ---------------------------------------------------------------------------
+
+
+def test_curation_verdict_gate_priority(spark):
+    """A doc failing several gates must report the HIGHEST-priority
+    reason: contaminated > low_quality > high_repetition >
+    lang_mismatch; a clean doc keeps."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # eval doc (source=src0): excluded from output
+        (0, "en", "src0", eval_text),
+        # contaminated AND short AND repetitive -> 'contaminated' wins
+        (1, "en", "s1", "alpha beta gamma delta x x"),
+        # short (quality TOO_SHORT) and repetitive -> 'low_quality'
+        (2, "en", "s1", "x x x x"),
+        # long, quality OK (has stopwords), top-word heavy -> 'high_repetition'
+        (3, "en", "s1", "the a of and to in x x x x y z w v u t s r"),
+        # clean English text labeled de -> 'lang_mismatch'
+        (4, "de", "s1", "the a of and to in one two three four five six"),
+        # clean English text labeled en -> KEEP
+        (5, "en", "s1", "the a of and to in one two three four five six"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    from env_data_pipeline_spark.extensions.llmops import curation_verdict
+
+    out = {
+        r["doc_id"]: (r["verdict"], r["drop_reason"])
+        for r in curation_verdict(docs, eval_source="src0", ngram=4).collect()
+    }
+    assert 0 not in out, "eval slice must be excluded from the verdict frame"
+    assert out[1] == ("DROP", "contaminated")
+    assert out[2] == ("DROP", "low_quality")
+    assert out[3] == ("DROP", "high_repetition")
+    assert out[4] == ("DROP", "lang_mismatch")
+    assert out[5] == ("KEEP", None)

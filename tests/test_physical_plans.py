@@ -230,3 +230,67 @@ def test_json_props_single_parse(spark, sf_dir):
     plan = formatted_plan(spark, "events_props_json_stats", sf_dir)
     assert plan.count("from_json") <= 2  # project + partial-agg reuse
     assert "get_json_object" not in plan
+
+
+def test_repetition_profile_zero_exchanges(spark, sf_dir):
+    """X6 repetition metrics are per-row HOFs — the plan must contain
+    NO Exchange at all (embarrassingly parallel at any scale)."""
+    plan = formatted_plan(spark, "text_repetition_profile", sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """X6 decontamination: the eval hash set must broadcast (build
+    side stays benchmark-sized at 100 TB) and the join must be a
+    BroadcastHashJoin on the gram hash, never a shuffle join of the
+    full corpus shingle set."""
+    plan = formatted_plan(spark, "decontaminate_eval_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """X6 packing: ONE hash exchange on the shard key — the window
+    runs per shard, and the final (shard, seq_id) aggregation must
+    reuse that partitioning (shard co-location satisfies it), not add
+    a second shuffle."""
+    plan = formatted_plan(spark, "corpus_pack_sequences", sf_dir)
+    # formatted mode prints each node in the tree AND in the detail
+    # list — count the numbered detail entries only
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+
+
+def test_bucketed_merge_upsert_elides_shuffle(spark, sf_dir, tmp_path):
+    """X7 + bucketing: a nightly MERGE on a corpus bucketed by the
+    merge key must plan with NO Exchange — the co-location property
+    that makes repeated merges affordable at 100 TB."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.operators import bucketing as B
+    from env_data_pipeline_spark.operators import incremental as INC
+    from env_data_pipeline_spark.plans.incremental import _doc_updates
+
+    docs = table(spark, sf_dir, "documents")
+    B.write_bucketed(docs, "docs_bkt", 4, "doc_id", path=str(tmp_path / "d"))
+    B.write_bucketed(
+        _doc_updates(docs), "upd_bkt", 4, "doc_id", path=str(tmp_path / "u")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = INC.merge_upsert(
+            spark.table("docs_bkt"), spark.table("upd_bkt"), key="doc_id"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = merged._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin FullOuter" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the merged result matches the unbucketed path
+        unbucketed = INC.merge_upsert(docs, _doc_updates(docs), key="doc_id")
+        assert merged.count() == unbucketed.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        B.drop_table(spark, "docs_bkt")
+        B.drop_table(spark, "upd_bkt")
