@@ -277,6 +277,79 @@ def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) 
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM quality proxy (the CCNet-style signal: score each doc by
+# the mean information content of its words under the corpus unigram
+# model — gibberish and boilerplate sit at the distribution tails)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Per doc: mean -ln p(word) under the corpus unigram model.
+
+    Two passes over one scan lineage: (1) global word counts — one
+    shuffle keyed by word, map-side combined, vocab-sized output;
+    (2) explode again and broadcast-join the vocab to score — at
+    100 TB the vocab stays millions of rows (Zipf), far under
+    broadcast limits, and the per-doc mean is the second (doc-keyed)
+    shuffle. No UDFs; ln via builtin."""
+    tokens = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    vocab = tokens.groupBy("token").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (-F.log(F.col("n") / F.col("total"))).alias("neg_logp")
+    )
+    return (
+        tokens.join(F.broadcast(scored), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunk windows (the RAG/embedding preprocessing step:
+# fixed-width word windows with stride overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(docs: DataFrame, width: int = 32, stride: int = 16) -> DataFrame:
+    """Split each doc into word windows of ``width`` starting every
+    ``stride`` words; the final partial window is kept iff it adds
+    tail words beyond the previous full window. Pure per-row HOFs +
+    one explode — zero shuffles, embarrassingly parallel."""
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError(f"need 0 < stride <= width, got {width=} {stride=}")
+    w = words(F.col("text"))
+    base = docs.select("doc_id", w.alias("w"))
+    n = F.size(F.col("w"))
+    # number of windows: ceil(max(n - width + stride, 1) / stride) --
+    # equivalently last start s.t. start <= n - 1 and (start == 0 or
+    # it contributes tail words): starts 0, stride, 2*stride, ...,
+    # while start + width < n + stride
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(width)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("w"), i * stride + 1, width), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(width)).alias("n_tokens"),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end curation verdict: every gate composed into one
 # keep/drop-with-reason decision per training doc
 # ---------------------------------------------------------------------------

@@ -186,6 +186,61 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tokens AS (SELECT doc_id, u.x AS token
+                    FROM documents, unnest(string_split(text, ' ')) AS u(x)),
+    vocab AS (SELECT token, count(*) AS n FROM tokens GROUP BY 1),
+    scored AS (SELECT token,
+               -ln(n / (SELECT CAST(SUM(n) AS DOUBLE) FROM vocab)) AS neg_logp
+               FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_words,
+           ROUND(AVG(neg_logp), 6) AS mean_neg_logp
+    FROM tokens JOIN scored USING (token)
+    GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: mean -ln p(word) under
+    the corpus unigram model per doc. One vocab-keyed shuffle (map-
+    side combined) then a broadcast-join score pass; the vocab stays
+    broadcastable at 100 TB (Zipf)."""
+    return L.unigram_logprob_scores(table(spark, sf_dir, "documents"))
+
+
+_CHUNK_W = 32
+_CHUNK_S = 16
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS n,
+          greatest(CAST(ceil((len(ws) - {_CHUNK_W}) / {_CHUNK_S}.0) AS INT) + 1, 1)
+              AS n_chunks
+          FROM w)
+    SELECT doc_id,
+           unnest(list_transform(range(0, n_chunks), i -> {{
+               'chunk_id': i,
+               'chunk_text': array_to_string(
+                   ws[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}], ' '),
+               'n_tokens': least(n - i * {_CHUNK_S}, {_CHUNK_W})
+           }}), recursive := true)
+    FROM n
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding preprocessing: fixed-width overlapping word
+    windows (width 32, stride 16) per doc, final partial window kept
+    iff it adds tail words. Pure per-row HOFs + one explode — zero
+    shuffles."""
+    return L.chunk_windows(
+        table(spark, sf_dir, "documents"), width=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
 def _curation_oracle() -> str:
     # reuse the literal gate SQL already proven equal to the Spark
     # expressions by text_quality_profile / text_repetition_profile /

@@ -248,3 +248,78 @@ def test_curation_verdict_gate_priority(spark):
     assert out[3] == ("DROP", "high_repetition")
     assert out[4] == ("DROP", "lang_mismatch")
     assert out[5] == ("KEEP", None)
+
+
+# ---------------------------------------------------------------------------
+# chunk windows / unigram logprob
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_exact_layout(spark):
+    docs = _docs(spark, [(1, " ".join(f"w{i}" for i in range(10)))])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in L.chunk_windows(docs, width=4, stride=2).collect()
+    )
+    assert rows == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w2 w3 w4 w5", 4),
+        (2, "w4 w5 w6 w7", 4),
+        (3, "w6 w7 w8 w9", 4),
+    ]
+    # doc shorter than the width -> one partial window
+    short = L.chunk_windows(_docs(spark, [(2, "a b c")]), width=4, stride=2).collect()
+    assert [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in short] == [
+        (0, "a b c", 3)
+    ]
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = L.chunk_windows(docs, width=32, stride=16)
+    # stride coverage invariant: per doc, sum over chunks of
+    # (n_tokens - overlap) telescopes back to the doc length; check
+    # via the last chunk reaching the end: max(chunk_id*stride +
+    # n_tokens) == doc n_words
+    agg = {
+        r["doc_id"]: r["reach"]
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_id") * 16 + F.col("n_tokens")).alias("reach")
+        )
+        .collect()
+    }
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+        ).collect()
+    }
+    assert agg == lens
+
+
+def test_chunk_windows_rejects_bad_stride(spark):
+    with pytest.raises(ValueError, match="stride"):
+        L.chunk_windows(_docs(spark, [(1, "a b")]), width=4, stride=8)
+
+
+def test_unigram_logprob_rare_words_score_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common common"),
+            (2, "common common rare unique"),
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["mean_neg_logp"]
+        for r in L.unigram_logprob_scores(docs).collect()
+    }
+    # doc 2 carries two singleton words -> higher mean information
+    assert scores[2] > scores[1]
+    # doc 1 is all the corpus-dominant word: -ln(6/8) each
+    import math
+
+    assert scores[1] == pytest.approx(-math.log(6 / 8), abs=1e-6)
