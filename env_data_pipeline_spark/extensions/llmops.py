@@ -292,11 +292,18 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     100 TB the vocab stays millions of rows (Zipf), far under
     broadcast limits, and the per-doc mean is the second (doc-keyed)
     shuffle. No UDFs; ln via builtin."""
+    from pyspark.sql import Window
+
     tokens = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     vocab = tokens.groupBy("token").agg(F.count("*").alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
-    scored = vocab.crossJoin(F.broadcast(total)).select(
-        "token", (-F.log(F.col("n") / F.col("total"))).alias("neg_logp")
+    # corpus total via an everything-window over the vocab-sized
+    # aggregate (single partition of |vocab| rows — same pattern as
+    # heavy_hitters), not a scalar cross join
+    scored = vocab.select(
+        "token",
+        (-F.log(F.col("n") / F.sum("n").over(Window.partitionBy()))).alias(
+            "neg_logp"
+        ),
     )
     return (
         tokens.join(F.broadcast(scored), "token")
