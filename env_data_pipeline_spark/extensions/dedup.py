@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from env_data_pipeline_spark.extensions import text as TX
+
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -52,10 +54,18 @@ def dedup_keep_decision(docs: DataFrame, near_pairs: DataFrame) -> DataFrame:
     Scale: the exact pass is one shuffle on the 16-byte digest (text
     never shuffles); the near-dup drop set is DISTINCT doc_b only —
     duplicate-sized, tiny vs the corpus — and broadcast-joins back."""
+    groups = exact_dup_groups(docs)  # duplicate groups only — tiny
     hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
-    reps = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
-    exact = hashed.join(reps, "text_hash").select(
-        "doc_id", (F.col("doc_id") != F.col("rep")).alias("exact_dup")
+    exact = hashed.join(
+        F.broadcast(groups.select("text_hash", "representative_doc_id")),
+        "text_hash",
+        "left",
+    ).select(
+        "doc_id",
+        (
+            F.col("representative_doc_id").isNotNull()
+            & (F.col("doc_id") != F.col("representative_doc_id"))
+        ).alias("exact_dup"),
     )
     near = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
         "near_dup", F.lit(True)
@@ -118,7 +128,7 @@ MINHASH_COEFFS = [
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """Wide signature row per doc: s0..s15 = min over shingles of the
     i-th arithmetic permutation of the shingle's 48-bit md5 prefix."""
-    x = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint") % MINHASH_P
+    x = TX.md5_prefix_hash("shingle") % MINHASH_P
     return sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"s{i}")
@@ -193,9 +203,7 @@ def ngram_jaccard_pairs(
         shingles(docs, distinct=False)
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
-            .cast("bigint")
-            .alias("shingle"),
+            TX.md5_prefix_hash("shingle").alias("shingle"),
         )
         .distinct()
     )

@@ -133,16 +133,14 @@ def _shingle_hashes_raw(docs: DataFrame, n: int) -> DataFrame:
     n_grams = F.size(F.col("w")) - (n - 1)
     # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to
     # an empty shingle set instead of relying on it
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
     grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(F.col("w"), i, n), " ")), 1, 12
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            lambda i: md5_prefix_hash(
+                F.array_join(F.slice(F.col("w"), i, n), " ")
+            ),
         )
     )
     return base.select("doc_id", F.explode(grams).alias("ghash"))
@@ -377,11 +375,10 @@ def curation_verdict(
     corpus — so the wide path costs exactly what
     ``contamination_report`` costs."""
     from env_data_pipeline_spark.extensions.text import (
-        n_tokens,
-        predicted_lang,
+        predicted_lang_w,
         punct_ratio,
         quality_bucket,
-        stopword_ratio,
+        stopword_ratio_w,
     )
 
     train = docs.filter(F.col("source") != eval_source)
@@ -390,11 +387,14 @@ def curation_verdict(
         train.select("doc_id", "text"), eval_docs.select("doc_id", "text"), ngram
     ).select("doc_id", F.lit(True).alias("contaminated"))
 
-    t = F.col("text")
-    w = words(t)
-    base = train.select("doc_id", "lang", "text", w.alias("w"))
+    # materialize the split ONCE and derive every word-based metric
+    # from the array column — quality, repetition, and all 5 language
+    # scores would otherwise each re-run split(text) in this projection
+    base = train.select("doc_id", "lang", "text", words(F.col("text")).alias("w"))
     wc = F.col("w")
-    quality = quality_bucket(n_tokens(t), stopword_ratio(t), punct_ratio(t))
+    quality = quality_bucket(
+        F.size(wc), stopword_ratio_w(wc), punct_ratio(F.col("text"))
+    )
     rep = repetition_bucket(
         dup_word_frac(wc), top_word_frac(wc), dup_bigram_frac(wc)
     )
@@ -403,7 +403,7 @@ def curation_verdict(
         "lang",
         quality.alias("quality"),
         rep.alias("repetition"),
-        predicted_lang(t).alias("predicted_lang"),
+        predicted_lang_w(wc).alias("predicted_lang"),
     ).join(F.broadcast(hits), "doc_id", "left")
 
     reason = (
@@ -446,7 +446,15 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    return {
-        name: F.regexp_count(text, F.lit(PII_PATTERNS[name][0]))
-        for name in PII_ORDER
-    }
+    """Per-class redaction counts, each computed on the text AFTER the
+    earlier classes were scrubbed — so the counts reconcile exactly
+    with the replacement tokens in ``redact_pii``'s output. Counting
+    every class on the raw text would double-report PII consumed by an
+    earlier pass (a phone-shaped local part inside an email)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name in PII_ORDER:
+        pat, rep = PII_PATTERNS[name]
+        out[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, rep)
+    return out

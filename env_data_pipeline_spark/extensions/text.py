@@ -25,6 +25,15 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def md5_prefix_hash(col: Column | str, hex_chars: int = 12) -> Column:
+    """THE engine-wide string->int hash convention: leading
+    ``hex_chars`` of md5 as a BIGINT (48 bits by default). Every
+    DuckDB oracle mirrors it as ``('0x' || substr(md5(x), 1, n))::
+    BIGINT`` — change the two together or every hash-keyed oracle
+    drifts."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
 def n_tokens(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(text))
@@ -38,10 +47,18 @@ def n_tokens_bpe_ish(text: Column) -> Column:
     return F.greatest(word_pieces, F.ceil(F.length(text) / 4).cast("int"))
 
 
-def stopword_ratio(text: Column) -> Column:
-    w = words(text)
+def stopword_ratio_w(w: Column) -> Column:
+    """Stopword ratio over an ALREADY-SPLIT word array — use this when
+    the split is materialized as its own column; composing the
+    text-based form several times in one projection re-runs the split
+    per reference (the Catalyst pitfall measured on the shingle
+    path)."""
     n_stop = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS)))
     return n_stop / F.greatest(F.size(w), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_w(words(text))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -66,18 +83,21 @@ def quality_bucket(n_words: Column, stop_ratio: Column, punct: Column) -> Column
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    w = words(text)
+def lang_scores_w(w: Column) -> dict[str, Column]:
     return {
         lang: F.size(F.filter(w, lambda x: x.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def predicted_lang(text: Column) -> Column:
-    """Argmax of marker-word overlap, ties broken by language code
-    order (deterministic)."""
-    scores = lang_scores(text)
+def lang_scores(text: Column) -> dict[str, Column]:
+    return lang_scores_w(words(text))
+
+
+def predicted_lang_w(w: Column) -> Column:
+    """Argmax of marker-word overlap over an already-split word array,
+    ties broken by language code order (deterministic)."""
+    scores = lang_scores_w(w)
     best = None
     for lang in sorted(scores):
         s = scores[lang]
@@ -89,6 +109,10 @@ def predicted_lang(text: Column) -> Column:
                 F.struct(s.alias("score"), F.lit(lang).alias("lang")),
             ).otherwise(best)
     return best.getField("lang")
+
+
+def predicted_lang(text: Column) -> Column:
+    return predicted_lang_w(words(text))
 
 
 def bag_fingerprint(text: Column) -> Column:
@@ -111,11 +135,7 @@ def word_hash_vals(text: Column) -> Column:
     its own projection before folding: referencing it from several
     sub-expressions of one projection would re-run the transform per
     reference (same Catalyst pitfall as the shingle split)."""
-    return F.transform(
-        words(text),
-        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("bigint")
-        % ROLL_P,
-    )
+    return F.transform(words(text), lambda w: md5_prefix_hash(w) % ROLL_P)
 
 
 def rolling_fingerprint(vals: Column) -> Column:

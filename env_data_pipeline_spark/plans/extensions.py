@@ -394,7 +394,7 @@ def _duck_int_bucket(n: int = 4) -> str:
 _DUCK_PROBES = ", ".join(
     f"xor(bucket, {m})" if m else "bucket" for m in X.probe_masks(4, 2)
 )
-_DUCK_LSH_CTES = f"""
+_DUCK_ANN_LSH_CTES = f"""
     cb AS (SELECT vec_id, embedding, {_duck_int_bucket(4)} AS bucket FROM embeddings),
     qp AS (
       SELECT vec_id, embedding,
@@ -455,7 +455,7 @@ _DUCK_IVF_CTES = f"""
 @query(
     "similarity_topk_lsh",
     oracle=f"""
-    WITH {_DUCK_LSH_CTES},
+    WITH {_DUCK_ANN_LSH_CTES},
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -476,7 +476,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_topk",
     oracle=f"""
-    WITH {_DUCK_LSH_CTES},
+    WITH {_DUCK_ANN_LSH_CTES},
     ranked AS (
       SELECT query_id, neighbor_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1011,7 +1011,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_knn_label_agreement",
     oracle=f"""
-    WITH {_DUCK_LSH_CTES},
+    WITH {_DUCK_ANN_LSH_CTES},
     lsh3 AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -1096,7 +1096,7 @@ def similarity_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         FROM bscored
       ) WHERE rank <= 3
     ),
-    {_DUCK_LSH_CTES.strip().lstrip()},
+    {_DUCK_ANN_LSH_CTES.strip().lstrip()},
     lsh AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,

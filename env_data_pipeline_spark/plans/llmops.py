@@ -354,18 +354,22 @@ def _pii_oracle() -> str:
     email_rep = L.PII_PATTERNS["email"][1]
     phone_rep = L.PII_PATTERNS["phone"][1]
     ip_rep = L.PII_PATTERNS["ipv4"][1]
+    # counts mirror pii_counts: each class counted AFTER the earlier
+    # classes were scrubbed, so counts reconcile with the tokens
     return f"""
-    WITH augmented AS (SELECT doc_id, text || ({_DUCK_PII_CONTACT}) AS t FROM documents)
+    WITH augmented AS (SELECT doc_id, text || ({_DUCK_PII_CONTACT}) AS t FROM documents),
+    s1 AS (SELECT doc_id, t,
+           regexp_replace(t, '{email_pat}', '{email_rep}', 'g') AS t1
+           FROM augmented),
+    s2 AS (SELECT doc_id, t, t1,
+           regexp_replace(t1, '{phone_pat}', '{phone_rep}', 'g') AS t2
+           FROM s1)
     SELECT doc_id,
            len(regexp_extract_all(t, '{email_pat}')) AS n_emails,
-           len(regexp_extract_all(t, '{phone_pat}')) AS n_phones,
-           len(regexp_extract_all(t, '{ip_pat}')) AS n_ips,
-           md5(regexp_replace(
-               regexp_replace(
-                   regexp_replace(t, '{email_pat}', '{email_rep}', 'g'),
-                   '{phone_pat}', '{phone_rep}', 'g'),
-               '{ip_pat}', '{ip_rep}', 'g')) AS redacted_md5
-    FROM augmented
+           len(regexp_extract_all(t1, '{phone_pat}')) AS n_phones,
+           len(regexp_extract_all(t2, '{ip_pat}')) AS n_ips,
+           md5(regexp_replace(t2, '{ip_pat}', '{ip_rep}', 'g')) AS redacted_md5
+    FROM s2
     """
 
 

@@ -88,6 +88,15 @@ def test_redaction_complete_and_idempotent(spark, words, pii):
         )
     # idempotence: a second pass is a no-op
     assert row["red2"] == row["red"]
+    # reconciliation: each class count equals its token occurrences in
+    # the redacted output (counts are computed on progressively
+    # scrubbed text, so PII consumed by an earlier class is never
+    # double-reported)
+    for n in L.PII_ORDER:
+        token = L.PII_PATTERNS[n][1]
+        assert row[f"n_{n}"] == row["red"].count(token), (
+            f"{n} count {row[f'n_{n}']} != {token} tokens in {row['red']!r}"
+        )
     # at least as many redactions as injected PII items (carrier text
     # cannot produce emails/phones/IPs: no digits, no '@')
     assert sum(row[f"n_{n}"] for n in L.PII_ORDER) >= len(pii) - sum(

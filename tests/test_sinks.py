@@ -152,3 +152,42 @@ def test_compact_dataset_preserves_hive_partitioning(spark, tmp_path):
         for r in pruned.withColumn("f", F.input_file_name()).select("f").collect()
     }
     assert files and all("bucket=01" in f for f in files)
+
+
+def test_json_sink_doubles_stay_in_jd_covered_families(spark):
+    """Tripwire for the byte-identical JSON oracle: _jd
+    (plans/collect.py) formats doubles for exactly three families —
+    0.0, plain decimals in [1e-3, 1e7), and round(,4)-quantized
+    sub-milli values k*1e-4. A testdata refresh that pushes any
+    numeric field outside those families (e.g. an unrounded latitude
+    of 1.2345e-4, or a value >= 1e7 where Java switches to
+    E-notation) would fail oracle parity as an opaque text mismatch;
+    this test names the offending value instead. Same enforcement
+    pattern as the events hour-alignment tripwire."""
+    import json
+    import re
+
+    from env_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    num_re = re.compile(r'(?<=[:,\[])-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?')
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = registry.QUERIES["collect_json_sink"](spark, sf)
+        (json_col,) = [c for c in docs.columns if "json" in c.lower()] or [
+            docs.columns[-1]
+        ]
+        for row in docs.select(json_col).toLocalIterator():
+            for tok in num_re.findall(row[0]):
+                if "." not in tok and "e" not in tok.lower():
+                    continue  # integer field
+                v = abs(float(tok))
+                ok = (
+                    v == 0.0
+                    or (1e-3 <= v < 1e7)
+                    # sub-milli band must sit on the round(,4) grid
+                    or (v < 1e-3 and abs(v * 1e4 - round(v * 1e4)) < 1e-9)
+                )
+                assert ok, (
+                    f"{sf}: JSON double {tok!r} outside _jd's covered "
+                    "families — extend _jd or re-round the producing column"
+                )
