@@ -241,6 +241,43 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 100 < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/validation/test assignment
+    (90/5/5 on md5(doc_id) mod 100 — the same engine-wide hash
+    convention as the stratified sampler), summarized per (split,
+    lang). Reproducible across engines, cluster sizes, and runs; a
+    doc's split never changes when the corpus grows — the property
+    random.split() cannot give."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_prefix_hash(F.col("doc_id").cast("string")) % 100
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
 def _curation_oracle() -> str:
     # reuse the literal gate SQL already proven equal to the Spark
     # expressions by text_quality_profile / text_repetition_profile /

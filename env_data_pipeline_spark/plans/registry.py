@@ -48,6 +48,12 @@ def query(name: str, oracle: str | None) -> Callable[[SparkQuery], SparkQuery]:
 # (Import-order rotation alone cannot express this: plans.collect
 # imports plans.envpipe/raster, so their registrations always precede
 # its own.)
+#
+# MAINTENANCE: at the start of each round, fold the previous round's
+# newly green CORRECTNESS_r{N}.json names into this set so the next
+# sample window spends its slots on whatever still lacks evidence;
+# tests/test_registry_rotation.py fails if the unstamped set ever
+# outgrows the window.
 DRIVER_STAMPED: frozenset[str] = frozenset(
     {
         "flagship_pricing_summary", "revenue_by_region",
