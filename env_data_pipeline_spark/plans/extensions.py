@@ -348,6 +348,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_crossmodal_agreement",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES},
+    aug_emb AS ({_DUCK_AUG_EMB})
+    SELECT p.doc_a, p.doc_b, p.shared_bands,
+           ROUND({_DUCK_COSINE}, 4) AS cosine_sim,
+           ROUND({_DUCK_COSINE}, 4) >= 0.9 AS embedding_agrees
+    FROM lsh_pairs p
+    JOIN aug_emb q ON q.vec_id = p.doc_a
+    JOIN aug_emb c ON c.vec_id = p.doc_b
+    """,
+)
+def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup consistency: every TEXT near-dup candidate
+    pair (MinHash-LSH) checked against the EMBEDDING signal — pairs
+    whose ids carry embeddings get their cosine and an agrees flag.
+    The two augmentations plant the same duplicate structure at the
+    same ids, so text-evidence pairs should score high cosine; a
+    divergence flags either a bad embedding batch or an LSH false
+    positive. Plan: the pair set (duplicate-sized, tiny) broadcasts
+    onto the embeddings twice — no corpus-sized shuffle."""
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_signatures(D.shingles(_aug_docs(spark, sf_dir), distinct=False))
+    )
+    emb = _aug_embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    # stream the embeddings, broadcast the (duplicate-sized) pair side
+    # at each step — the pair frame never exceeds the dup population
+    pa = a.join(F.broadcast(pairs), "doc_a")
+    joined = b.join(F.broadcast(pa), "doc_b")
+    cos = F.round(X.cosine(F.col("ea"), F.col("eb")), 4)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "shared_bands",
+        cos.alias("cosine_sim"),
+        (cos >= 0.9).alias("embedding_agrees"),
+    )
+
+
+@query(
     "similarity_topk_exact_baseline",
     oracle=f"""
     WITH scored AS (
