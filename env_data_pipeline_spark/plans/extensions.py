@@ -117,6 +117,17 @@ _DUCK_LSH_CTES = f"""aug AS ({_DUCK_AUG}),
     )"""
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE candidate-pair pipeline every dedup consumer shares:
+    shingle (distinct=False — MIN is idempotent) -> minhash ->
+    banded self-join over the augmented corpus. One definition so
+    dedup_minhash_lsh, dedup_clusters, corpus_dedup_keep and
+    dedup_crossmodal_agreement can never desynchronize their pair
+    populations."""
+    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
+    return D.lsh_candidate_pairs(D.minhash_signatures(sh))
+
+
 @query(
     "corpus_dedup_keep",
     oracle=f"""
@@ -140,11 +151,7 @@ def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidate pair; everything else keeps. Exact evidence
     wins the reason column. One digest shuffle + the LSH pipeline;
     the near-dup drop set broadcasts back onto the corpus."""
-    aug = _aug_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(
-        D.minhash_signatures(D.shingles(aug, distinct=False))
-    )
-    return D.dedup_keep_decision(aug, pairs)
+    return D.dedup_keep_decision(_aug_docs(spark, sf_dir), _lsh_pairs(spark, sf_dir))
 
 
 @query(
@@ -164,8 +171,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only (band, key, doc_id). Exact copies share 4/4 bands;
     first-word-dropped near-copies share bands with probability ~ J^4
     per band (J≈0.97)."""
-    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
-    return D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    return _lsh_pairs(spark, sf_dir)
 
 
 @query(
@@ -209,9 +215,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same graph with a recursive CTE (transitive closure is fine at
     oracle SF, wrong tool at 100 TB — which is exactly why the engine
     side iterates instead)."""
-    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh))
-    labels = D.connected_components(pairs)
+    labels = D.connected_components(_lsh_pairs(spark, sf_dir))
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "doc_id",
@@ -369,9 +373,7 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence flags either a bad embedding batch or an LSH false
     positive. Plan: the pair set (duplicate-sized, tiny) broadcasts
     onto the embeddings twice — no corpus-sized shuffle."""
-    pairs = D.lsh_candidate_pairs(
-        D.minhash_signatures(D.shingles(_aug_docs(spark, sf_dir), distinct=False))
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     emb = _aug_embeddings(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
@@ -379,14 +381,16 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at each step — the pair frame never exceeds the dup population
     pa = a.join(F.broadcast(pairs), "doc_a")
     joined = b.join(F.broadcast(pa), "doc_b")
-    cos = F.round(X.cosine(F.col("ea"), F.col("eb")), 4)
-    return joined.select(
+    # materialize the cosine ONCE, then derive the flag from the named
+    # column — referencing the 3-fold HOF expression twice in one
+    # projection would re-evaluate it per reference
+    scored = joined.select(
         "doc_a",
         "doc_b",
         "shared_bands",
-        cos.alias("cosine_sim"),
-        (cos >= 0.9).alias("embedding_agrees"),
+        F.round(X.cosine(F.col("ea"), F.col("eb")), 4).alias("cosine_sim"),
     )
+    return scored.withColumn("embedding_agrees", F.col("cosine_sim") >= 0.9)
 
 
 @query(

@@ -259,11 +259,12 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/validation/test assignment
-    (90/5/5 on md5(doc_id) mod 100 — the same engine-wide hash
-    convention as the stratified sampler), summarized per (split,
-    lang). Reproducible across engines, cluster sizes, and runs; a
-    doc's split never changes when the corpus grows — the property
-    random.split() cannot give."""
+    (90/5/5 on the engine-wide md5-prefix hash family, here 48 bits
+    mod 100; the stratified sampler uses the same family at 32 bits
+    mod 10000 — same idea, different parameters), summarized per
+    (split, lang). Reproducible across engines, cluster sizes, and
+    runs; a doc's split never changes when the corpus grows — the
+    property random.split() cannot give."""
     from env_data_pipeline_spark.extensions.text import md5_prefix_hash
 
     docs = table(spark, sf_dir, "documents")
