@@ -19,6 +19,17 @@ Scale posture: per batch the work is O(|batch| + |groups|) — one
 map-side-combined aggregation of the batch plus a groups-sized merge
 join; base rows are never rescanned. State is |groups| rows
 regardless of stream length.
+
+Replay idempotence caveat: foreachBatch is at-least-once under crash
+recovery — a batch re-delivered after a crash between the state write
+and the checkpoint commit would merge twice. This module runs a
+single synchronous availableNow drain over per-call temp dirs, where
+no such window exists; a long-lived production deployment must
+version the state by batch_id and skip already-applied batches (the
+standard foreachBatch exactly-once recipe). The engine's own stateful
+streaming path IS covered for crash recovery:
+tests/test_streaming_semantics.py kills a windowed-agg query
+mid-stream and proves exactly-once on resume from checkpoint.
 """
 
 from __future__ import annotations

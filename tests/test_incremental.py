@@ -92,3 +92,17 @@ def test_refresh_batching_invariant(spark, sf_dir):
         assert a[t]["min_value"] == b[t]["min_value"]
         assert a[t]["max_value"] == b[t]["max_value"]
         assert a[t]["sum_value"] == pytest.approx(b[t]["sum_value"], rel=1e-12)
+
+
+def test_streaming_refresh_deterministic_across_runs(spark, sf_dir):
+    """Two independent drains (fresh temp dirs, fresh checkpoints)
+    must produce identical state — batch order and partitioning may
+    vary, so this holds only because the merge algebra is
+    commutative/associative and sums are rounded at read time."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_agg_refresh,
+    )
+
+    a = {r["event_type"]: tuple(r) for r in streaming_agg_refresh(spark, sf_dir).collect()}
+    b = {r["event_type"]: tuple(r) for r in streaming_agg_refresh(spark, sf_dir).collect()}
+    assert a == b
