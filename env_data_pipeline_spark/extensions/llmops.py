@@ -274,6 +274,44 @@ def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) 
     return out
 
 
+def resample_execute(
+    docs: DataFrame, key: str = "lang", alpha: float = 0.7
+) -> DataFrame:
+    """Execute the temperature mixture: each doc is replicated
+    floor(factor) times plus one more with probability frac(factor),
+    decided by a deterministic per-doc hash — so the materialized
+    corpus converges on the target mixture while staying reproducible
+    across engines, runs, and cluster sizes. Factors are rounded to
+    6 dp before the floor/frac split so both engines do identical
+    decimal arithmetic (an unrounded pow() ulp could flip a floor).
+
+    Returns the per-key accounting: docs in, docs out, target vs
+    achieved factor. Plan: the K-row factor table broadcast-joins the
+    corpus; replication is explode(sequence(...)) — no shuffle beyond
+    the final K-row aggregate."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    factors = temperature_weights(docs, key=key, alpha=alpha).select(
+        key, F.round(F.col("sample_factor"), 6).alias("factor")
+    )
+    with_f = docs.join(F.broadcast(factors), key)
+    frac = F.col("factor") - F.floor(F.col("factor"))
+    extra_draw = (
+        md5_prefix_hash(F.concat(F.col("doc_id").cast("string"), F.lit("|resample")))
+        % 1_000_000
+    ) / 1_000_000.0
+    n_copies = (F.floor(F.col("factor")) + (extra_draw < frac).cast("long")).alias(
+        "n_copies"
+    )
+    per_doc = with_f.select(key, "factor", n_copies)
+    return per_doc.groupBy(key).agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum("n_copies").alias("n_docs_out"),
+        F.round(F.first("factor"), 4).alias("target_factor"),
+        F.round(F.sum("n_copies") / F.count("*"), 4).alias("achieved_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM quality proxy (the CCNet-style signal: score each doc by
 # the mean information content of its words under the corpus unigram

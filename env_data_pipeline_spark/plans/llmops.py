@@ -242,6 +242,45 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_resample_execute",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT lang, n_docs,
+          n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p FROM c),
+    s AS (SELECT lang, n_docs, p, POW(p, {_TEMP_ALPHA}) AS pa,
+          SUM(POW(p, {_TEMP_ALPHA})) OVER () AS spa FROM t),
+    -- 4 dp to match sample_factor's rounding in temperature_weights
+    -- (the Spark side consumes that column); the later ROUND(,6) in
+    -- resample_execute is then a no-op on both engines
+    f AS (SELECT lang, ROUND((pa / spa) / p, 4) AS factor FROM s),
+    per_doc AS (
+      SELECT d.lang, f.factor,
+             CAST(FLOOR(f.factor) AS BIGINT) +
+             CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                        || '|resample'), 1, 12))::BIGINT % 1000000)
+                       / 1000000.0 < f.factor - FLOOR(f.factor)
+                  THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN f USING (lang)
+    )
+    SELECT lang, COUNT(*) AS n_docs_in,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs_out,
+           ROUND(MIN(factor), 4) AS target_factor,
+           ROUND(SUM(n_copies) / CAST(COUNT(*) AS DOUBLE), 4) AS achieved_factor
+    FROM per_doc GROUP BY 1
+    """,
+)
+def corpus_resample_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture EXECUTED: per-doc replication counts
+    (floor + deterministic-hash fractional draw) aggregated into
+    docs-in/docs-out accounting per language, converging on the
+    target factor while staying reproducible everywhere. The K-row
+    factor table broadcasts; no corpus-sized shuffle."""
+    return L.resample_execute(
+        table(spark, sf_dir, "documents"), key="lang", alpha=_TEMP_ALPHA
+    )
+
+
+@query(
     "corpus_split_assignment",
     oracle="""
     WITH assigned AS (
