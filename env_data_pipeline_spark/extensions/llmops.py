@@ -275,29 +275,34 @@ def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) 
 
 
 def resample_execute(
-    docs: DataFrame, key: str = "lang", alpha: float = 0.7
+    docs: DataFrame, key: str = "lang", alpha: float = 0.7, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Execute the temperature mixture: each doc is replicated
-    floor(factor) times plus one more with probability frac(factor),
-    decided by a deterministic per-doc hash — so the materialized
-    corpus converges on the target mixture while staying reproducible
-    across engines, runs, and cluster sizes. Factors are rounded to
-    6 dp before the floor/frac split so both engines do identical
-    decimal arithmetic (an unrounded pow() ulp could flip a floor).
+    """Decide the temperature-mixture execution: each doc gets a
+    replication count of floor(factor) plus one more with probability
+    frac(factor), drawn from a deterministic per-doc hash — so a
+    corpus materialized from these counts (explode(sequence(1,
+    n_copies)) as the follow-on step) converges on the target mixture
+    while staying reproducible across engines, runs, and cluster
+    sizes. The factor arrives already rounded to 4 dp by
+    temperature_weights — that rounding is what keeps the floor/frac
+    split identical across engines (an unrounded pow() ulp could flip
+    a floor).
 
     Returns the per-key accounting: docs in, docs out, target vs
     achieved factor. Plan: the K-row factor table broadcast-joins the
-    corpus; replication is explode(sequence(...)) — no shuffle beyond
-    the final K-row aggregate."""
+    corpus (null-safe, so NULL-key docs keep their group instead of
+    silently dropping); no shuffle beyond the final K-row aggregate."""
     from env_data_pipeline_spark.extensions.text import md5_prefix_hash
 
     factors = temperature_weights(docs, key=key, alpha=alpha).select(
-        key, F.round(F.col("sample_factor"), 6).alias("factor")
+        F.col(key).alias("_factor_key"), F.col("sample_factor").alias("factor")
     )
-    with_f = docs.join(F.broadcast(factors), key)
+    with_f = docs.join(
+        F.broadcast(factors), docs[key].eqNullSafe(factors["_factor_key"])
+    )
     frac = F.col("factor") - F.floor(F.col("factor"))
     extra_draw = (
-        md5_prefix_hash(F.concat(F.col("doc_id").cast("string"), F.lit("|resample")))
+        md5_prefix_hash(F.concat(F.col(id_col).cast("string"), F.lit("|resample")))
         % 1_000_000
     ) / 1_000_000.0
     n_copies = (F.floor(F.col("factor")) + (extra_draw < frac).cast("long")).alias(

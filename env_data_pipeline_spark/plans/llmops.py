@@ -249,9 +249,9 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
           n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p FROM c),
     s AS (SELECT lang, n_docs, p, POW(p, {_TEMP_ALPHA}) AS pa,
           SUM(POW(p, {_TEMP_ALPHA})) OVER () AS spa FROM t),
-    -- 4 dp to match sample_factor's rounding in temperature_weights
-    -- (the Spark side consumes that column); the later ROUND(,6) in
-    -- resample_execute is then a no-op on both engines
+    -- 4 dp matches sample_factor's rounding in temperature_weights
+    -- (the Spark side consumes that column); that rounding is the
+    -- cross-engine guard for the floor/frac split
     f AS (SELECT lang, ROUND((pa / spa) / p, 4) AS factor FROM s),
     per_doc AS (
       SELECT d.lang, f.factor,
@@ -260,7 +260,7 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                         || '|resample'), 1, 12))::BIGINT % 1000000)
                        / 1000000.0 < f.factor - FLOOR(f.factor)
                   THEN 1 ELSE 0 END AS n_copies
-      FROM documents d JOIN f USING (lang)
+      FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
     )
     SELECT lang, COUNT(*) AS n_docs_in,
            CAST(SUM(n_copies) AS BIGINT) AS n_docs_out,

@@ -323,3 +323,52 @@ def test_unigram_logprob_rare_words_score_higher(spark):
     import math
 
     assert scores[1] == pytest.approx(-math.log(6 / 8), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# resample execution
+# ---------------------------------------------------------------------------
+
+
+def test_resample_counts_bracket_target(spark, sf_dir):
+    """The scheme's invariant, asserted independently of the mirrored
+    oracle: every group's n_docs_out sits in [n_in*floor(f),
+    n_in*ceil(f)], and the achieved factor lands near the target
+    (binomial draw over n_in docs — tolerance 4 sigma)."""
+    import math
+
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    for r in L.resample_execute(docs, key="lang", alpha=0.7).collect():
+        f, n_in = r["target_factor"], r["n_docs_in"]
+        lo, hi = math.floor(f), math.ceil(f)
+        assert n_in * lo <= r["n_docs_out"] <= n_in * hi
+        frac = f - lo
+        sigma = math.sqrt(max(frac * (1 - frac), 1e-9) / n_in)
+        assert abs(r["achieved_factor"] - f) <= 4 * sigma + 1e-4, (
+            f"{r['lang']}: achieved {r['achieved_factor']} vs target {f} "
+            f"(n={n_in}, 4sigma={4*sigma:.4f})"
+        )
+
+
+def test_resample_keeps_null_key_group(spark):
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(40)],
+        "doc_id bigint, lang string",
+    )
+    rows = {r["lang"]: r for r in L.resample_execute(docs, key="lang").collect()}
+    assert set(rows) == {"en", None}, "NULL-key docs must keep their group"
+    assert rows[None]["n_docs_in"] == 20
+    assert sum(r["n_docs_in"] for r in rows.values()) == 40
+
+
+def test_resample_deterministic(spark, sf_dir):
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, L.resample_execute(docs).collect()))
+    b = sorted(map(tuple, L.resample_execute(docs).collect()))
+    # counts are integers and factors are rounded from identical
+    # inputs — same session, same corpus, exact equality holds
+    assert a == b
