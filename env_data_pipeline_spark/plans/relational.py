@@ -375,6 +375,59 @@ BENCH_EXTRA.add("events_asof_last_touch")
 
 
 @query(
+    "events_interval_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           COUNT(CASE WHEN e.event_type = 'click' THEN 1 END) AS n_prior_clicks,
+           COUNT(CASE WHEN e.event_type = 'view' THEN 1 END) AS n_prior_views,
+           ROUND(SUM(e.value), 4) AS prior_window_value
+    FROM p LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 10 MINUTE
+     AND e.ts < p.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL join (the time-window complement of the as-of join):
+    for each purchase, the same user's activity in the 10 minutes
+    strictly before it — click/view counts and summed value.
+
+    Scale shape: the join is EQUI on user_id (one shuffle keyed by
+    user) with the time-range predicate evaluated inside each matched
+    group — never a cross product. A pathological single user with
+    millions of events would additionally bucket both sides by
+    time-window (equi on (user, window) with adjacent-bucket probes);
+    at this corpus's per-user volumes the plain equi-key plan is the
+    right one."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_type").alias("e_type"),
+        F.col("value").alias("e_value"),
+    )
+    j = p.join(
+        e,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("ts")),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id", "ts").agg(
+        F.count(F.when(F.col("e_type") == "click", 1)).alias("n_prior_clicks"),
+        F.count(F.when(F.col("e_type") == "view", 1)).alias("n_prior_views"),
+        F.round(F.sum("e_value"), 4).alias("prior_window_value"),
+    )
+
+
+@query(
     "top_suppliers_per_nation",
     oracle="""
     WITH rev AS (

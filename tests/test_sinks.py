@@ -191,3 +191,24 @@ def test_json_sink_doubles_stay_in_jd_covered_families(spark):
                     f"{sf}: JSON double {tok!r} outside _jd's covered "
                     "families — extend _jd or re-round the producing column"
                 )
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """Format interchange: the engine's tables round-trip through ORC
+    (the other mainstream columnar format, builtin to Spark) with
+    identical contents — a 100 TB estate usually has both formats in
+    play, and the operators must not care which one fed them."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    digest = lambda df: df.select(
+        F.md5(F.concat_ws("|", *sorted(df.columns))).alias("h")
+    ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))).first()[0]
+    assert digest(back) == digest(docs)
