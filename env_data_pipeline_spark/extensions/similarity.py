@@ -392,3 +392,107 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + Lloyd k-means (trained IVF centroids)
+# ---------------------------------------------------------------------------
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left-to-right fold — same element
+    order as the oracle's list_sum, so both engines accumulate the
+    identical double sequence."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_quantize_cols(vec: Column) -> dict[str, Column]:
+    """Per-vector symmetric int8 quantization, expressed as pure
+    Column math (no UDF): scale = max|x|/127; code_i =
+    floor(x_i/scale + 0.5) — floor(+0.5) instead of round() because
+    floor is defined identically on every engine while round's
+    half-rule is not. Returns the scale, the exact relative L2
+    reconstruction error, and the squared norm (0-vector guard).
+
+    This is the storage format a 100 TB embedding store actually
+    serves from (4x smaller, SIMD-friendly); the error column is the
+    audit that the compression is lossless-enough per vector."""
+    absmax = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = absmax / F.lit(127.0)
+
+    def _sq_err(acc: Column, x: Column) -> Column:
+        dq = F.floor(x / scale + F.lit(0.5)) * scale
+        return acc + (x - dq) * (x - dq)
+
+    err2 = F.aggregate(vec, F.lit(0.0), _sq_err)
+    norm2 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    rel_err = F.when(norm2 == 0.0, F.lit(0.0)).otherwise(
+        F.sqrt(err2) / F.sqrt(norm2)
+    )
+    return {"scale": scale, "rel_err": rel_err, "norm2": norm2}
+
+
+def kmeans_lloyd(
+    pts: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the training step
+    that turns the sampled-row IVF shortcut into learned centroids.
+
+    ``pts``: (vec_id, v: array<double>); ``init_centroids``:
+    (cluster_id, c: array<double>). Each iteration is (1) a broadcast
+    of the K centroids against the corpus — an O(N*K) map with NO
+    shuffle of the vectors — and (2) one aggregation shuffle keyed by
+    (cluster_id, dim position) to average members. At 100 TB that is
+    the canonical plan: the data never moves for assignment, only
+    K*dim floats do.
+
+    New centroid components are quantized to the 1/``quant`` grid
+    (floor semantics) so the iteration is bitwise-reproducible across
+    engines and summation orders — the property that lets a DuckDB
+    oracle replay the identical training run. Returns the final
+    assignment (vec_id, cluster_id, dist2)."""
+    cent = init_centroids
+    assigned = None
+    for _ in range(iters):
+        scored = pts.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "cluster_id",
+            sq_dist(F.col("v"), F.col("c")).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            # rank on the quantized distance: raw doubles can differ by
+            # an ulp between engines, flipping near-tie assignments
+            F.asc(F.floor(F.col("dist2") * F.lit(quant))), F.asc("cluster_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cent = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cval"))
+                ).alias("pc")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("c"),
+            )
+        )
+    return assigned.select("vec_id", "cluster_id", "dist2")

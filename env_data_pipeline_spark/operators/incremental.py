@@ -61,6 +61,66 @@ def merge_upsert(
     return joined.select(*merged, op.alias(op_col))
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    base_date: str,
+    batch_date: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history maintenance: apply one
+    update batch (effective ``batch_date``) to a current-only dimension
+    snapshot whose rows are all valid since ``base_date``.
+
+    For a key with a changed attribute the old row is CLOSED
+    (valid_to = batch_date, is_current = false) and a new CURRENT row
+    opens at batch_date; keys without an update — or whose update
+    changes nothing — keep their single open row. The reference
+    pipeline has no dimension history at all (attribute CSVs are
+    overwritten in place, `containers/landfire/landfire_container.py:54-84`);
+    at 100 TB scale attribute changes must be auditable, so history is
+    the maintained artifact.
+
+    Plan shape: ONE left shuffle join on ``key`` (bucket-elidable like
+    merge_upsert), then a map-side per-row fan-out via an inline array
+    — a changed key emits its two history rows from the same joined
+    row, so there is no second scan of either input and no union of
+    re-joined branches."""
+    u_attrs = [F.col(f"u.{c}").alias(f"u_{c}") for c in attrs]
+    joined = dim.alias("b").join(
+        updates.alias("u").select(F.col(key), *u_attrs), key, "left"
+    )
+    changed = F.col(f"u_{attrs[0]}").isNotNull() & (
+        ~F.struct(*[F.col(f"b.{c}") for c in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"u_{c}").alias(c) for c in attrs])
+        )
+    )
+
+    def _row(cols: list[Column], valid_from: str, valid_to: str | None, current: bool) -> Column:
+        return F.struct(
+            *[c.alias(a) for c, a in zip(cols, attrs)],
+            F.to_date(F.lit(valid_from)).alias("valid_from"),
+            (
+                F.to_date(F.lit(valid_to)) if valid_to else F.lit(None).cast("date")
+            ).alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    old_cols = [F.col(f"b.{c}") for c in attrs]
+    new_cols = [F.col(f"u_{c}") for c in attrs]
+    fanout = F.when(
+        changed,
+        F.array(
+            _row(old_cols, base_date, batch_date, False),
+            _row(new_cols, batch_date, None, True),
+        ),
+    ).otherwise(F.array(_row(old_cols, base_date, None, True)))
+    return joined.select(F.col(key), F.explode(fanout).alias("r")).select(
+        key, "r.*"
+    )
+
+
 #: the mergeable partial-aggregate state this module maintains
 PARTIAL_AGGS = ("n_rows", "sum_value", "min_value", "max_value")
 

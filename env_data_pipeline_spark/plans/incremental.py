@@ -124,6 +124,61 @@ def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# SCD2 scenario: every 5th customer changes (balance +100, segment
+# re-labelled); every 7th-but-not-5th gets a NO-OP update (same attrs)
+# proving idempotence — a re-delivered unchanged row must not fork
+# history. Snapshot valid since _SCD_BASE; batch effective _SCD_BATCH.
+_SCD_BASE = "2024-01-01"
+_SCD_BATCH = "2024-06-01"
+_SCD_ATTRS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@query(
+    "customer_scd2_history",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           DATE '{_SCD_BASE}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, true AS is_current
+    FROM customer WHERE c_custkey % 5 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           DATE '{_SCD_BASE}', DATE '{_SCD_BATCH}', false
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+           'UPD:' || c_mktsegment,
+           DATE '{_SCD_BATCH}', CAST(NULL AS DATE), true
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/incremental.py::
+    scd2_apply): one update batch applied to the customer dimension —
+    changed keys close their old row at the batch date and open a new
+    current one; unchanged keys (including deliberately re-delivered
+    NO-OP updates) keep a single open row. One key join + map-side
+    fan-out; the oracle rebuilds the full history relationally."""
+    cust = table(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.lit("UPD:"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    noop = cust.filter(
+        (F.col("c_custkey") % 7 == 1) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey", *_SCD_ATTRS)
+    return INC.scd2_apply(
+        cust,
+        changed.unionByName(noop),
+        key="c_custkey",
+        attrs=_SCD_ATTRS,
+        base_date=_SCD_BASE,
+        batch_date=_SCD_BATCH,
+    )
+
+
 @query(
     "streaming_incremental_agg_refresh",
     oracle="""

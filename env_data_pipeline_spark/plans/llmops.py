@@ -468,3 +468,85 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ips"),
         F.md5(L.redact_pii(F.col("t"))).alias("redacted_md5"),
     )
+
+
+# quality-weighted sampling: per-bucket acceptance rates (basis points
+# of the 48-bit hash mod 10000). JUNK is dropped outright; the rates
+# encode "keep all clean text, thin the marginal buckets".
+_QW_BP = {"OK": 5000, "LOW_NATURALNESS": 1500, "TOO_NOISY": 500, "TOO_SHORT": 0}
+
+
+def _qw_oracle() -> str:
+    from env_data_pipeline_spark.plans.extensions import _STOP
+
+    bp_case = " ".join(
+        f"WHEN '{q}' THEN {bp}" for q, bp in sorted(_QW_BP.items())
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) < 10 THEN 'TOO_SHORT'
+                  WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE) > 0.2
+                      THEN 'TOO_NOISY'
+                  WHEN len(list_filter(w, x -> x IN ({_STOP})))
+                       / CAST(greatest(len(w), 1) AS DOUBLE) < 0.01
+                      THEN 'LOW_NATURALNESS'
+                  ELSE 'OK' END AS quality
+      FROM m
+    ),
+    t AS (
+      SELECT source, quality,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10000) < (CASE quality {bp_case} END) AS keep
+      FROM g
+    )
+    SELECT source, quality,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS realized_rate
+    FROM t GROUP BY source, quality
+    """
+
+
+@query("corpus_quality_weighted_sample", oracle=_qw_oracle())
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: each doc's
+    acceptance probability is set by its quality bucket (clean text
+    kept at 50%, marginal buckets thinned, junk dropped) and decided
+    by the engine-wide md5-hash Bernoulli — reproducible across
+    engines/cluster sizes, unlike rand()-based sampling, and the
+    standard shape for quality-pruned pretraining mixes. The keep
+    decision evaluates in the scan projection (zero shuffles before
+    the summary aggregate); the doc row itself never moves."""
+    from env_data_pipeline_spark.extensions import text as TX
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    docs = table(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    m = docs.select("doc_id", "source", "text", w.alias("w"))
+    quality = TX.quality_bucket(
+        F.size(F.col("w")),
+        TX.stopword_ratio_w(F.col("w")),
+        TX.punct_ratio(F.col("text")),
+    )
+    bp = F.lit(None)
+    for q, v in sorted(_QW_BP.items()):
+        bp = F.when(F.col("quality") == q, v).otherwise(bp)
+    tagged = m.select(
+        "source", quality.alias("quality"), F.col("doc_id")
+    ).withColumn(
+        "keep",
+        (md5_prefix_hash(F.col("doc_id").cast("string")) % 10000) < bp,
+    )
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return tagged.groupBy("source", "quality").agg(
+        F.count("*").alias("n_in"),
+        kept.alias("n_kept"),
+        F.round(kept / F.count("*"), 4).alias("realized_rate"),
+    )

@@ -91,6 +91,7 @@ def load_all() -> None:
     # Imports are side-effecting registrations; keep the list explicit
     # so a broken module fails loudly, not silently missing queries.
     import env_data_pipeline_spark.plans.llmops  # noqa: F401
+    import env_data_pipeline_spark.plans.vectorops  # noqa: F401
     import env_data_pipeline_spark.plans.incremental  # noqa: F401
     import env_data_pipeline_spark.plans.extensions  # noqa: F401
     import env_data_pipeline_spark.plans.collect  # noqa: F401

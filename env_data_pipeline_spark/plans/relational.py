@@ -710,3 +710,78 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("k"), 4).alias("avg_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id % 10 = 0
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n, ROUND(AVG(value), 6) AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id,
+             generate_series(date_trunc('hour', MIN(ts)),
+                             date_trunc('hour', MAX(ts)),
+                             INTERVAL 1 HOUR) AS hs
+      FROM ev GROUP BY user_id
+    ),
+    scaffold AS (SELECT user_id, unnest(hs) AS hour FROM span),
+    j AS (
+      SELECT s.user_id, s.hour, h.n, h.v
+      FROM scaffold s LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value,
+           v IS NOT NULL AS is_observed
+    FROM j
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward interpolation: per-user hourly
+    scaffold generated with sequence() over each user's observed span,
+    left-joined to the hourly aggregate, missing hours carry the last
+    observed value forward (last(ignorenulls) over an unbounded-
+    preceding frame).
+
+    Scale notes. The scaffold is generated map-side per user (array
+    fan-out bounded by the user's own span — no global calendar cross
+    join); one shuffle keys the hourly aggregate, one more the
+    scaffold join, and the fill window re-uses the join's partitioning.
+    The observed hourly value is rounded BEFORE the fill so both
+    engines propagate bit-identical doubles through the window."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("v"))
+    scaffold = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "sequence(date_trunc('hour', min(ts)),"
+                " date_trunc('hour', max(ts)), interval 1 hour)"
+            ).alias("hs")
+        )
+        .select("user_id", F.explode("hs").alias("hour"))
+    )
+    j = scaffold.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled_value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )

@@ -128,3 +128,52 @@ def streaming_stateful_event_totals(spark: SparkSession, sf_dir: str) -> DataFra
     from env_data_pipeline_spark.streaming.stateful import stateful_event_totals
 
     return stateful_event_totals(spark, sf_dir)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN pts IS NULL
+                        -- Spark session semantics: an event EXTENDS the
+                        -- session iff it lands strictly before prev+gap,
+                        -- so a new session opens at diff >= gap (the
+                        -- batch query's island rule uses > — different
+                        -- operator family, pinned separately)
+                        OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    s AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM m GROUP BY user_id, sid
+    )
+    SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, n_events, total_value
+    FROM s
+    WHERE session_end <=
+          (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR
+           FROM events)
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window + watermark,
+    append mode): per-user 30-min-gap sessions emitted exactly once
+    when finalized. The oracle rebuilds the same sessions relationally
+    (gaps-and-islands with Spark's >=-gap split rule) under the same
+    ms-truncated watermark finalization cutoff as the tumbling-window
+    oracle."""
+    return ET.session_window_stats(spark, sf_dir)

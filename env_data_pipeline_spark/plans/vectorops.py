@@ -1,0 +1,186 @@
+"""Vector-storage operators over the embeddings table (X3 family):
+int8 scalar quantization audit and Lloyd-trained IVF centroids.
+
+The reference ships raw float payloads end-to-end (its only vector
+data is raster pixel arrays, `containers/topography/topography_container.py:298-452`);
+a 100 TB embedding store quantizes for storage/bandwidth and trains
+its IVF cells rather than sampling them. Both queries here are full
+DuckDB-oracle replays: quantization is pure per-row Column math, and
+the k-means oracle re-runs the identical training iterations in SQL
+(centroids quantized to a fixed grid each step, which is what makes
+an iterative float algorithm engine-reproducible at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import similarity as X
+from env_data_pipeline_spark.plans.registry import query
+
+_DIM = 64  # embeddings.embedding is FLOAT[64] (TESTDATA.md)
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8
+# ---------------------------------------------------------------------------
+
+# err/scale integerized per ROW (floor to the 1e-6 / 1e-9 grid) so the
+# per-label aggregation is exact integer math — group sums of raw
+# doubles would be summation-order-sensitive across engines.
+_QUANT_ORACLE = """
+WITH e0 AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e0
+),
+m AS (
+  SELECT label, scale,
+         list_sum(list_transform(v,
+           x -> (x - floor(x / scale + 0.5) * scale)
+              * (x - floor(x / scale + 0.5) * scale))) AS err2,
+         list_sum(list_transform(v, x -> x * x)) AS norm2
+  FROM s
+),
+u AS (
+  SELECT label,
+         CAST(floor(CASE WHEN norm2 = 0 THEN 0.0
+                         ELSE sqrt(err2) / sqrt(norm2) END * 1000000) AS BIGINT)
+           AS err_u,
+         CAST(floor(scale * 1000000000) AS BIGINT) AS scale_u
+  FROM m
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM(err_u) / (COUNT(*) * 1000000.0), 6) AS avg_rel_err,
+       ROUND(MAX(err_u) / 1000000.0, 6) AS max_rel_err,
+       ROUND(SUM(scale_u) / (COUNT(*) * 1000000000.0), 9) AS avg_scale
+FROM u GROUP BY label
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization
+    (extensions/similarity.py::int8_quantize_cols) with an exact
+    reconstruction-error audit per label: scale = max|x|/127,
+    code = floor(x/scale + .5), error = ||x - code*scale|| / ||x||.
+    Zero shuffles before the 10-group aggregate; all math is JVM
+    higher-order functions evaluated in the scan projection."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = X.int8_quantize_cols(F.col("v"))
+    u = emb.select(
+        "label",
+        F.floor(q["rel_err"] * 1e6).cast("bigint").alias("err_u"),
+        F.floor(q["scale"] * 1e9).cast("bigint").alias("scale_u"),
+    )
+    return u.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("err_u") / (F.count("*") * F.lit(1e6)), 6).alias("avg_rel_err"),
+        F.round(F.max("err_u") / F.lit(1e6), 6).alias("max_rel_err"),
+        F.round(F.sum("scale_u") / (F.count("*") * F.lit(1e9)), 9).alias("avg_scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivf_kmeans — Lloyd-trained centroids, oracle replays the
+# identical iterations
+# ---------------------------------------------------------------------------
+
+_K = 8
+_ITERS = 2
+_INIT_STEP = 60  # centroids seeded from vec_id 0, 60, ..., 420
+_QGRID = 1000000  # centroid/distance quantization grid (1e-6)
+
+
+def _kmeans_oracle(k: int, iters: int, step: int) -> str:
+    """Build the DuckDB replay of kmeans_lloyd: same init, same
+    assignment tie-break (quantized dist, then cluster_id), same
+    grid-quantized centroid update, same final summary."""
+    ctes = [
+        f"""pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(vec_id / {step} AS INT) AS cluster_id, v AS c
+  FROM pts WHERE vec_id % {step} = 0 AND vec_id < {k * step}
+)""",
+    ]
+    dist = (
+        f"list_sum(list_transform(range({_DIM}), "
+        "i -> (p.v[i + 1] - c.c[i + 1]) * (p.v[i + 1] - c.c[i + 1])))"
+    )
+    for it in range(iters):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cluster_id, dist2 FROM (
+    SELECT p.vec_id, p.v, c.cluster_id, {dist} AS dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({dist} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM pts p CROSS JOIN c{it} c
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters - 1:
+            ctes.append(
+                f"""c{it + 1} AS (
+  SELECT cluster_id, list(cval ORDER BY pos) AS c FROM (
+    SELECT a.cluster_id, r.range AS pos,
+           floor(AVG(a.v[r.range + 1]) * {_QGRID}) / {_QGRID} AS cval
+    FROM a{it} a CROSS JOIN range({_DIM}) r
+    GROUP BY a.cluster_id, r.range
+  ) GROUP BY cluster_id
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster_id,
+       COUNT(*) AS n_points,
+       ROUND(SUM(CAST(floor(dist2 * {_QGRID}) AS BIGINT))
+             / {_QGRID}.0, 6) AS inertia
+FROM a{iters - 1} GROUP BY cluster_id"""
+    )
+
+
+@query("similarity_ivf_kmeans", oracle=_kmeans_oracle(_K, _ITERS, _INIT_STEP))
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (extensions/similarity.py::kmeans_lloyd):
+    2 Lloyd iterations, K=8, deterministic seed rows. Per iteration
+    the K centroids broadcast against the corpus (no vector shuffle)
+    and the update shuffles only (cluster, dim) partial means. The
+    oracle replays the identical iterations in SQL — possible because
+    every centroid component and ranking distance is quantized to a
+    fixed 1e-6 grid, making the float iteration engine-reproducible.
+    Output: final cluster sizes + inertia, the training-quality
+    summary an IVF build job would log."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = pts.filter(
+        (F.col("vec_id") % _INIT_STEP == 0) & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    assigned = X.kmeans_lloyd(pts, init, iters=_ITERS, quant=float(_QGRID))
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(
+            F.sum(F.floor(F.col("dist2") * _QGRID).cast("bigint")) / F.lit(float(_QGRID)),
+            6,
+        ).alias("inertia"),
+    )

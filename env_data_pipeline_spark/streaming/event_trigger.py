@@ -200,3 +200,37 @@ def priority_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(spark, routed, "priority_routed_events_sink", "append")
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (dynamic-gap state merge): per-user
+    sessions close after 30 min of inactivity, emitted in append mode
+    once the watermark passes the session end — Spark's native
+    session_window operator, the streaming form of the batch
+    gaps-and-islands sessionization (plans/relational.py). State is
+    one open session per active user, merged across micro-batches and
+    evicted at emission — bounded by the watermark horizon like the
+    tumbling-window agg, not by stream length."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "session_window_stats_sink", "append")

@@ -116,3 +116,51 @@ def test_streaming_refresh_deterministic_across_runs(spark, sf_dir):
         # flake the suite
         assert a[t]["total_value"] == pytest.approx(b[t]["total_value"], abs=2e-4)
         assert a[t]["avg_value"] == pytest.approx(b[t]["avg_value"], abs=2e-6)
+
+
+def test_scd2_apply_history_shape(spark):
+    """Changed key -> closed row + new current row with contiguous
+    validity; no-op update and absent key -> single open row."""
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, seg string, bal double",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A", 11.0), (2, "b", 20.0)],  # change / no-op
+        "k bigint, seg string, bal double",
+    )
+    out = INC.scd2_apply(
+        dim, upd, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    rows = sorted(
+        ((r["k"], r["seg"], r["bal"], str(r["valid_from"]),
+          str(r["valid_to"]), r["is_current"]) for r in out.collect())
+    )
+    assert rows == [
+        (1, "A", 11.0, "2024-06-01", "None", True),
+        (1, "a", 10.0, "2024-01-01", "2024-06-01", False),
+        (2, "b", 20.0, "2024-01-01", "None", True),
+        (3, "c", 30.0, "2024-01-01", "None", True),
+    ]
+
+
+def test_scd2_apply_idempotent_on_redelivery(spark):
+    """Re-applying the SAME batch to the post-merge current snapshot
+    forks no new history: every update now matches the current
+    attributes, so each key keeps exactly one open row."""
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, seg string, bal double"
+    )
+    upd = spark.createDataFrame([(1, "A", 11.0)], "k bigint, seg string, bal double")
+    first = INC.scd2_apply(
+        dim, upd, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    current = first.filter(F.col("is_current")).select("k", "seg", "bal")
+    replay = INC.scd2_apply(
+        current, upd, key="k", attrs=["seg", "bal"],
+        base_date="2024-06-01", batch_date="2024-07-01",
+    )
+    assert replay.count() == 2
+    assert replay.filter(F.col("is_current")).count() == 2
