@@ -52,6 +52,7 @@ def read_schemas(plan: str) -> list[str]:
 NESTED_LOOP_OK = {
     "similarity_topk_exact_baseline",
     "similarity_topk_ivf",
+    "similarity_ivf_kmeans",  # Lloyd assignment: corpus x K=8 broadcast centroids
     "similarity_recall_at_k",  # brute-force ground truth by design
     "collect_quality_summary",  # rides the collect join tree
     "semi_anti_join_customers",
@@ -294,3 +295,86 @@ def test_bucketed_merge_upsert_elides_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         B.drop_table(spark, "docs_bkt")
         B.drop_table(spark, "upd_bkt")
+
+
+def test_scd2_single_join_mapside_fanout(spark, sf_dir):
+    """SCD2 history is ONE key join + a map-side explode fan-out —
+    not a union of two separately re-joined branches. At 100 TB the
+    difference is one shuffle of the dimension vs three."""
+    plan = formatted_plan(spark, "customer_scd2_history", sf_dir)
+    # count JOIN NODES (numbered detail headers), not string mentions —
+    # the formatted dump prints each node in the tree AND the details
+    join_nodes = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    assert len(join_nodes) == 1, join_nodes
+    assert "Generate" in plan  # the explode fan-out
+
+
+def test_quantize_zero_preagg_shuffle(spark, sf_dir):
+    """int8 quantization math evaluates in the scan projection: the
+    only exchange in the plan is the 10-group final aggregate's."""
+    plan = formatted_plan(spark, "embedding_quantize_int8", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_gap_fill_scaffold_is_per_key(spark, sf_dir):
+    """The hourly scaffold comes from a per-user sequence() explode
+    (Generate), never a global calendar cross join."""
+    plan = formatted_plan(spark, "events_gap_fill_hourly", sf_dir)
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Scale probe: with the production-size thresholds met (forced
+    here by zeroing the application-side threshold), Catalyst injects
+    a runtime bloom filter from the selective dimension side into the
+    fact scan — rows that cannot join are dropped BEFORE the shuffle.
+    This is the 100 TB mechanism that makes selective star joins
+    shuffle only matching rows; the default thresholds simply keep it
+    off at test scale."""
+    from env_data_pipeline_spark.catalog import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join so the runtime filter (not a broadcast
+        # reuse) is the pruning mechanism under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
