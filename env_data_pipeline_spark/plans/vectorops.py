@@ -18,9 +18,13 @@ from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
 from env_data_pipeline_spark.extensions import similarity as X
-from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 _DIM = 64  # embeddings.embedding is FLOAT[64] (TESTDATA.md)
+
+# headline representatives: the iterative-training compute class and
+# the broadcast-codebook assignment class
+BENCH_EXTRA.update({"similarity_ivf_kmeans", "embedding_pq_reconstruction"})
 
 # ---------------------------------------------------------------------------
 # embedding_quantize_int8
@@ -183,4 +187,157 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("dist2") * _QGRID).cast("bigint")) / F.lit(float(_QGRID)),
             6,
         ).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_reconstruction — product quantization (M=8 subspaces,
+# K=16 codewords each), the ANN storage format kmeans+int8 compose into
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (_PQ_M * _PQ_D = _DIM)
+_PQ_K = 16  # codewords per subspace
+_PQ_STEP = 17  # codebook seed rows: vec_id 0, 17, ..., 255
+
+
+def _pq_oracle() -> str:
+    dist = (
+        f"list_sum(list_transform(range({_PQ_D}), "
+        "i -> (s.sv[i + 1] - c.cw[i + 1]) * (s.sv[i + 1] - c.cw[i + 1])))"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT m.range AS m, CAST(vec_id / {_PQ_STEP} AS INT) AS code,
+             v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS cw
+      FROM pts CROSS JOIN range({_PQ_M}) m
+      WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < {_PQ_K * _PQ_STEP}
+    ),
+    sub AS (
+      SELECT vec_id, label, m.range AS m,
+             v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS sv
+      FROM pts CROSS JOIN range({_PQ_M}) m
+    ),
+    scored AS (
+      SELECT s.vec_id, s.label, s.m, c.code,
+             CAST(floor({dist} * {_QGRID}) AS BIGINT) AS dist_u
+      FROM sub s JOIN cb c ON s.m = c.m
+    ),
+    best AS (
+      SELECT vec_id, label, m, dist_u FROM (
+        SELECT vec_id, label, m, dist_u,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist_u, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pervec AS (
+      SELECT b.vec_id, b.label,
+             SUM(b.dist_u) AS err_u,
+             MIN(n.norm2) AS norm2
+      FROM best b
+      JOIN (SELECT vec_id, list_sum(list_transform(v, x -> x * x)) AS norm2
+            FROM pts) n USING (vec_id)
+      GROUP BY b.vec_id, b.label
+    ),
+    relu AS (
+      SELECT label,
+             CAST(floor(CASE WHEN norm2 = 0 THEN 0.0
+                             ELSE sqrt(err_u / {_QGRID}.0) / sqrt(norm2)
+                        END * {_QGRID}) AS BIGINT) AS rel_u
+      FROM pervec
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(SUM(rel_u) / (COUNT(*) * {_QGRID}.0), 6) AS avg_rel_err,
+           ROUND(MAX(rel_u) / {_QGRID}.0, 6) AS max_rel_err
+    FROM relu GROUP BY label
+    """
+
+
+@query("embedding_pq_reconstruction", oracle=_pq_oracle())
+def embedding_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector splits into 8
+    subvectors, each assigned its nearest of 16 codewords (codebook =
+    deterministic seed rows, the sampled-codebook counterpart of the
+    Lloyd-trained IVF cells) — 8 bytes per vector instead of 256, the
+    storage format real ANN systems serve from. Output: per-label
+    relative reconstruction-error audit.
+
+    Scale posture: the codebook is M*K = 128 tiny rows, broadcast; the
+    subvector fan-out is map-side; the per-(vector, subspace) argmin
+    and per-vector error are two narrow integer aggregations (the
+    vectors themselves never shuffle — only 8-byte distance units do).
+    Distances are floor-quantized to the 1e-6 grid per subspace, so
+    both engines pick identical codewords and sum identical integers."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    subspaces = F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    sub = pts.select(
+        "vec_id",
+        "label",
+        F.explode(subspaces).alias("m"),
+        F.col("v"),
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.slice(F.col("v"), F.col("m") * _PQ_D + 1, _PQ_D).alias("sv"),
+    )
+    cb = (
+        pts.filter(
+            (F.col("vec_id") % _PQ_STEP == 0)
+            & (F.col("vec_id") < _PQ_K * _PQ_STEP)
+        )
+        .select(
+            F.explode(subspaces).alias("m"),
+            (F.col("vec_id") / _PQ_STEP).cast("int").alias("code"),
+            F.col("v"),
+        )
+        .select(
+            "m",
+            "code",
+            F.slice(F.col("v"), F.col("m") * _PQ_D + 1, _PQ_D).alias("cw"),
+        )
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "label",
+        "m",
+        "code",
+        F.floor(X.sq_dist(F.col("sv"), F.col("cw")) * _QGRID)
+        .cast("bigint")
+        .alias("dist_u"),
+    )
+    best = scored.groupBy("vec_id", "label", "m").agg(
+        F.min(F.struct("dist_u", "code")).getField("dist_u").alias("dist_u")
+    )
+    norm2 = pts.select(
+        "vec_id",
+        F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x).alias("norm2"),
+    )
+    pervec = (
+        best.groupBy("vec_id", "label")
+        .agg(F.sum("dist_u").alias("err_u"))
+        .join(norm2, "vec_id")
+    )
+    rel_u = F.when(F.col("norm2") == 0.0, F.lit(0.0)).otherwise(
+        F.sqrt(F.col("err_u") / F.lit(float(_QGRID))) / F.sqrt(F.col("norm2"))
+    )
+    relu = pervec.select(
+        "label", F.floor(rel_u * _QGRID).cast("bigint").alias("rel_u")
+    )
+    return relu.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("rel_u") / (F.count("*") * F.lit(float(_QGRID))), 6).alias(
+            "avg_rel_err"
+        ),
+        F.round(F.max("rel_u") / F.lit(float(_QGRID)), 6).alias("max_rel_err"),
     )

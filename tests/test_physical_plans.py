@@ -378,3 +378,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_codebook_broadcast_equi_join(spark, sf_dir):
+    """PQ assignment must be an equi-join on the subspace id against
+    the broadcast 128-row codebook — never a nested loop over
+    codewords — and the vectors themselves must not shuffle: the only
+    exchanges carry (vec_id, m, dist_u) integers."""
+    plan = formatted_plan(spark, "embedding_pq_reconstruction", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -287,3 +287,62 @@ def _stage_file_typed(spark, watch_dir: str, name: str, df, mtime: float) -> Non
     dst = os.path.join(watch_dir, f"{name}.parquet")
     shutil.copy(part, dst)
     os.utime(dst, (mtime, mtime))
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """Session MERGE across micro-batch boundaries: two events for the
+    same user arriving in DIFFERENT batches but within the 30-min gap
+    must finalize as ONE session spanning both, while a third event
+    beyond the gap opens a separate session. A per-batch (non-merging)
+    implementation would emit two sessions for the first pair."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = 2_000_000.0
+
+    def ev_min(event_id: int, minute: int, user: int) -> tuple:
+        ts_nanos = (BASE_S + minute * 60) * 1_000_000_000
+        return (event_id, ts_nanos, user, "created", 1.0, "{}")
+
+    # batch 1: user 1 at minute 0; batch 2: user 1 at minute 20 (same
+    # session, different batch) and minute 60 (new session); batch 3:
+    # far-future event advances the watermark to finalize everything
+    _stage_file(spark, watch, "a", [ev_min(1, 0, 1)], now + 1)
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(watch)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id", "n"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_merge_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    _stage_file(spark, watch, "b", [ev_min(2, 20, 1), ev_min(3, 60, 1)], now + 2)
+    q.processAllAvailable()
+    _stage_file(spark, watch, "c", [ev_min(4, 600, 2)], now + 3)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = sorted(
+        ((r["user_id"], r["s"].timestamp(), r["n"]) for r in
+         spark.table("session_merge_sink").collect())
+    )
+    # user 1: ONE merged 2-event session [min 0, min 20+gap) and ONE
+    # 1-event session at min 60; user 2's session is still open
+    assert rows == [
+        (1, float(BASE_S), 2),
+        (1, float(BASE_S + 3600), 1),
+    ], rows
