@@ -496,3 +496,175 @@ def kmeans_lloyd(
             )
         )
     return assigned.select("vec_id", "cluster_id", "dist2")
+
+
+def pq_codes(
+    pts: DataFrame,
+    codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Assign every vector its per-subspace PQ code: explode into
+    subvectors (map-side), equi-join the broadcast (m, code, cw)
+    codebook on the subspace id, keep the argmin codeword per
+    (vec_id, m). ``pts``: (vec_id, v); returns (vec_id, m, code).
+    Distances floor-quantize to the 1/quant grid so the assignment is
+    engine-reproducible (same discipline as kmeans_lloyd)."""
+    subspaces = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    sub = pts.select(
+        "vec_id", F.explode(subspaces).alias("m"), F.col("v")
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("sv"),
+    )
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        F.floor(sq_dist(F.col("sv"), F.col("cw")) * F.lit(quant))
+        .cast("bigint")
+        .alias("dist_u"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist_u", "code")).getField("code").alias("code")
+    )
+
+
+def pq_adc_topk(
+    pts: DataFrame,
+    query_ids: DataFrame,
+    codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    k: int = 3,
+    shortlist: int = 30,
+) -> DataFrame:
+    """PQ asymmetric-distance search with exact re-rank — the serving
+    path of a PQ-compressed 100 TB vector store:
+
+    1. corpus vectors live only as M 1-byte codes (pq_codes);
+    2. per query, a lookup table LUT(m, code) = dist(query_m, cw) is
+       computed against the broadcast codebook (|Q| x M x K tiny rows);
+    3. approximate distance = SUM over m of LUT[m, code_m] — an
+       equi-join of the corpus codes against the broadcast LUT plus
+       one integer aggregation; the float vectors never shuffle;
+    4. the ``shortlist`` nearest by ADC are re-ranked with exact
+       cosine against the full vectors (a shortlist-sized join), and
+       the final top-``k`` emitted.
+
+    ``query_ids``: (vec_id) rows selecting queries out of ``pts``."""
+    queries = pts.join(query_ids, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    subspaces = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    qsub = queries.select(
+        "query_id", F.explode(subspaces).alias("m"), F.col("qv")
+    ).select(
+        "query_id",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("qsv"),
+    )
+    lut = qsub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.floor(sq_dist(F.col("qsv"), F.col("cw")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("lut_u"),
+    )
+    codes = pq_codes(pts, codebook, m_subspaces, dim_per_sub)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_u").alias("adc_u"), F.count("*").alias("n_m"))
+        # every subspace must have contributed, else the code carries
+        # no LUT entry for this query (cannot happen with a complete
+        # codebook — defensive)
+        .filter(F.col("n_m") == m_subspaces)
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_u"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    cand = short.join(
+        pts.select(F.col("vec_id"), F.col("v").alias("cv")), "vec_id"
+    ).join(F.broadcast(queries), "query_id")
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def pq_train_codebook(
+    pts: DataFrame,
+    init_codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    iters: int = 2,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Per-subspace Lloyd training of a PQ codebook: all M subspaces
+    train simultaneously (assignment partitions by (vec_id, m), the
+    centroid update groups by (m, code, dim)) — one broadcast join +
+    one aggregation shuffle per iteration regardless of M. Same
+    fixed-grid quantization discipline as kmeans_lloyd. Returns the
+    trained (m, code, cw) codebook.
+
+    On isotropic random data (the synthetic testdata) PQ is at its
+    theoretical worst — no cluster structure to exploit — yet training
+    still cuts distortion vs sampled codewords; real embedding
+    corpora cluster far better and shortlist sizes shrink
+    accordingly."""
+    sub = pts.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("sv"),
+    )
+    cb = init_codebook
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            "code",
+            F.floor(sq_dist(F.col("sv"), F.col("cw")) * F.lit(quant))
+            .cast("bigint")
+            .alias("dist_u"),
+        )
+        best = scored.groupBy("vec_id", "m").agg(
+            F.min(F.struct("dist_u", "code")).getField("code").alias("code")
+        )
+        cb = (
+            best.join(sub, ["vec_id", "m"])
+            .select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+            .select(
+                "m",
+                "code",
+                F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("cw"),
+            )
+        )
+    return cb

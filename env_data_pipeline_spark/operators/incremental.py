@@ -61,6 +61,87 @@ def merge_upsert(
     return joined.select(*merged, op.alias(op_col))
 
 
+def scd2_init(dim: DataFrame, key: str, attrs: list[str], base_date: str) -> DataFrame:
+    """Expand a current-only dimension snapshot into its trivial SCD2
+    history: every row open since ``base_date``."""
+    return dim.select(
+        key,
+        *attrs,
+        F.to_date(F.lit(base_date)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply_history(
+    hist: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    batch_date: str,
+) -> DataFrame:
+    """Apply one update batch (effective ``batch_date``) to an SCD2
+    HISTORY table (columns: key, attrs, valid_from/valid_to/
+    is_current). Closed rows pass through untouched; a current row
+    whose attributes changed is CLOSED at batch_date (keeping its own
+    valid_from) and a new current row opens; a current row with no
+    update — or a NO-OP redelivery — stays open unchanged.
+
+    Plan shape: ONE left shuffle join of the history on ``key``
+    (bucket-elidable like merge_upsert), then a map-side per-row
+    fan-out via an inline array — a changed key emits both its history
+    rows from the same joined row, so there is no second scan of
+    either input and no union of re-joined branches. Repeated nightly
+    application keeps cost O(|hist| + |updates|) per batch."""
+    u_attrs = [F.col(f"u.{c}").alias(f"u_{c}") for c in attrs]
+    joined = hist.alias("b").join(
+        updates.alias("u").select(F.col(key), *u_attrs), key, "left"
+    )
+    changed = (
+        F.col("b.is_current")
+        & F.col(f"u_{attrs[0]}").isNotNull()
+        & (
+            ~F.struct(*[F.col(f"b.{c}") for c in attrs]).eqNullSafe(
+                F.struct(*[F.col(f"u_{c}").alias(c) for c in attrs])
+            )
+        )
+    )
+
+    def _row(
+        cols: list[Column], valid_from: Column, valid_to: Column, current: Column
+    ) -> Column:
+        return F.struct(
+            *[c.alias(a) for c, a in zip(cols, attrs)],
+            valid_from.alias("valid_from"),
+            valid_to.cast("date").alias("valid_to"),
+            current.alias("is_current"),
+        )
+
+    old_cols = [F.col(f"b.{c}") for c in attrs]
+    new_cols = [F.col(f"u_{c}") for c in attrs]
+    batch = F.to_date(F.lit(batch_date))
+    null_date = F.lit(None).cast("date")
+    fanout = F.when(
+        changed,
+        F.array(
+            _row(old_cols, F.col("b.valid_from"), batch, F.lit(False)),
+            _row(new_cols, batch, null_date, F.lit(True)),
+        ),
+    ).otherwise(
+        F.array(
+            _row(
+                old_cols,
+                F.col("b.valid_from"),
+                F.col("b.valid_to"),
+                F.col("b.is_current"),
+            )
+        )
+    )
+    return joined.select(F.col(key), F.explode(fanout).alias("r")).select(
+        key, "r.*"
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,
@@ -69,55 +150,16 @@ def scd2_apply(
     base_date: str,
     batch_date: str,
 ) -> DataFrame:
-    """Slowly-changing-dimension Type-2 history maintenance: apply one
-    update batch (effective ``batch_date``) to a current-only dimension
-    snapshot whose rows are all valid since ``base_date``.
-
-    For a key with a changed attribute the old row is CLOSED
-    (valid_to = batch_date, is_current = false) and a new CURRENT row
-    opens at batch_date; keys without an update — or whose update
-    changes nothing — keep their single open row. The reference
-    pipeline has no dimension history at all (attribute CSVs are
-    overwritten in place, `containers/landfire/landfire_container.py:54-84`);
-    at 100 TB scale attribute changes must be auditable, so history is
-    the maintained artifact.
-
-    Plan shape: ONE left shuffle join on ``key`` (bucket-elidable like
-    merge_upsert), then a map-side per-row fan-out via an inline array
-    — a changed key emits its two history rows from the same joined
-    row, so there is no second scan of either input and no union of
-    re-joined branches."""
-    u_attrs = [F.col(f"u.{c}").alias(f"u_{c}") for c in attrs]
-    joined = dim.alias("b").join(
-        updates.alias("u").select(F.col(key), *u_attrs), key, "left"
-    )
-    changed = F.col(f"u_{attrs[0]}").isNotNull() & (
-        ~F.struct(*[F.col(f"b.{c}") for c in attrs]).eqNullSafe(
-            F.struct(*[F.col(f"u_{c}").alias(c) for c in attrs])
-        )
-    )
-
-    def _row(cols: list[Column], valid_from: str, valid_to: str | None, current: bool) -> Column:
-        return F.struct(
-            *[c.alias(a) for c, a in zip(cols, attrs)],
-            F.to_date(F.lit(valid_from)).alias("valid_from"),
-            (
-                F.to_date(F.lit(valid_to)) if valid_to else F.lit(None).cast("date")
-            ).alias("valid_to"),
-            F.lit(current).alias("is_current"),
-        )
-
-    old_cols = [F.col(f"b.{c}") for c in attrs]
-    new_cols = [F.col(f"u_{c}") for c in attrs]
-    fanout = F.when(
-        changed,
-        F.array(
-            _row(old_cols, base_date, batch_date, False),
-            _row(new_cols, batch_date, None, True),
-        ),
-    ).otherwise(F.array(_row(old_cols, base_date, None, True)))
-    return joined.select(F.col(key), F.explode(fanout).alias("r")).select(
-        key, "r.*"
+    """Slowly-changing-dimension Type-2 maintenance from a
+    current-only snapshot: expand to the trivial history (open since
+    ``base_date``), then apply the batch — see scd2_apply_history.
+    The reference pipeline has no dimension history at all (attribute
+    CSVs are overwritten in place,
+    `containers/landfire/landfire_container.py:54-84`); at 100 TB
+    scale attribute changes must be auditable, so history is the
+    maintained artifact."""
+    return scd2_apply_history(
+        scd2_init(dim, key, attrs, base_date), updates, key, attrs, batch_date
     )
 
 

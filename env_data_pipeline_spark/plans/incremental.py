@@ -180,6 +180,59 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_scd2_refresh",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           DATE '{_SCD_BASE}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, true AS is_current
+    FROM customer WHERE c_custkey % 5 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           DATE '{_SCD_BASE}', DATE '{_SCD_BATCH}', false
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+           'UPD:' || c_mktsegment,
+           DATE '{_SCD_BATCH}', CAST(NULL AS DATE), true
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def streaming_scd2_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of customer_scd2_history: the same update
+    set replayed as 2 real micro-batches (split by key parity,
+    maxFilesPerTrigger=1), a foreachBatch sink applying each batch to
+    a persistent parquet history table
+    (streaming/scd2_refresh.py). The oracle is the one-shot batch
+    SCD2 result — hash equality proves closing/opening validity
+    intervals composes across micro-batch boundaries."""
+    from env_data_pipeline_spark.streaming.scd2_refresh import (
+        streaming_scd2_refresh as _run,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.lit("UPD:"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    noop = cust.filter(
+        (F.col("c_custkey") % 7 == 1) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey", *_SCD_ATTRS)
+    return _run(
+        spark,
+        sf_dir,
+        changed.unionByName(noop),
+        cust,
+        key="c_custkey",
+        attrs=_SCD_ATTRS,
+        base_date=_SCD_BASE,
+        batch_date=_SCD_BATCH,
+    )
+
+
+@query(
     "streaming_incremental_agg_refresh",
     oracle="""
     SELECT event_type,

@@ -785,3 +785,63 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled_value"),
         F.col("v").isNotNull().alias("is_observed"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_pop(value) AS sigma,
+             COUNT(*) AS n_total
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value, s.n_total,
+             CASE WHEN s.sigma = 0 THEN 0.0
+                  ELSE (e.value - s.mu) / s.sigma END AS z
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MIN(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           ROUND(SUM(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END)
+                 / CAST(MIN(n_total) AS DOUBLE), 6) AS anomaly_rate,
+           ROUND(MAX(abs(z)), 4) AS max_abs_z
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: per-type z-score against the
+    population mean/stddev, |z| > 3 flagged — the monitoring query an
+    environmental-telemetry store runs continuously (the reference has
+    no anomaly notion at all; its nearest analog is the hard-coded
+    risk thresholds, weather_container.py:199-223).
+
+    Scale notes. Two passes over the same scan: a 5-row stats
+    aggregate that BROADCASTS back onto the fact scan (the fact table
+    never shuffles), then the flag summary re-aggregates map-side.
+    z is a per-row projection; the plan survives 100x because the only
+    exchanges carry 5-row group states."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count("*").alias("n_total"),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n_total",
+        F.when(F.col("sigma") == 0.0, F.lit(0.0))
+        .otherwise((F.col("value") - F.col("mu")) / F.col("sigma"))
+        .alias("z"),
+    )
+    flagged = F.sum(F.when(F.abs(F.col("z")) > 3, 1).otherwise(0))
+    return scored.groupBy("event_type").agg(
+        F.min("n_total").alias("n_total"),
+        flagged.alias("n_anomalies"),
+        F.round(flagged / F.min("n_total"), 6).alias("anomaly_rate"),
+        F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+    )

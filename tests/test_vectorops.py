@@ -78,3 +78,96 @@ def test_kmeans_assignment_is_total_partition(spark, sf_dir):
     a = X.kmeans_lloyd(pts, init, iters=2)
     assert a.count() == pts.count()
     assert a.select("vec_id").distinct().count() == pts.count()
+
+
+def _pq_seed_codebook(pts, m, d, k, step):
+    return (
+        pts.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") < k * step))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            (F.col("vec_id") / step).cast("int").alias("code"),
+            F.col("v"),
+        )
+        .select("m", "code", F.slice(F.col("v"), F.col("m") * d + 1, d).alias("cw"))
+    )
+
+
+def _exact_top3(pts, qids):
+    from pyspark.sql.window import Window
+
+    q = pts.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = pts.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(X.cosine(F.col("qv"), F.col("cv")), 4).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def test_pq_adc_recall_with_trained_codebook(spark, sf_dir):
+    """The PQ serving path end-to-end: train the codebook (2 Lloyd
+    iterations per subspace), ADC-shortlist 60 candidates from codes
+    alone, exact re-rank — recall@3 >= 0.8 vs brute-force ground
+    truth. Isotropic testdata is PQ's worst case, so this is a floor,
+    not a showcase (measured 0.83; the sampled-codebook baseline
+    measures 0.63 at the same shortlist)."""
+    M, D, K, STEP = 8, 8, 16, 17
+    pts = _pts(spark, sf_dir)
+    seed = _pq_seed_codebook(pts, M, D, K, STEP)
+    trained = X.pq_train_codebook(pts, seed, M, D, iters=2)
+    trained.cache().count()
+    qids = pts.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    adc = X.pq_adc_topk(pts, qids, trained, M, D, k=3, shortlist=60)
+    exact = _exact_top3(pts, qids)
+    hits = exact.join(
+        adc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = exact.count()
+    trained.unpersist()
+    assert total > 0
+    assert hits / total >= 0.8, (hits, total)
+
+
+def test_pq_training_reduces_distortion(spark, sf_dir):
+    """Lloyd training must not increase total quantization distortion
+    over the sampled-codeword init (the k-means objective, per
+    subspace)."""
+    M, D, K, STEP = 8, 8, 16, 17
+    pts = _pts(spark, sf_dir)
+    seed = _pq_seed_codebook(pts, M, D, K, STEP)
+
+    def distortion(cb) -> int:
+        sub = pts.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+            "v",
+        ).select(
+            "vec_id", "m", F.slice(F.col("v"), F.col("m") * D + 1, D).alias("sv")
+        )
+        scored = sub.join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            F.floor(X.sq_dist(F.col("sv"), F.col("cw")) * F.lit(1e6))
+            .cast("bigint")
+            .alias("dist_u"),
+        )
+        best = scored.groupBy("vec_id", "m").agg(F.min("dist_u").alias("d"))
+        return best.agg(F.sum("d").alias("s")).collect()[0]["s"]
+
+    trained = X.pq_train_codebook(pts, seed, M, D, iters=2)
+    trained.cache().count()
+    d_seed, d_trained = distortion(seed), distortion(trained)
+    trained.unpersist()
+    assert d_trained <= d_seed, (d_seed, d_trained)
