@@ -469,15 +469,35 @@ def kmeans_lloyd(
             "cluster_id",
             sq_dist(F.col("v"), F.col("c")).alias("dist2"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            # rank on the quantized distance: raw doubles can differ by
-            # an ulp between engines, flipping near-tie assignments
-            F.asc(F.floor(F.col("dist2") * F.lit(quant))), F.asc("cluster_id")
-        )
+        # argmin via partial-aggregated min(struct), NOT a row_number
+        # window: the window would shuffle all K candidate rows (each
+        # carrying the full vector) per point, while min(struct)
+        # combines map-side to one row per point before the exchange.
+        # Ranking on the quantized distance (ulp-robust across
+        # engines) with cluster_id as the tie-break — the identical
+        # order the oracle's ROW_NUMBER uses; the raw dist2 rides in
+        # field 3 and cannot influence the comparison because
+        # (dist_u, cluster_id) is already unique per point.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.floor(F.col("dist2") * F.lit(quant))
+                        .cast("bigint")
+                        .alias("dist_u"),
+                        F.col("cluster_id").alias("cluster_id"),
+                        F.col("dist2").alias("dist2"),
+                    )
+                ).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                "vec_id",
+                "v",
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.dist2").alias("dist2"),
+            )
         )
         cent = (
             assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
@@ -498,6 +518,71 @@ def kmeans_lloyd(
     return assigned.select("vec_id", "cluster_id", "dist2")
 
 
+def pq_subvectors(
+    df: DataFrame, m_subspaces: int, dim_per_sub: int, vec_col: str = "v"
+) -> DataFrame:
+    """Map-side explode of a vector column into its M subvectors:
+    every non-vector column passes through, plus (m, sv). The ONE
+    place the subspace slicing arithmetic lives — every PQ path
+    (coding, training, LUT building, the registry oracle mirror) must
+    slice identically or codes and LUTs silently desynchronize."""
+    keys = [c for c in df.columns if c != vec_col]
+    subspaces = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    return df.select(
+        *keys, F.explode(subspaces).alias("m"), F.col(vec_col)
+    ).select(
+        *keys,
+        "m",
+        F.slice(
+            F.col(vec_col), F.col("m") * dim_per_sub + 1, dim_per_sub
+        ).alias("sv"),
+    )
+
+
+def pq_score(sub: DataFrame, codebook: DataFrame, quant: float) -> DataFrame:
+    """Join subvectors against the broadcast (m, code, cw) codebook
+    and emit the floor-quantized integer distance per candidate
+    codeword — the shared distance discipline (1/quant grid) that
+    keeps every PQ path engine-reproducible."""
+    keys = [c for c in sub.columns if c not in ("sv", "m")]
+    return sub.join(F.broadcast(codebook), "m").select(
+        *keys,
+        "m",
+        "code",
+        F.floor(sq_dist(F.col("sv"), F.col("cw")) * F.lit(quant))
+        .cast("bigint")
+        .alias("dist_u"),
+    )
+
+
+def pq_assign(
+    pts: DataFrame,
+    codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Assign every vector its per-subspace PQ code: subvector
+    explode (pq_subvectors) -> broadcast codebook scoring (pq_score)
+    -> partial-aggregated argmin per (row, m), tie-broken on
+    (dist_u, code). ``pts``: (..., v); every non-vector column passes
+    through. Returns (..., m, code, dist_u-of-chosen)."""
+    keys = [c for c in pts.columns if c != "v"]
+    scored = pq_score(
+        pq_subvectors(pts, m_subspaces, dim_per_sub), codebook, quant
+    )
+    return (
+        scored.groupBy(*keys, "m")
+        .agg(F.min(F.struct("dist_u", "code")).alias("b"))
+        .select(
+            *keys,
+            "m",
+            F.col("b.code").alias("code"),
+            F.col("b.dist_u").alias("dist_u"),
+        )
+    )
+
+
 def pq_codes(
     pts: DataFrame,
     codebook: DataFrame,
@@ -505,30 +590,10 @@ def pq_codes(
     dim_per_sub: int,
     quant: float = 1e6,
 ) -> DataFrame:
-    """Assign every vector its per-subspace PQ code: explode into
-    subvectors (map-side), equi-join the broadcast (m, code, cw)
-    codebook on the subspace id, keep the argmin codeword per
-    (vec_id, m). ``pts``: (vec_id, v); returns (vec_id, m, code).
-    Distances floor-quantize to the 1/quant grid so the assignment is
-    engine-reproducible (same discipline as kmeans_lloyd)."""
-    subspaces = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
-    sub = pts.select(
-        "vec_id", F.explode(subspaces).alias("m"), F.col("v")
-    ).select(
-        "vec_id",
-        "m",
-        F.slice(F.col("v"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("sv"),
-    )
-    scored = sub.join(F.broadcast(codebook), "m").select(
-        "vec_id",
-        "m",
-        "code",
-        F.floor(sq_dist(F.col("sv"), F.col("cw")) * F.lit(quant))
-        .cast("bigint")
-        .alias("dist_u"),
-    )
-    return scored.groupBy("vec_id", "m").agg(
-        F.min(F.struct("dist_u", "code")).getField("code").alias("code")
+    """The stored PQ representation: (vec_id, m, code) — pq_assign
+    minus the distance audit column."""
+    return pq_assign(pts, codebook, m_subspaces, dim_per_sub, quant).drop(
+        "dist_u"
     )
 
 
@@ -540,6 +605,7 @@ def pq_adc_topk(
     dim_per_sub: int,
     k: int = 3,
     shortlist: int = 30,
+    quant: float = 1e6,
 ) -> DataFrame:
     """PQ asymmetric-distance search with exact re-rank — the serving
     path of a PQ-compressed 100 TB vector store:
@@ -558,23 +624,12 @@ def pq_adc_topk(
     queries = pts.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    subspaces = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
-    qsub = queries.select(
-        "query_id", F.explode(subspaces).alias("m"), F.col("qv")
-    ).select(
-        "query_id",
-        "m",
-        F.slice(F.col("qv"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("qsv"),
-    )
-    lut = qsub.join(F.broadcast(codebook), "m").select(
-        "query_id",
-        "m",
-        "code",
-        F.floor(sq_dist(F.col("qsv"), F.col("cw")) * F.lit(1e6))
-        .cast("bigint")
-        .alias("lut_u"),
-    )
-    codes = pq_codes(pts, codebook, m_subspaces, dim_per_sub)
+    lut = pq_score(
+        pq_subvectors(queries, m_subspaces, dim_per_sub, vec_col="qv"),
+        codebook,
+        quant,
+    ).withColumnRenamed("dist_u", "lut_u")
+    codes = pq_codes(pts, codebook, m_subspaces, dim_per_sub, quant)
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -631,27 +686,13 @@ def pq_train_codebook(
     still cuts distortion vs sampled codewords; real embedding
     corpora cluster far better and shortlist sizes shrink
     accordingly."""
-    sub = pts.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m"),
-        "v",
-    ).select(
-        "vec_id",
-        "m",
-        F.slice(F.col("v"), F.col("m") * dim_per_sub + 1, dim_per_sub).alias("sv"),
-    )
+    sub = pq_subvectors(pts.select("vec_id", "v"), m_subspaces, dim_per_sub)
     cb = init_codebook
     for _ in range(iters):
-        scored = sub.join(F.broadcast(cb), "m").select(
-            "vec_id",
-            "m",
-            "code",
-            F.floor(sq_dist(F.col("sv"), F.col("cw")) * F.lit(quant))
-            .cast("bigint")
-            .alias("dist_u"),
-        )
-        best = scored.groupBy("vec_id", "m").agg(
-            F.min(F.struct("dist_u", "code")).getField("code").alias("code")
+        best = (
+            pq_score(sub, cb, quant)
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist_u", "code")).getField("code").alias("code"))
         )
         cb = (
             best.join(sub, ["vec_id", "m"])

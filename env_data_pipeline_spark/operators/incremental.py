@@ -87,25 +87,39 @@ def scd2_apply_history(
     valid_from) and a new current row opens; a current row with no
     update — or a NO-OP redelivery — stays open unchanged.
 
-    Plan shape: ONE left shuffle join of the history on ``key``
+    An update whose key is absent from the history INSERTS a new open
+    row at batch_date. Precondition (the SQL MERGE contract): at most
+    one update row per key — duplicate keys in one batch would fan the
+    join out and corrupt the history.
+
+    Plan shape: ONE full-outer shuffle join of the history on ``key``
     (bucket-elidable like merge_upsert), then a map-side per-row
     fan-out via an inline array — a changed key emits both its history
     rows from the same joined row, so there is no second scan of
     either input and no union of re-joined branches. Repeated nightly
     application keeps cost O(|hist| + |updates|) per batch."""
+    # explicit presence marker, NOT attribute-null sniffing: an update
+    # legitimately setting attrs[0] to NULL must still count as present
     u_attrs = [F.col(f"u.{c}").alias(f"u_{c}") for c in attrs]
     joined = hist.alias("b").join(
-        updates.alias("u").select(F.col(key), *u_attrs), key, "left"
+        updates.alias("u").select(
+            F.col(key), *u_attrs, F.lit(True).alias("u_present")
+        ),
+        key,
+        "full_outer",
     )
+    has_hist = F.col("b.is_current").isNotNull()
     changed = (
-        F.col("b.is_current")
-        & F.col(f"u_{attrs[0]}").isNotNull()
+        has_hist
+        & F.coalesce(F.col("b.is_current"), F.lit(False))
+        & F.coalesce(F.col("u_present"), F.lit(False))
         & (
             ~F.struct(*[F.col(f"b.{c}") for c in attrs]).eqNullSafe(
                 F.struct(*[F.col(f"u_{c}").alias(c) for c in attrs])
             )
         )
     )
+    inserted = ~has_hist & F.coalesce(F.col("u_present"), F.lit(False))
 
     def _row(
         cols: list[Column], valid_from: Column, valid_to: Column, current: Column
@@ -121,19 +135,23 @@ def scd2_apply_history(
     new_cols = [F.col(f"u_{c}") for c in attrs]
     batch = F.to_date(F.lit(batch_date))
     null_date = F.lit(None).cast("date")
-    fanout = F.when(
-        changed,
-        F.array(
-            _row(old_cols, F.col("b.valid_from"), batch, F.lit(False)),
-            _row(new_cols, batch, null_date, F.lit(True)),
-        ),
-    ).otherwise(
-        F.array(
-            _row(
-                old_cols,
-                F.col("b.valid_from"),
-                F.col("b.valid_to"),
-                F.col("b.is_current"),
+    fanout = (
+        F.when(
+            changed,
+            F.array(
+                _row(old_cols, F.col("b.valid_from"), batch, F.lit(False)),
+                _row(new_cols, batch, null_date, F.lit(True)),
+            ),
+        )
+        .when(inserted, F.array(_row(new_cols, batch, null_date, F.lit(True))))
+        .otherwise(
+            F.array(
+                _row(
+                    old_cols,
+                    F.col("b.valid_from"),
+                    F.col("b.valid_to"),
+                    F.col("b.is_current"),
+                )
             )
         )
     )

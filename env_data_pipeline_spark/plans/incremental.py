@@ -128,14 +128,14 @@ def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
 # re-labelled); every 7th-but-not-5th gets a NO-OP update (same attrs)
 # proving idempotence — a re-delivered unchanged row must not fork
 # history. Snapshot valid since _SCD_BASE; batch effective _SCD_BATCH.
+# ONE oracle string and ONE update-set builder shared by the batch and
+# streaming registrations: the "streaming hash-equals batch" claim is
+# only meaningful while both sides describe the identical scenario.
 _SCD_BASE = "2024-01-01"
 _SCD_BATCH = "2024-06-01"
 _SCD_ATTRS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
-
-@query(
-    "customer_scd2_history",
-    oracle=f"""
+_SCD_ORACLE = f"""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
            DATE '{_SCD_BASE}' AS valid_from,
            CAST(NULL AS DATE) AS valid_to, true AS is_current
@@ -149,8 +149,24 @@ _SCD_ATTRS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
            'UPD:' || c_mktsegment,
            DATE '{_SCD_BATCH}', CAST(NULL AS DATE), true
     FROM customer WHERE c_custkey % 5 = 0
-    """,
-)
+    """
+
+
+def _scd_updates(cust: DataFrame) -> DataFrame:
+    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.concat(F.lit("UPD:"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    noop = cust.filter(
+        (F.col("c_custkey") % 7 == 1) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey", *_SCD_ATTRS)
+    return changed.unionByName(noop)
+
+
+@query("customer_scd2_history", oracle=_SCD_ORACLE)
 def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension maintenance (operators/incremental.py::
     scd2_apply): one update batch applied to the customer dimension —
@@ -159,19 +175,9 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO-OP updates) keep a single open row. One key join + map-side
     fan-out; the oracle rebuilds the full history relationally."""
     cust = table(spark, sf_dir, "customer")
-    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-        F.concat(F.lit("UPD:"), F.col("c_mktsegment")).alias("c_mktsegment"),
-    )
-    noop = cust.filter(
-        (F.col("c_custkey") % 7 == 1) & (F.col("c_custkey") % 5 != 0)
-    ).select("c_custkey", *_SCD_ATTRS)
     return INC.scd2_apply(
         cust,
-        changed.unionByName(noop),
+        _scd_updates(cust),
         key="c_custkey",
         attrs=_SCD_ATTRS,
         base_date=_SCD_BASE,
@@ -179,51 +185,24 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_scd2_refresh",
-    oracle=f"""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-           DATE '{_SCD_BASE}' AS valid_from,
-           CAST(NULL AS DATE) AS valid_to, true AS is_current
-    FROM customer WHERE c_custkey % 5 <> 0
-    UNION ALL
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-           DATE '{_SCD_BASE}', DATE '{_SCD_BATCH}', false
-    FROM customer WHERE c_custkey % 5 = 0
-    UNION ALL
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
-           'UPD:' || c_mktsegment,
-           DATE '{_SCD_BATCH}', CAST(NULL AS DATE), true
-    FROM customer WHERE c_custkey % 5 = 0
-    """,
-)
+@query("streaming_scd2_refresh", oracle=_SCD_ORACLE)
 def streaming_scd2_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING form of customer_scd2_history: the same update
-    set replayed as 2 real micro-batches (split by key parity,
-    maxFilesPerTrigger=1), a foreachBatch sink applying each batch to
-    a persistent parquet history table
-    (streaming/scd2_refresh.py). The oracle is the one-shot batch
-    SCD2 result — hash equality proves closing/opening validity
-    intervals composes across micro-batch boundaries."""
+    set (shared builder _scd_updates, shared oracle) replayed as 2
+    real micro-batches (split by key parity, maxFilesPerTrigger=1), a
+    foreachBatch sink applying each batch to a persistent parquet
+    history table (streaming/scd2_refresh.py). The oracle is the
+    one-shot batch SCD2 result — hash equality proves closing/opening
+    validity intervals composes across micro-batch boundaries."""
     from env_data_pipeline_spark.streaming.scd2_refresh import (
         streaming_scd2_refresh as _run,
     )
 
     cust = table(spark, sf_dir, "customer")
-    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-        F.concat(F.lit("UPD:"), F.col("c_mktsegment")).alias("c_mktsegment"),
-    )
-    noop = cust.filter(
-        (F.col("c_custkey") % 7 == 1) & (F.col("c_custkey") % 5 != 0)
-    ).select("c_custkey", *_SCD_ATTRS)
     return _run(
         spark,
         sf_dir,
-        changed.unionByName(noop),
+        _scd_updates(cust),
         cust,
         key="c_custkey",
         attrs=_SCD_ATTRS,

@@ -791,9 +791,13 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     oracle="""
     WITH stats AS (
+      -- mu/sigma rounded to the 1e-6 grid BEFORE z is computed: the
+      -- raw aggregates differ between engines in their low bits
+      -- (summation order), and |z| > 3 is a discrete cliff — rounding
+      -- the inputs makes every downstream z bitwise identical
       SELECT event_type,
-             AVG(value) AS mu,
-             stddev_pop(value) AS sigma,
+             ROUND(AVG(value), 6) AS mu,
+             ROUND(stddev_pop(value), 6) AS sigma,
              COUNT(*) AS n_total
       FROM events GROUP BY event_type
     ),
@@ -826,9 +830,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z is a per-row projection; the plan survives 100x because the only
     exchanges carry 5-row group states."""
     ev = table(spark, sf_dir, "events")
+    # mu/sigma quantized to the 1e-6 grid before z (see oracle note)
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
         F.count("*").alias("n_total"),
     )
     scored = ev.join(F.broadcast(stats), "event_type").select(

@@ -279,45 +279,16 @@ def embedding_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    subspaces = F.sequence(F.lit(0), F.lit(_PQ_M - 1))
-    sub = pts.select(
-        "vec_id",
-        "label",
-        F.explode(subspaces).alias("m"),
-        F.col("v"),
-    ).select(
-        "vec_id",
-        "label",
-        "m",
-        F.slice(F.col("v"), F.col("m") * _PQ_D + 1, _PQ_D).alias("sv"),
-    )
-    cb = (
+    cb = X.pq_subvectors(
         pts.filter(
             (F.col("vec_id") % _PQ_STEP == 0)
             & (F.col("vec_id") < _PQ_K * _PQ_STEP)
-        )
-        .select(
-            F.explode(subspaces).alias("m"),
-            (F.col("vec_id") / _PQ_STEP).cast("int").alias("code"),
-            F.col("v"),
-        )
-        .select(
-            "m",
-            "code",
-            F.slice(F.col("v"), F.col("m") * _PQ_D + 1, _PQ_D).alias("cw"),
-        )
-    )
-    scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "label",
-        "m",
-        "code",
-        F.floor(X.sq_dist(F.col("sv"), F.col("cw")) * _QGRID)
-        .cast("bigint")
-        .alias("dist_u"),
-    )
-    best = scored.groupBy("vec_id", "label", "m").agg(
-        F.min(F.struct("dist_u", "code")).getField("dist_u").alias("dist_u")
+        ).select((F.col("vec_id") / _PQ_STEP).cast("int").alias("code"), "v"),
+        _PQ_M,
+        _PQ_D,
+    ).select("m", "code", F.col("sv").alias("cw"))
+    best = X.pq_assign(pts, cb, _PQ_M, _PQ_D, quant=float(_QGRID)).select(
+        "vec_id", "label", "m", "dist_u"
     )
     norm2 = pts.select(
         "vec_id",

@@ -50,6 +50,24 @@ def streaming_scd2_refresh(
     parity, so batches touch disjoint keys); foreachBatch applies each
     to the persistent history. Returns the final history table."""
     work = tempfile.mkdtemp(prefix="stream_scd2_")
+    try:
+        return _run_refresh(
+            spark, work, updates, dim, key, attrs, base_date, batch_date
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run_refresh(
+    spark: SparkSession,
+    work: str,
+    updates: DataFrame,
+    dim: DataFrame,
+    key: str,
+    attrs: list[str],
+    base_date: str,
+    batch_date: str,
+) -> DataFrame:
     delta_dir = os.path.join(work, "deltas")
     ckpt_dir = os.path.join(work, "ckpt")
     state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
@@ -98,6 +116,8 @@ def streaming_scd2_refresh(
     lp = q.lastProgress
     q.stop()
     q.awaitTermination(60)
+    if lp is None:
+        raise RuntimeError("streaming SCD2 replay processed no batches")
     if not isinstance(lp, dict):
         import json
 
@@ -109,8 +129,7 @@ def streaming_scd2_refresh(
             f"batch(es); expected {BATCH_SHARDS}"
         )
 
-    out = spark.read.parquet(live[-1])
-    rows = out.collect()
-    result = spark.createDataFrame(rows, out.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    # detach the result from the about-to-be-removed temp dir WITHOUT
+    # round-tripping the (dimension-sized) history through the driver:
+    # localCheckpoint materializes the partitions on the executors
+    return spark.read.parquet(live[-1]).localCheckpoint(eager=True)

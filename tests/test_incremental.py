@@ -164,3 +164,40 @@ def test_scd2_apply_idempotent_on_redelivery(spark):
     )
     assert replay.count() == 2
     assert replay.filter(F.col("is_current")).count() == 2
+
+
+def test_scd2_apply_inserts_new_keys(spark):
+    """An update for a key absent from the history INSERTS an open row
+    at the batch date (review finding: the left-join draft silently
+    dropped it)."""
+    dim = spark.createDataFrame([(1, "a", 10.0)], "k bigint, seg string, bal double")
+    upd = spark.createDataFrame([(9, "Z", 1.0)], "k bigint, seg string, bal double")
+    out = INC.scd2_apply(
+        dim, upd, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    rows = sorted(
+        ((r["k"], r["seg"], str(r["valid_from"]), r["is_current"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, "a", "2024-01-01", True),
+        (9, "Z", "2024-06-01", True),
+    ]
+
+
+def test_scd2_apply_null_attr_update_still_applies(spark):
+    """An update that legitimately sets the FIRST attribute to NULL
+    must still close/open history (review finding: attribute-null
+    sniffing treated it as 'no update')."""
+    dim = spark.createDataFrame([(1, "a", 10.0)], "k bigint, seg string, bal double")
+    upd = spark.createDataFrame([(1, None, 10.0)], "k bigint, seg string, bal double")
+    out = INC.scd2_apply(
+        dim, upd, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    rows = sorted(
+        ((r["seg"], str(r["valid_to"]), r["is_current"]) for r in out.collect()),
+        key=str,
+    )
+    assert rows == [("a", "2024-06-01", False), (None, "None", True)]
