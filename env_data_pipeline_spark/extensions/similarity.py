@@ -709,3 +709,119 @@ def pq_train_codebook(
             )
         )
     return cb
+
+
+def ivfpq_topk(
+    pts: DataFrame,
+    query_ids: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    k: int = 3,
+    nprobe: int = 3,
+    shortlist: int = 30,
+    quant: float = 1e6,
+) -> DataFrame:
+    """IVF+PQ composite index — the standard billion-scale ANN layout
+    (coarse inverted lists prune the corpus, PQ codes rank inside the
+    probed cells, exact re-rank on the shortlist):
+
+    1. every corpus vector is assigned its coarse cell (broadcast
+       K-row centroid argmin, same shape as kmeans_lloyd assignment)
+       and stored as (cell, M codes) — 8 bytes + a cell id per vector;
+    2. each query probes its ``nprobe`` nearest cells, so the ADC join
+       touches only the probed inverted lists instead of the whole
+       corpus — the candidate set shrinks by ~K/nprobe;
+    3. ADC via the per-query LUT (pq_adc_topk's mechanism) restricted
+       to candidates whose cell matches a probed cell — the join keys
+       on (cell, m, code), all integers;
+    4. the shortlist re-ranks exactly and the top-k emit.
+
+    At 100 TB the selectivity story is multiplicative: nprobe/K of the
+    corpus is touched, and each touched vector costs an 8-int LUT sum
+    rather than a 64-float cosine."""
+    # 1. coarse assignment of the corpus
+    cell_scored = pts.crossJoin(F.broadcast(coarse_centroids)).select(
+        "vec_id",
+        "v",
+        "cluster_id",
+        F.floor(sq_dist(F.col("v"), F.col("c")) * F.lit(quant))
+        .cast("bigint")
+        .alias("cd_u"),
+    )
+    cells = (
+        cell_scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("cd_u", "cluster_id")).getField("cluster_id").alias(
+                "cell"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+    codes = pq_assign(
+        cells.select("vec_id", "cell", "v"), pq_codebook, m_subspaces, dim_per_sub, quant
+    ).select("vec_id", "cell", "m", "code")
+
+    # 2. query-side: probed cells + LUT
+    queries = pts.join(query_ids, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    q_cells = queries.crossJoin(F.broadcast(coarse_centroids)).select(
+        "query_id",
+        "cluster_id",
+        F.floor(sq_dist(F.col("qv"), F.col("c")) * F.lit(quant))
+        .cast("bigint")
+        .alias("cd_u"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("cd_u"), F.asc("cluster_id")
+    )
+    probed = (
+        q_cells.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cluster_id").alias("cell"))
+    )
+    lut = pq_score(
+        pq_subvectors(queries, m_subspaces, dim_per_sub, vec_col="qv"),
+        pq_codebook,
+        quant,
+    ).withColumnRenamed("dist_u", "lut_u")
+
+    # 3. ADC restricted to probed cells: the LUT rows fan out to the
+    # query's probed cells (tiny), then equi-join the coded corpus on
+    # (cell, m, code) — only probed inverted lists are touched
+    probe_lut = lut.join(F.broadcast(probed), "query_id")
+    adc = (
+        codes.join(F.broadcast(probe_lut), ["cell", "m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_u").alias("adc_u"), F.count("*").alias("n_m"))
+        .filter(F.col("n_m") == m_subspaces)
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_u"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+
+    # 4. exact re-rank
+    cand = short.join(
+        pts.select(F.col("vec_id"), F.col("v").alias("cv")), "vec_id"
+    ).join(F.broadcast(queries), "query_id")
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -22,9 +22,15 @@ from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 _DIM = 64  # embeddings.embedding is FLOAT[64] (TESTDATA.md)
 
-# headline representatives: the iterative-training compute class and
-# the broadcast-codebook assignment class
-BENCH_EXTRA.update({"similarity_ivf_kmeans", "embedding_pq_reconstruction"})
+# headline representatives: the iterative-training compute class, the
+# broadcast-codebook assignment class, and the ADC serving path
+BENCH_EXTRA.update(
+    {
+        "similarity_ivf_kmeans",
+        "embedding_pq_reconstruction",
+        "similarity_topk_pq",
+    }
+)
 
 # ---------------------------------------------------------------------------
 # embedding_quantize_int8
@@ -311,4 +317,127 @@ def embedding_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_rel_err"
         ),
         F.round(F.max("rel_u") / F.lit(float(_QGRID)), 6).alias("max_rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_pq — the ADC serving path, oracle-replayed end to end
+# ---------------------------------------------------------------------------
+
+_ADC_SHORTLIST = 60
+_ADC_K = 3
+
+_DUCK_COS_QV_CV = """
+      list_sum(list_transform(range(64), i -> qv[i + 1] * cv[i + 1]))
+      / (sqrt(list_sum(list_transform(range(64), i -> qv[i + 1] * qv[i + 1])))
+       * sqrt(list_sum(list_transform(range(64), i -> cv[i + 1] * cv[i + 1]))))
+"""
+
+
+def _adc_oracle() -> str:
+    dist = (
+        f"list_sum(list_transform(range({_PQ_D}), "
+        "i -> (s.sv[i + 1] - c.cw[i + 1]) * (s.sv[i + 1] - c.cw[i + 1])))"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT m.range AS m, CAST(vec_id / {_PQ_STEP} AS INT) AS code,
+             v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS cw
+      FROM pts CROSS JOIN range({_PQ_M}) m
+      WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < {_PQ_K * _PQ_STEP}
+    ),
+    sub AS (
+      SELECT vec_id, m.range AS m,
+             v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS sv
+      FROM pts CROSS JOIN range({_PQ_M}) m
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY CAST(floor({dist} * {_QGRID}) AS BIGINT), c.code
+               ) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0),
+    qsub AS (
+      SELECT query_id, m.range AS m,
+             qv[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS sv
+      FROM q CROSS JOIN range({_PQ_M}) m
+    ),
+    lut AS (
+      SELECT s.query_id, s.m, c.code,
+             CAST(floor({dist} * {_QGRID}) AS BIGINT) AS lut_u
+      FROM qsub s JOIN cb c ON s.m = c.m
+    ),
+    adc AS (
+      SELECT l.query_id, cd.vec_id, SUM(l.lut_u) AS adc_u
+      FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+      WHERE l.query_id <> cd.vec_id
+      GROUP BY 1, 2 HAVING COUNT(*) = {_PQ_M}
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_ADC_SHORTLIST}
+    ),
+    resc AS (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS_QV_CV}, 4) AS cosine_sim
+      FROM short s
+      JOIN (SELECT vec_id, v AS cv FROM pts) c ON c.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id)
+               AS rank
+      FROM resc
+    ) WHERE rank <= {_ADC_K}
+    """
+
+
+@query("similarity_topk_pq", oracle=_adc_oracle())
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k through the PQ ADC serving path
+    (extensions/similarity.py::pq_adc_topk): corpus vectors live as
+    M=8 one-byte codes, per-query LUTs against the broadcast codebook
+    give the approximate distance as one integer-sum equi-join, the
+    shortlist re-ranks exactly. The WHOLE path — coding, LUT, ADC,
+    shortlist, re-rank — replays in the DuckDB oracle on the fixed
+    1e-6 grid. At 100 TB this is the query shape that reads 8 bytes
+    per corpus vector instead of 256 and never shuffles a float
+    array."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cb = X.pq_subvectors(
+        pts.filter(
+            (F.col("vec_id") % _PQ_STEP == 0)
+            & (F.col("vec_id") < _PQ_K * _PQ_STEP)
+        ).select((F.col("vec_id") / _PQ_STEP).cast("int").alias("code"), "v"),
+        _PQ_M,
+        _PQ_D,
+    ).select("m", "code", F.col("sv").alias("cw"))
+    qids = pts.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    return X.pq_adc_topk(
+        pts,
+        qids,
+        cb,
+        _PQ_M,
+        _PQ_D,
+        k=_ADC_K,
+        shortlist=_ADC_SHORTLIST,
+        quant=float(_QGRID),
     )
