@@ -32,6 +32,11 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the oracle compare collect()s full result sets; at sf0.1 the
+        # wide-row queries (e.g. landfire_viz_arrays: 225k JSON-array
+        # rows) overflow the default 1g driver heap and kill the JVM,
+        # cascading Connection-refused failures over every later query
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -201,3 +201,37 @@ def test_scd2_apply_null_attr_update_still_applies(spark):
         key=str,
     )
     assert rows == [("a", "2024-06-01", False), (None, "None", True)]
+
+
+def test_scd2_batch_composition_disjoint_keys(spark):
+    """The algebra the streaming refresh relies on: applying two
+    DISJOINT-key update batches sequentially (same effective date)
+    equals applying their union in one shot."""
+    dim = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(1, 9)],
+        "k bigint, seg string, bal double",
+    )
+    upd_a = spark.createDataFrame(
+        [(2, "A", 20.0), (4, "B", 40.0)], "k bigint, seg string, bal double"
+    )
+    upd_b = spark.createDataFrame(
+        [(5, "C", 50.0), (9, "N", 90.0)], "k bigint, seg string, bal double"
+    )
+    one_shot = INC.scd2_apply(
+        dim, upd_a.unionByName(upd_b), key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    hist = INC.scd2_init(dim, "k", ["seg", "bal"], "2024-01-01")
+    staged = INC.scd2_apply_history(
+        INC.scd2_apply_history(hist, upd_a, "k", ["seg", "bal"], "2024-06-01"),
+        upd_b, "k", ["seg", "bal"], "2024-06-01",
+    )
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["seg"], r["bal"], str(r["valid_from"]),
+             str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(one_shot) == canon(staged)
