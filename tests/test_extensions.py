@@ -420,3 +420,46 @@ def test_hyperplane_family_deterministic():
     # a different seed yields a different family (sanity that the
     # seed actually parameterizes the draw)
     assert X.rademacher_hyperplanes(4, 64, 43) != a
+
+
+def test_gap_fill_scaffold_properties(spark, sf_dir):
+    """Gap-fill invariants the oracle-parity check cannot state
+    directly: per user the scaffold is exactly the closed hourly range
+    of that user's span (no holes, no spill), and filled_value is
+    non-null from the first observed hour onward."""
+    from env_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["events_gap_fill_hourly"](spark, sf_dir)
+    agg = (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_hours"),
+            (
+                (
+                    F.unix_timestamp(F.max("hour"))
+                    - F.unix_timestamp(F.min("hour"))
+                )
+                / 3600
+                + 1
+            ).alias("span_hours"),
+            F.sum(F.when(F.col("filled_value").isNull(), 1).otherwise(0)).alias(
+                "n_null_fill"
+            ),
+            F.min(F.when(F.col("is_observed"), F.col("hour"))).alias("first_obs"),
+            F.sum(
+                F.when(
+                    F.col("filled_value").isNull() & F.col("is_observed"), 1
+                ).otherwise(0)
+            ).alias("null_at_observed"),
+        )
+        .collect()
+    )
+    assert agg, "no users matched the gap-fill filter"
+    for r in agg:
+        # contiguous scaffold: row count == inclusive hour span
+        assert r["n_hours"] == int(r["span_hours"]), r
+        # the first scaffold hour is observed by construction (span
+        # starts at the user's min ts), so no null fills at all
+        assert r["n_null_fill"] == 0, r
+        assert r["null_at_observed"] == 0, r

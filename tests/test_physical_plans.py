@@ -389,3 +389,12 @@ def test_pq_codebook_broadcast_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_argmin_has_no_window(spark, sf_dir):
+    """The Lloyd assignment must be a partial-aggregated min(struct),
+    never a row_number window — the window would shuffle all K
+    candidate rows (each carrying the full vector) per point instead
+    of combining to one row map-side (review finding, fixed)."""
+    plan = formatted_plan(spark, "similarity_ivf_kmeans", sf_dir)
+    assert not re.findall(r"\(\d+\) Window", plan)
