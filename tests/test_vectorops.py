@@ -219,3 +219,24 @@ def test_ivfpq_recall_and_probe_monotonicity(spark, sf_dir):
     cent.unpersist()
     assert r3 >= 0.65, r3
     assert r5 >= r3 - 1e-9, (r3, r5)
+
+
+def test_streaming_pq_code_refresh_equals_batch(spark, sf_dir):
+    """Streaming index maintenance: vectors replayed as 3 real
+    micro-batches, each PQ-coded and appended to the persistent code
+    table — the final table must equal the one-shot batch coding
+    (coding is per-row, so incremental ingestion cannot change any
+    code as long as the codebook is frozen)."""
+    from env_data_pipeline_spark.streaming.vector_index_refresh import (
+        streaming_pq_code_refresh,
+    )
+
+    M, D, K, STEP = 8, 8, 16, 17
+    pts = _pts(spark, sf_dir)
+    cb = _pq_seed_codebook(pts, M, D, K, STEP)
+    streamed = streaming_pq_code_refresh(spark, pts, cb, M, D)
+    batch = X.pq_codes(pts, cb, M, D)
+    assert streamed.count() == batch.count()
+    assert (
+        streamed.join(batch, ["vec_id", "m", "code"]).count() == batch.count()
+    )
