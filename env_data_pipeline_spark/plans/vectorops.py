@@ -1,14 +1,20 @@
 """Vector-storage operators over the embeddings table (X3 family):
-int8 scalar quantization audit and Lloyd-trained IVF centroids.
+int8 scalar quantization audit, Lloyd-trained IVF centroids, product
+quantization, and the PQ ADC top-k serving path.
 
 The reference ships raw float payloads end-to-end (its only vector
 data is raster pixel arrays, `containers/topography/topography_container.py:298-452`);
 a 100 TB embedding store quantizes for storage/bandwidth and trains
-its IVF cells rather than sampling them. Both queries here are full
-DuckDB-oracle replays: quantization is pure per-row Column math, and
-the k-means oracle re-runs the identical training iterations in SQL
-(centroids quantized to a fixed grid each step, which is what makes
-an iterative float algorithm engine-reproducible at all).
+its IVF cells rather than sampling them. All four queries here are
+full DuckDB-oracle replays: quantization is pure per-row Column math,
+the k-means oracle re-runs the identical training iterations in SQL,
+and the PQ oracles replay codeword assignment / LUT / ADC / re-rank
+stage by stage — possible because every distance and centroid
+component is quantized to a fixed grid, which is what makes a float
+algorithm engine-reproducible at all. Library siblings in
+extensions/similarity.py (pq_train_codebook, pq_adc_topk, ivfpq_topk)
+and streaming/vector_index_refresh.py carry the trained-codebook and
+index-maintenance paths, pinned by tests/test_vectorops.py.
 """
 
 from __future__ import annotations
