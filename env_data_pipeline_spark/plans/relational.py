@@ -25,10 +25,17 @@ from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
     "flagship_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           -- money sums in exact 1e-4 units (group sums ~1e9-1e10:
+           -- raw-double ROUND flips on summation order at sf>=0.1)
+           ROUND(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+                 / 10000.0, 4) AS sum_base_price,
+           ROUND(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 4)
+             AS sum_disc_price,
+           ROUND(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 10000) AS BIGINT))
+                 / 10000.0, 4) AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -54,9 +61,20 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("bigint"))
+                / F.lit(10000.0),
+                4,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(F.floor(disc_price * 10000).cast("bigint"))
+                / F.lit(10000.0),
+                4,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.floor(charge * 10000).cast("bigint")) / F.lit(10000.0),
+                4,
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -70,7 +88,11 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           -- exact 1e-4 money units (see revenue_rollup_region_nation:
+           -- region sums are ~1e9 where raw-double rounding is
+           -- summation-order-sensitive)
+           ROUND(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -102,7 +124,17 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                )
+                / F.lit(10000.0),
+                4,
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"))
@@ -522,7 +554,13 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(r.r_name, 'ALL') AS region,
            coalesce(n.n_name, 'ALL') AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           -- per-row revenue floored to 1e-4 money units BEFORE the
+           -- sum: grand-total sums reach ~1e10 where a double's ulp
+           -- exceeds the 4th decimal, so ROUND(SUM(double)) flips
+           -- between engines on summation order (observed at sf0.1);
+           -- integer micro-unit accounting is exact at any scale
+           ROUND(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -537,7 +575,10 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes nation-level, region-level and grand totals in ONE pass
     (Catalyst expands the grouping sets; partial aggregation still
     applies). NULL grouping slots normalized to 'ALL' so the three
-    levels are distinguishable and hash-comparable."""
+    levels are distinguishable and hash-comparable. Revenue sums in
+    exact 1e-4 money units (per-row floor, integer sum) — the rollup's
+    grand total is large enough that a raw double sum's rounding is
+    summation-order-sensitive at sf>=0.1."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -549,12 +590,13 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
     return (
         j.rollup("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            F.round(F.sum(rev_u) / F.lit(10000.0), 4).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
         .select(
