@@ -58,3 +58,22 @@ def test_bucketed_paths_scale_sublinearly(spark, name):
         f"{name}: time ratio {ratio:.2f} vs data ratio {data_ratio:.2f} — "
         "a bucketed path should scale well under the data growth"
     )
+
+
+MONEY_SUM_QUERIES = [
+    "flagship_pricing_summary",
+    "revenue_by_region",
+    "revenue_rollup_region_nation",
+]
+
+
+@pytest.mark.parametrize("name", MONEY_SUM_QUERIES)
+def test_money_sums_oracle_parity_at_high_tier(spark, name):
+    """Regression for the sf0.1-only money-sum cliff: these queries'
+    group totals reach ~1e10, where a raw ROUND(SUM(double)) flips
+    between engines on summation order (the default sf0.001 parity
+    suite cannot see this — sums are too small). Exact 1e-4-unit
+    integer accounting must keep them hash-equal at the big tier."""
+    from tests.oracle import compare
+
+    compare(spark, name, registry.QUERIES[name], registry.ORACLES[name], HI)
