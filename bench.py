@@ -60,6 +60,31 @@ def _time_tier(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _dump_plans(spark, names: list[str], sf_dir: str) -> None:
+    """Write each headline query's formatted physical plan to
+    BENCH_PLANS.md so the timing record carries the plan it measured."""
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.md")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    lines = [
+        "# Headline-query physical plans (captured by bench.py)",
+        "",
+        f"Tier: `{sf_dir}`. Regenerated on every bench run; the plans",
+        "below are exactly what the recorded timings measured.",
+        "",
+    ]
+    for name in names:
+        try:
+            df = registry.QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as ex:  # noqa: BLE001 - plan capture is best-effort
+            plan = f"(plan capture failed: {ex})"
+        lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+
+
 def _row_ratios(spark, hi_dir: str, lo_dir: str) -> dict[str, float]:
     from env_data_pipeline_spark.catalog import table
 
@@ -89,6 +114,11 @@ def main() -> None:
 
     timings = _time_tier(spark, names, sf_dir)
     total = round(sum(timings.values()), 4)
+
+    # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
+    # 4: "per-query times AND captured plans") — a side artifact, so
+    # stdout stays the one-JSON-line driver contract
+    _dump_plans(spark, names, sf_dir)
 
     result = {
         "metric": "headline_queries_total",
