@@ -438,6 +438,28 @@ def int8_quantize_cols(vec: Column) -> dict[str, Column]:
     return {"scale": scale, "rel_err": rel_err, "norm2": norm2}
 
 
+def grid_mean_vectors(
+    df: DataFrame, keys: list[str], vec_col: str, out_col: str, quant: float
+) -> DataFrame:
+    """Element-wise mean of an array column per key group, every
+    component floor-quantized to the 1/quant grid — the shared
+    centroid-update step of kmeans_lloyd and pq_train_codebook
+    (posexplode -> per-dim avg -> grid floor -> re-assemble sorted).
+    The grid is what keeps the iteration engine-reproducible."""
+    return (
+        df.select(*keys, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(*keys, "pos")
+        .agg(F.avg("val").alias("cval"))
+        .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            *keys,
+            F.transform(F.col("pc"), lambda s: s.getField("cval")).alias(out_col),
+        )
+    )
+
+
 def kmeans_lloyd(
     pts: DataFrame,
     init_centroids: DataFrame,
@@ -499,21 +521,8 @@ def kmeans_lloyd(
                 F.col("b.dist2").alias("dist2"),
             )
         )
-        cent = (
-            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
-            .groupBy("cluster_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "cval"))
-                ).alias("pc")
-            )
-            .select(
-                "cluster_id",
-                F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("c"),
-            )
+        cent = grid_mean_vectors(
+            assigned.select("cluster_id", "v"), ["cluster_id"], "v", "c", quant
         )
     return assigned.select("vec_id", "cluster_id", "dist2")
 
@@ -694,19 +703,12 @@ def pq_train_codebook(
             .groupBy("vec_id", "m")
             .agg(F.min(F.struct("dist_u", "code")).getField("code").alias("code"))
         )
-        cb = (
-            best.join(sub, ["vec_id", "m"])
-            .select("m", "code", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("m", "code", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
-            .groupBy("m", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
-            .select(
-                "m",
-                "code",
-                F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("cw"),
-            )
+        cb = grid_mean_vectors(
+            best.join(sub, ["vec_id", "m"]).select("m", "code", "sv"),
+            ["m", "code"],
+            "sv",
+            "cw",
+            quant,
         )
     return cb
 

@@ -34,7 +34,6 @@ mid-stream and proves exactly-once on resume from checkpoint.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -43,26 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.operators import incremental as INC
+from env_data_pipeline_spark.streaming.replay import (
+    replay_foreachbatch,
+    write_shards,
+)
 
 BATCH_SHARDS = 4
 _KEYS = ["event_type"]
-
-
-def _split_events(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Materialize events as BATCH_SHARDS single-file deltas named so
-    the file source lists them deterministically (lexicographic order
-    = shard order)."""
-    from env_data_pipeline_spark.catalog import table
-
-    events = table(spark, sf_dir, "events")
-    for i in range(BATCH_SHARDS):
-        shard_tmp = os.path.join(out_dir, f"_build_{i}")
-        events.filter(F.col("event_id") % BATCH_SHARDS == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(shard_tmp)
-        (part,) = glob.glob(os.path.join(shard_tmp, "part-*.parquet"))
-        os.rename(part, os.path.join(out_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(shard_tmp)
 
 
 def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,22 +56,16 @@ def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges each batch's count/sum/min/max partial state into the
     persistent state table. Returns the final state with avg derived
     at read time."""
+    from env_data_pipeline_spark.catalog import table
+
     work = tempfile.mkdtemp(prefix="stream_agg_refresh_")
     delta_dir = os.path.join(work, "deltas")
     ckpt_dir = os.path.join(work, "ckpt")
     state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
     os.makedirs(delta_dir)
-    _split_events(spark, sf_dir, delta_dir)
-
-    # splitting normalized ts already (catalog.table); stream the
-    # deltas with the normalized schema, no vintage handling needed
-    schema = spark.read.parquet(os.path.join(delta_dir, "batch_0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(delta_dir)
-    )
+    # table() normalized ts already; the deltas stream with the
+    # normalized schema, no vintage handling needed
+    write_shards(table(spark, sf_dir, "events"), delta_dir, BATCH_SHARDS, "event_id")
 
     live: list[str] = []  # last state dir actually written
 
@@ -102,29 +82,9 @@ def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(nxt)
         live.append(nxt)
 
-    q = (
-        stream.writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    replay_foreachbatch(
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _merge_batch, "streaming refresh"
     )
-    q.processAllAvailable()
-    lp = q.lastProgress
-    q.stop()
-    q.awaitTermination(60)
-    if not isinstance(lp, dict):  # older API returns an object
-        import json
-
-        lp = json.loads(lp.json)
-    # the proof requires REAL multi-batch replay: if availableNow ever
-    # stopped honoring maxFilesPerTrigger and collapsed to one batch,
-    # the merge path would be untested while the result stayed green
-    last_batch = lp["batchId"]
-    if last_batch < BATCH_SHARDS - 1:
-        raise RuntimeError(
-            f"streaming refresh replay collapsed to {last_batch + 1} "
-            f"batch(es); expected {BATCH_SHARDS}"
-        )
 
     final_dir = live[-1]  # last state dir actually written
     state = spark.read.parquet(final_dir)

@@ -23,15 +23,17 @@ forks no history (pinned by tests/test_incremental.py)."""
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.operators import incremental as INC
+from env_data_pipeline_spark.streaming.replay import (
+    replay_foreachbatch,
+    write_shards,
+)
 
 BATCH_SHARDS = 2
 
@@ -72,28 +74,12 @@ def _run_refresh(
     ckpt_dir = os.path.join(work, "ckpt")
     state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
     os.makedirs(delta_dir)
-
-    for i in range(BATCH_SHARDS):
-        shard_tmp = os.path.join(delta_dir, f"_build_{i}")
-        updates.filter(F.col(key) % BATCH_SHARDS == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(shard_tmp)
-        (part,) = glob.glob(os.path.join(shard_tmp, "part-*.parquet"))
-        os.rename(part, os.path.join(delta_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(shard_tmp)
+    write_shards(updates, delta_dir, BATCH_SHARDS, key)
 
     # seed the persistent history with the trivial expansion of the
     # current-only snapshot
     INC.scd2_init(dim, key, attrs, base_date).write.mode("overwrite").parquet(
         state_dirs[1]
-    )
-
-    schema = spark.read.parquet(os.path.join(delta_dir, "batch_0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(delta_dir)
     )
 
     live: list[str] = []
@@ -106,28 +92,9 @@ def _run_refresh(
         merged.write.mode("overwrite").parquet(nxt)
         live.append(nxt)
 
-    q = (
-        stream.writeStream.foreachBatch(_apply_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    replay_foreachbatch(
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _apply_batch, "streaming SCD2"
     )
-    q.processAllAvailable()
-    lp = q.lastProgress
-    q.stop()
-    q.awaitTermination(60)
-    if lp is None:
-        raise RuntimeError("streaming SCD2 replay processed no batches")
-    if not isinstance(lp, dict):
-        import json
-
-        lp = json.loads(lp.json)
-    last_batch = lp["batchId"]
-    if last_batch < BATCH_SHARDS - 1:
-        raise RuntimeError(
-            f"streaming SCD2 replay collapsed to {last_batch + 1} "
-            f"batch(es); expected {BATCH_SHARDS}"
-        )
 
     # detach the result from the about-to-be-removed temp dir WITHOUT
     # round-tripping the (dimension-sized) history through the driver:

@@ -20,15 +20,17 @@ touches of previously-coded vectors."""
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.extensions import similarity as X
+from env_data_pipeline_spark.streaming.replay import (
+    replay_foreachbatch,
+    write_shards,
+)
 
 BATCH_SHARDS = 3
 
@@ -65,23 +67,7 @@ def _run(
     ckpt_dir = os.path.join(work, "ckpt")
     codes_dir = os.path.join(work, "codes")
     os.makedirs(delta_dir)
-
-    for i in range(BATCH_SHARDS):
-        shard_tmp = os.path.join(delta_dir, f"_build_{i}")
-        pts.filter(F.col("vec_id") % BATCH_SHARDS == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(shard_tmp)
-        (part,) = glob.glob(os.path.join(shard_tmp, "part-*.parquet"))
-        os.rename(part, os.path.join(delta_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(shard_tmp)
-
-    schema = spark.read.parquet(os.path.join(delta_dir, "batch_0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(delta_dir)
-    )
+    write_shards(pts, delta_dir, BATCH_SHARDS, "vec_id")
 
     def _code_batch(batch_df: DataFrame, batch_id: int) -> None:
         # append-only: new vectors never touch previously-coded rows
@@ -89,25 +75,7 @@ def _run(
             "dist_u"
         ).write.mode("append").parquet(codes_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_code_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    replay_foreachbatch(
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _code_batch, "streaming PQ coding"
     )
-    q.processAllAvailable()
-    lp = q.lastProgress
-    q.stop()
-    q.awaitTermination(60)
-    if lp is None:
-        raise RuntimeError("streaming PQ coding processed no batches")
-    if not isinstance(lp, dict):
-        import json
-
-        lp = json.loads(lp.json)
-    if lp["batchId"] < BATCH_SHARDS - 1:
-        raise RuntimeError(
-            f"streaming PQ coding collapsed to {lp['batchId'] + 1} "
-            f"batch(es); expected {BATCH_SHARDS}"
-        )
     return spark.read.parquet(codes_dir).localCheckpoint(eager=True)

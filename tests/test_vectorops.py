@@ -190,17 +190,12 @@ def test_ivfpq_recall_and_probe_monotonicity(spark, sf_dir):
         F.col("v").alias("c"),
     )
     assigned = X.kmeans_lloyd(pts, coarse_init, iters=2)
-    cent = (
-        assigned.join(pts, "vec_id")
-        .select("cluster_id", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cluster_id", "pos")
-        .agg(F.avg("val").alias("cv"))
-        .withColumn("cv", F.floor(F.col("cv") * 1e6) / 1e6)
-        .groupBy("cluster_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-        .select(
-            "cluster_id", F.transform("pc", lambda s: s.getField("cv")).alias("c")
-        )
+    cent = X.grid_mean_vectors(
+        assigned.join(pts, "vec_id").select("cluster_id", "v"),
+        ["cluster_id"],
+        "v",
+        "c",
+        1e6,
     )
     cent.cache().count()
     qids = pts.filter(F.col("vec_id") % 20 == 0).select("vec_id")
