@@ -5,6 +5,12 @@ ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 Timing = full plan execution to a count/collect action, after one
 untimed warm-up of the session (JVM + parquet footer caches), so the
 number reflects steady-state engine throughput, not JVM startup.
+Each query reports the MEDIAN of 5 timed runs plus a relative-spread
+"variance" field ((max-min)/median), with a forced JVM GC between
+queries — the r4 round showed uniform +10-60% drift on unchanged
+plans (shared-JVM broadcast/GC churn as the headline set grew), and
+a median with a spread is what separates plan regressions from that
+harness noise.
 
 Scale proof: the same queries are also timed at a LOWER tier
 ($SPARK_GRAFT_SF_LO_DIR, default the sibling sf0.01) and the JSON
@@ -38,26 +44,46 @@ HEADLINE = [
 _SCALE_TABLES = ("lineitem", "events", "documents", "embeddings")
 
 
-def _time_tier(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+_N_RUNS = 5  # timed runs per query; reported time is the MEDIAN
+
+
+def _time_tier(
+    spark, names: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (median timings, relative spread per query).
+
+    Per query: one untimed warm-up (whole-stage-codegen compilation,
+    broadcast build, parquet footers, fixture snapshot on a cold
+    cache — one-time costs, not engine throughput), then the median
+    of _N_RUNS timed runs. Median-of-5 instead of best-of-2 (r4
+    verdict item 3): the r3->r4 bench drift was uniform across
+    unchanged plans, i.e. harness noise, and a median with a reported
+    spread separates real plan regressions from that noise. Before
+    each query's runs the JVM is asked to GC and collect dead
+    broadcast/shuffle state, so query N's timing doesn't absorb query
+    N-1's cleanup — the accumulation suspected behind the r4 drift
+    (the headline set shares one JVM)."""
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        # per-query warm-up: the first execution pays one-time costs
-        # (whole-stage-codegen compilation, broadcast build, parquet
-        # footer reads, fixture snapshot on a cold cache) that aren't
-        # engine throughput; then take the best of two timed runs —
-        # single-shot numbers on a 32-thread local scheduler carry
-        # ±30% GC/scheduling noise that min-of-2 largely removes
         registry.QUERIES[name](spark, sf_dir).count()
-        best = None
-        for _ in range(2):
+        # drop the previous query's garbage (broadcast blocks, shuffle
+        # files are released via weak refs on GC) outside the window
+        spark.sparkContext._jvm.System.gc()
+        runs = []
+        for _ in range(_N_RUNS):
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
-    return timings
+        runs.sort()
+        med = runs[len(runs) // 2]
+        timings[name] = round(med, 4)
+        # relative spread: (max-min)/median — >0.5 flags a timing too
+        # noisy to read as a regression
+        spreads[name] = round((runs[-1] - runs[0]) / med, 2) if med else 0.0
+    return timings, spreads
 
 
 def _dump_plans(spark, names: list[str], sf_dir: str) -> None:
@@ -74,15 +100,27 @@ def _dump_plans(spark, names: list[str], sf_dir: str) -> None:
         "below are exactly what the recorded timings measured.",
         "",
     ]
+    failed = []
     for name in names:
         try:
             df = registry.QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as ex:  # noqa: BLE001 - plan capture is best-effort
             plan = f"(plan capture failed: {ex})"
+            failed.append(name)
         lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
-    with open(out, "w") as fh:
+    if failed:
+        # never clobber the committed artifact with failure noise
+        # (ADVICE r4): keep the old file, say so loudly on stderr
+        print(
+            f"bench: plan capture failed for {failed}; BENCH_PLANS.md left untouched",
+            file=sys.stderr,
+        )
+        return
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write("\n".join(lines))
+    os.replace(tmp, out)
 
 
 def _row_ratios(spark, hi_dir: str, lo_dir: str) -> dict[str, float]:
@@ -112,7 +150,7 @@ def main() -> None:
         if n not in names and n in registry.BENCH_EXTRA:
             names.append(n)
 
-    timings = _time_tier(spark, names, sf_dir)
+    timings, spreads = _time_tier(spark, names, sf_dir)
     total = round(sum(timings.values()), 4)
 
     # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
@@ -125,12 +163,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "variance": spreads,
+        "runs_per_query": _N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     if os.path.isdir(lo_dir) and os.path.abspath(lo_dir) != os.path.abspath(sf_dir):
         lo_sf = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
-        lo_timings = _time_tier(spark, names, lo_dir)
+        lo_timings, _ = _time_tier(spark, names, lo_dir)
         result["tiers"] = {sf: timings, lo_sf: lo_timings}
         result["data_ratio"] = _row_ratios(spark, sf_dir, lo_dir)
         result["scaling"] = {

@@ -460,28 +460,17 @@ def grid_mean_vectors(
     )
 
 
-def kmeans_lloyd(
+def _kmeans_iterate(
     pts: DataFrame,
     init_centroids: DataFrame,
-    iters: int = 2,
-    quant: float = 1e6,
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column — the training step
-    that turns the sampled-row IVF shortcut into learned centroids.
-
-    ``pts``: (vec_id, v: array<double>); ``init_centroids``:
-    (cluster_id, c: array<double>). Each iteration is (1) a broadcast
-    of the K centroids against the corpus — an O(N*K) map with NO
-    shuffle of the vectors — and (2) one aggregation shuffle keyed by
-    (cluster_id, dim position) to average members. At 100 TB that is
-    the canonical plan: the data never moves for assignment, only
-    K*dim floats do.
-
-    New centroid components are quantized to the 1/``quant`` grid
-    (floor semantics) so the iteration is bitwise-reproducible across
-    engines and summation orders — the property that lets a DuckDB
-    oracle replay the identical training run. Returns the final
-    assignment (vec_id, cluster_id, dist2)."""
+    iters: int,
+    quant: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop behind kmeans_lloyd / kmeans_train: returns
+    (final assignment incl. the vector column, final UPDATED centroid
+    set). The centroid set is the grid-quantized mean of the final
+    assignment — i.e. one update past the last assignment, the set a
+    trained index serves from."""
     cent = init_centroids
     assigned = None
     for _ in range(iters):
@@ -524,7 +513,128 @@ def kmeans_lloyd(
         cent = grid_mean_vectors(
             assigned.select("cluster_id", "v"), ["cluster_id"], "v", "c", quant
         )
+    return assigned, cent
+
+
+def kmeans_lloyd(
+    pts: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the training step
+    that turns the sampled-row IVF shortcut into learned centroids.
+
+    ``pts``: (vec_id, v: array<double>); ``init_centroids``:
+    (cluster_id, c: array<double>). Each iteration is (1) a broadcast
+    of the K centroids against the corpus — an O(N*K) map with NO
+    shuffle of the vectors — and (2) one aggregation shuffle keyed by
+    (cluster_id, dim position) to average members. At 100 TB that is
+    the canonical plan: the data never moves for assignment, only
+    K*dim floats do.
+
+    New centroid components are quantized to the 1/``quant`` grid
+    (floor semantics) so the iteration is bitwise-reproducible across
+    engines and summation orders — the property that lets a DuckDB
+    oracle replay the identical training run. Returns the final
+    assignment (vec_id, cluster_id, dist2)."""
+    assigned, _ = _kmeans_iterate(pts, init_centroids, iters, quant)
     return assigned.select("vec_id", "cluster_id", "dist2")
+
+
+def kmeans_train(
+    pts: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Train and return the centroid SET (cluster_id, c) an IVF index
+    serves from: ``iters`` Lloyd iterations, then one final
+    grid-quantized mean over the last assignment — same loop as
+    kmeans_lloyd (they share _kmeans_iterate), just keeping the other
+    output. Feed the result to topk_ivf_cells / ivfpq_topk so serving
+    consumes the trained cells rather than sampled corpus rows."""
+    _, cent = _kmeans_iterate(pts, init_centroids, iters, quant)
+    return cent
+
+
+def topk_ivf_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    query_mod: int = 100,
+    nprobe: int = 6,
+    quant: float = 1e6,
+) -> DataFrame:
+    """IVF top-k SERVING from a trained centroid set (cluster_id, c —
+    typically kmeans_train's output): every corpus vector is assigned
+    its nearest cell by grid-quantized squared-L2 argmin (the same
+    metric and tie-break the training loop used), queries probe their
+    ``nprobe`` nearest cells, and candidates are scored with exact
+    cosine inside a cell equi-join.
+
+    Same plan shape as topk_ivf (broadcast assignment + cell
+    equi-join) — swapping sampled rows for trained centroids changes
+    WHICH cells exist, not how the plan executes. Trained cells are
+    balanced (Lloyd equalizes distortion), which is what keeps recall
+    stable at scale where a skewed sampled cell would swallow the
+    corpus. nprobe/K is the recall-vs-latency lever; K grows with the
+    corpus, so the probed fraction shrinks at 100 TB."""
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "cluster_id",
+        F.floor(sq_dist(F.col("v"), F.col("c")) * F.lit(quant))
+        .cast("bigint")
+        .alias("cd_u"),
+    )
+    # corpus side: argmin via map-side min(struct) — one row per
+    # vector reaches the exchange, never K
+    cells = scored.groupBy("vec_id").agg(
+        F.min(F.struct("cd_u", "cluster_id")).getField("cluster_id").alias("cell"),
+        F.first("v").alias("v"),
+    )
+    # query side: nprobe nearest cells (tiny — the query filter pushes
+    # to the scan before the broadcast centroid cross)
+    wq = Window.partitionBy("vec_id").orderBy(F.asc("cd_u"), F.asc("cluster_id"))
+    q_cells = (
+        scored.filter(F.col("vec_id") % query_mod == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_vec"),
+            F.col("cluster_id").alias("cell"),
+        )
+    )
+    cand = (
+        cells.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec"), "cell"
+        )
+        .join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    # rank on the ROUNDED similarity (the output precision) — the
+    # engine-deterministic tie-break used by every top-k here
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank"
+        )
+    )
 
 
 def pq_subvectors(

@@ -88,16 +88,26 @@ def scd2_apply_history(
     update — or a NO-OP redelivery — stays open unchanged.
 
     An update whose key is absent from the history INSERTS a new open
-    row at batch_date. Precondition (the SQL MERGE contract): at most
-    one update row per key — duplicate keys in one batch would fan the
-    join out and corrupt the history.
+    row at batch_date; an update for a key whose history rows are ALL
+    closed (no is_current row — a previously ended key) REOPENS it:
+    the closed rows pass through and one new current row opens at
+    batch_date, hosted on the latest closed row so it fires exactly
+    once per key. Preconditions: at most one update row per key (the
+    SQL MERGE contract — duplicate keys in one batch would fan the
+    join out and corrupt the history), and batches apply in
+    effective-date order — a batch_date behind an existing validity
+    boundary raises a NAMED error instead of minting an inverted
+    interval (shuffled delivery must sort by effective date first;
+    tests/test_incremental.py::test_scd2_out_of_order_batch_rejected).
 
     Plan shape: ONE full-outer shuffle join of the history on ``key``
     (bucket-elidable like merge_upsert), then a map-side per-row
     fan-out via an inline array — a changed key emits both its history
     rows from the same joined row, so there is no second scan of
-    either input and no union of re-joined branches. Repeated nightly
-    application keeps cost O(|hist| + |updates|) per batch."""
+    either input and no union of re-joined branches. The reopen branch
+    adds two windows over the SAME key partitioning the join just
+    shuffled on, so it costs a sort, never a new exchange. Repeated
+    nightly application keeps cost O(|hist| + |updates|) per batch."""
     # explicit presence marker, NOT attribute-null sniffing: an update
     # legitimately setting attrs[0] to NULL must still count as present
     u_attrs = [F.col(f"u.{c}").alias(f"u_{c}") for c in attrs]
@@ -120,6 +130,31 @@ def scd2_apply_history(
         )
     )
     inserted = ~has_hist & F.coalesce(F.col("u_present"), F.lit(False))
+    # reopen: key has history but NO current row (all closed) and an
+    # update arrived — without this branch the update would vanish
+    # (neither `changed` nor `inserted` fires). Both windows share the
+    # join's hash(key) partitioning, so no extra exchange.
+    from pyspark.sql.window import Window
+
+    joined = joined.withColumn(
+        "_any_current",
+        F.max(F.coalesce(F.col("b.is_current"), F.lit(False))).over(
+            Window.partitionBy(key)
+        ),
+    ).withColumn(
+        "_host_rn",
+        F.row_number().over(
+            Window.partitionBy(key).orderBy(
+                F.col("b.valid_to").desc_nulls_last(), F.col("b.valid_from").desc()
+            )
+        ),
+    )
+    reopened = (
+        has_hist
+        & ~F.col("_any_current")
+        & F.coalesce(F.col("u_present"), F.lit(False))
+        & (F.col("_host_rn") == 1)
+    )
 
     def _row(
         cols: list[Column], valid_from: Column, valid_to: Column, current: Column
@@ -135,15 +170,58 @@ def scd2_apply_history(
     new_cols = [F.col(f"u_{c}") for c in attrs]
     batch = F.to_date(F.lit(batch_date))
     null_date = F.lit(None).cast("date")
+    # OUT-OF-ORDER REJECTION (the chosen semantics, pinned by
+    # tests/test_incremental.py): batches must apply in effective-date
+    # order. A batch_date that precedes the open row's valid_from (or,
+    # on reopen, the latest closed valid_to) would mint an inverted /
+    # overlapping validity interval; that row raises a NAMED error at
+    # execution instead of silently corrupting history. Shuffled
+    # delivery must be sorted by effective date before application —
+    # the reference's event path guarantees no ordering
+    # (orchestrator.py:941-950), so the history operator has to.
+    _ooo = (
+        "scd2_apply_history: out-of-order batch_date "
+        + batch_date
+        + " precedes existing validity boundary "
+    )
+
+    def _guard(boundary: Column) -> Column:
+        return F.when(batch >= boundary, batch).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(_ooo),
+                    boundary.cast("string"),
+                    F.lit(" — apply update batches in effective-date order"),
+                )
+            ).cast("date")
+        )
+
     fanout = (
         F.when(
             changed,
             F.array(
-                _row(old_cols, F.col("b.valid_from"), batch, F.lit(False)),
+                _row(
+                    old_cols,
+                    F.col("b.valid_from"),
+                    _guard(F.col("b.valid_from")),
+                    F.lit(False),
+                ),
                 _row(new_cols, batch, null_date, F.lit(True)),
             ),
         )
         .when(inserted, F.array(_row(new_cols, batch, null_date, F.lit(True))))
+        .when(
+            reopened,
+            F.array(
+                _row(
+                    old_cols,
+                    F.col("b.valid_from"),
+                    F.col("b.valid_to"),
+                    F.col("b.is_current"),
+                ),
+                _row(new_cols, _guard(F.col("b.valid_to")), null_date, F.lit(True)),
+            ),
+        )
         .otherwise(
             F.array(
                 _row(

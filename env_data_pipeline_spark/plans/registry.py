@@ -81,6 +81,32 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "streaming_cache_dedup", "streaming_enriched_events",
         "streaming_stateful_event_totals", "dedup_exact",
         "dedup_minhash_lsh",
+        # --- stamped by the round-4 driver window (CORRECTNESS_r04) ---
+        "text_repetition_profile", "decontaminate_eval_overlap",
+        "corpus_pack_sequences", "text_heavy_hitters",
+        "corpus_temperature_weights", "text_unigram_logprob",
+        "corpus_chunk_windows", "corpus_resample_execute",
+        "corpus_split_assignment", "corpus_dedup_keep",
+        "dedup_clusters", "dedup_ngram_jaccard",
+        "dedup_simhash_pairs", "dedup_embedding_cosine",
+        "dedup_crossmodal_agreement", "similarity_topk_exact_baseline",
+        "similarity_topk_lsh", "similarity_topk",
+        "similarity_topk_hyperplane", "text_quality_profile",
+        "text_token_stats", "corpus_mixture_summary",
+        "corpus_stratified_sample", "text_rolling_fingerprint",
+        "multimodal_metadata", "multimodal_features",
+        "multimodal_base64_sink", "multimodal_nested_sanitize",
+        "text_langid_accuracy", "similarity_topk_ivf",
+        "similarity_knn_label_agreement", "similarity_recall_at_k",
+        "multimodal_frame_sample", "corpus_curation_verdict",
+        "text_pii_redaction", "corpus_quality_weighted_sample",
+        "embedding_quantize_int8", "similarity_ivf_kmeans",
+        "embedding_pq_reconstruction", "similarity_topk_pq",
+        "documents_upsert_merge", "events_incremental_agg_refresh",
+        "customer_scd2_history", "streaming_scd2_refresh",
+        "streaming_incremental_agg_refresh", "collect_json_sink",
+        "streaming_session_windows", "events_interval_attribution",
+        "events_gap_fill_hourly", "events_anomaly_zscore",
     }
 )
 

@@ -117,10 +117,12 @@ _INIT_STEP = 60  # centroids seeded from vec_id 0, 60, ..., 420
 _QGRID = 1000000  # centroid/distance quantization grid (1e-6)
 
 
-def _kmeans_oracle(k: int, iters: int, step: int) -> str:
-    """Build the DuckDB replay of kmeans_lloyd: same init, same
-    assignment tie-break (quantized dist, then cluster_id), same
-    grid-quantized centroid update, same final summary."""
+def _kmeans_ctes(k: int, iters: int, step: int, final_update: bool) -> list[str]:
+    """DuckDB CTE replay of the Lloyd loop (_kmeans_iterate): same
+    init, same assignment tie-break (quantized dist, then cluster_id),
+    same grid-quantized centroid update. With ``final_update`` the
+    trained centroid set c{iters} is also emitted — the set
+    kmeans_train returns and a trained index serves from."""
     ctes = [
         f"""pts AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -131,24 +133,20 @@ def _kmeans_oracle(k: int, iters: int, step: int) -> str:
   FROM pts WHERE vec_id % {step} = 0 AND vec_id < {k * step}
 )""",
     ]
-    dist = (
-        f"list_sum(list_transform(range({_DIM}), "
-        "i -> (p.v[i + 1] - c.c[i + 1]) * (p.v[i + 1] - c.c[i + 1])))"
-    )
     for it in range(iters):
         ctes.append(
             f"""a{it} AS (
   SELECT vec_id, v, cluster_id, dist2 FROM (
-    SELECT p.vec_id, p.v, c.cluster_id, {dist} AS dist2,
+    SELECT p.vec_id, p.v, c.cluster_id, {_KM_DIST} AS dist2,
            ROW_NUMBER() OVER (
              PARTITION BY p.vec_id
-             ORDER BY CAST(floor({dist} * {_QGRID}) AS BIGINT), c.cluster_id
+             ORDER BY CAST(floor({_KM_DIST} * {_QGRID}) AS BIGINT), c.cluster_id
            ) AS rn
     FROM pts p CROSS JOIN c{it} c
   ) WHERE rn = 1
 )"""
         )
-        if it < iters - 1:
+        if it < iters - 1 or final_update:
             ctes.append(
                 f"""c{it + 1} AS (
   SELECT cluster_id, list(cval ORDER BY pos) AS c FROM (
@@ -159,9 +157,20 @@ def _kmeans_oracle(k: int, iters: int, step: int) -> str:
   ) GROUP BY cluster_id
 )"""
             )
+    return ctes
+
+
+_KM_DIST = (
+    f"list_sum(list_transform(range({_DIM}), "
+    "i -> (p.v[i + 1] - c.c[i + 1]) * (p.v[i + 1] - c.c[i + 1])))"
+)
+
+
+def _kmeans_oracle(k: int, iters: int, step: int) -> str:
+    """The training-summary replay: final cluster sizes + inertia."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_kmeans_ctes(k, iters, step, final_update=False))
         + f"""
 SELECT cluster_id,
        COUNT(*) AS n_points,
@@ -199,6 +208,112 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("dist2") * _QGRID).cast("bigint")) / F.lit(float(_QGRID)),
             6,
         ).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_ivf_trained — IVF SERVING from the Lloyd-trained
+# centroids (the set similarity_ivf_kmeans trains), oracle replays
+# training AND serving end to end
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 6
+_IVF_K = 3
+
+_DUCK_COS_QV_NV = """
+      list_sum(list_transform(range(64), i -> q.qv[i + 1] * n.v[i + 1]))
+      / (sqrt(list_sum(list_transform(range(64), i -> q.qv[i + 1] * q.qv[i + 1])))
+       * sqrt(list_sum(list_transform(range(64), i -> n.v[i + 1] * n.v[i + 1]))))
+"""
+
+
+def _ivf_trained_oracle(k: int, iters: int, step: int) -> str:
+    """Training replay (shared _kmeans_ctes, with the final centroid
+    update) + the serving stages: quantized-L2 cell assignment,
+    nprobe-nearest probe cells per query, exact cosine inside the
+    probed cells, rounded-rank top-k."""
+    ctes = _kmeans_ctes(k, iters, step, final_update=True)
+    ctes.append(
+        f"""cells AS (
+  SELECT vec_id, v, cluster_id AS cell FROM (
+    SELECT p.vec_id, p.v, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({_KM_DIST} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM pts p CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""qcells AS (
+  SELECT vec_id AS query_id, v AS qv, cluster_id AS cell FROM (
+    SELECT p.vec_id, p.v, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({_KM_DIST} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM pts p CROSS JOIN c{iters} c
+    WHERE p.vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+)"""
+    )
+    ctes.append(
+        f"""tscored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id, {_DUCK_COS_QV_NV} AS sim
+  FROM qcells q JOIN cells n ON n.cell = q.cell
+  WHERE n.vec_id <> q.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(sim, 4) DESC, neighbor_id ASC) AS rank
+  FROM tscored
+) WHERE rank <= {_IVF_K}"""
+    )
+
+
+@query(
+    "similarity_topk_ivf_trained",
+    oracle=_ivf_trained_oracle(_K, _ITERS, _INIT_STEP),
+)
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k SERVING from the Lloyd-TRAINED centroid set — the
+    query a production vector store runs (similarity_topk_ivf's
+    sampled-row cells exist as the untrained baseline; trained cells
+    are balanced, so recall holds where a skewed sampled cell would
+    degrade at 100 TB — the r4 verdict's top item).
+
+    Pipeline: kmeans_train (2 Lloyd iterations, K=8, grid-quantized —
+    extensions/similarity.py::kmeans_train) then
+    topk_ivf_cells: broadcast K-row centroid argmin (map-side
+    min(struct), no vector shuffle), queries probe their 6 nearest
+    cells, exact cosine inside the cell equi-join. The DuckDB oracle
+    replays training AND serving stage by stage on the same 1e-6 grid.
+    Recall@3 vs brute force is pinned >= 0.93 by
+    tests/test_vectorops.py::test_ivf_trained_recall_floor."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = pts.filter(
+        (F.col("vec_id") % _INIT_STEP == 0) & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    cent = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID))
+    return X.topk_ivf_cells(
+        table(spark, sf_dir, "embeddings"),
+        cent,
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
+        quant=float(_QGRID),
     )
 
 

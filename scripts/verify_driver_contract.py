@@ -32,11 +32,23 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # the oracle compare collect()s full result sets; at sf0.1 the
-        # wide-row queries (e.g. landfire_viz_arrays: 225k JSON-array
-        # rows) overflow the default 1g driver heap and kill the JVM,
-        # cascading Connection-refused failures over every later query
-        .config("spark.driver.memory", "8g")
+        # default driver heap ON PURPOSE: the oracle compare streams
+        # results via toLocalIterator (tests/oracle.py), so even the
+        # widest sf0.1 result (landfire_viz_arrays, 225k JSON-array
+        # rows) must pass without a memory carve-out — r4 verdict item 4.
+        # Partition sizing for a 1 GB heap: the synthetic tables
+        # compress ~100:1 (57.6M pixel rows = 28 MB parquet), so
+        # byte-based defaults (128m splits, 4m file-open cost, 64m AQE
+        # advisory) bin-pack the landfire_pixels scan into ~10 tasks of
+        # 6M rows each and the partial collect_list aggregation blows
+        # the heap. Smaller split/advisory targets keep every task's
+        # working set heap-friendly — the same maxPartitionBytes /
+        # advisory sizing a real cluster job does, just tuned for a
+        # 1 GB local JVM instead of a 16 GB executor.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "65536")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -141,7 +141,14 @@ def run_duckdb_full(sql: str, sf_dir: str):
 def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:
     sdf = spark_fn(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # STREAM the result instead of collect(): toLocalIterator holds at
+    # most one partition in the driver JVM at a time, so wide results
+    # (landfire_viz_arrays at sf0.1: 225k JSON-array rows) compare fine
+    # on the default 1g heap — the 8g carve-out this harness used to
+    # need was a collect() artifact, not an engine cost. Rows still
+    # accumulate Python-side for the multiset/canon passes, which is
+    # process RAM, not JVM heap.
+    s_rows = [tuple(r) for r in sdf.toLocalIterator(prefetchPartitions=True)]
     d_cols, d_rows, d_pdf = run_duckdb_full(oracle, sf_dir)
     assert sorted(s_cols) == sorted(
         [c for c in d_cols]

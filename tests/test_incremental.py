@@ -203,6 +203,82 @@ def test_scd2_apply_null_attr_update_still_applies(spark):
     assert rows == [("a", "2024-06-01", False), (None, "None", True)]
 
 
+def test_scd2_reopen_fully_closed_key(spark):
+    """ADVICE r4: a key whose history rows are ALL closed (no
+    is_current row) must not swallow an update — the reopen branch
+    passes the closed rows through and opens exactly ONE new current
+    row at the batch date."""
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "2024-01-01", "2024-03-01", False),
+            (1, "b", 12.0, "2024-03-01", "2024-05-01", False),
+            (2, "x", 99.0, "2024-01-01", None, True),
+        ],
+        "k bigint, seg string, bal double, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "seg", "bal",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame([(1, "c", 14.0)], "k bigint, seg string, bal double")
+    out = INC.scd2_apply_history(
+        hist, upd, key="k", attrs=["seg", "bal"], batch_date="2024-06-01"
+    )
+    k1 = sorted(
+        ((r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+         for r in out.filter(F.col("k") == 1).collect())
+    )
+    assert k1 == [
+        ("a", "2024-01-01", "2024-03-01", False),
+        ("b", "2024-03-01", "2024-05-01", False),
+        ("c", "2024-06-01", "None", True),
+    ]
+    # untouched current key passes through
+    assert out.filter((F.col("k") == 2) & F.col("is_current")).count() == 1
+    assert out.filter(F.col("k") == 2).count() == 1
+
+
+def test_scd2_out_of_order_batch_rejected(spark):
+    """The CHOSEN out-of-order semantics (r4 verdict item 7):
+    effective dates must be non-decreasing across applications.
+    Delivery shuffled across micro-batches — a batch effective BEFORE
+    an already-applied boundary — raises a NAMED error instead of
+    silently minting an inverted validity interval. (The reference's
+    event path guarantees no ordering, orchestrator.py:941-950, so
+    the history operator enforces it.) In-order stacking of distinct
+    effective dates is the positive case."""
+    dim = spark.createDataFrame([(1, "a", 10.0)], "k bigint, seg string, bal double")
+    upd_jun = spark.createDataFrame([(1, "b", 11.0)], "k bigint, seg string, bal double")
+    upd_mar = spark.createDataFrame([(1, "c", 12.0)], "k bigint, seg string, bal double")
+
+    # in-order: two stacked closures, one open row
+    hist = INC.scd2_apply(
+        dim, upd_mar, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-03-01",
+    )
+    hist2 = INC.scd2_apply_history(
+        hist, upd_jun, "k", ["seg", "bal"], "2024-06-01"
+    )
+    rows = sorted(
+        ((r["seg"], str(r["valid_from"]), str(r["valid_to"])) for r in hist2.collect())
+    )
+    assert rows == [
+        ("a", "2024-01-01", "2024-03-01"),
+        ("b", "2024-06-01", "None"),
+        ("c", "2024-03-01", "2024-06-01"),
+    ]
+
+    # shuffled delivery: the June batch applied, then the March one
+    late = INC.scd2_apply(
+        dim, upd_jun, key="k", attrs=["seg", "bal"],
+        base_date="2024-01-01", batch_date="2024-06-01",
+    )
+    bad = INC.scd2_apply_history(late, upd_mar, "k", ["seg", "bal"], "2024-03-01")
+    with pytest.raises(Exception, match="out-of-order batch_date"):
+        bad.collect()
+
+
 def test_scd2_batch_composition_disjoint_keys(spark):
     """The algebra the streaming refresh relies on: applying two
     DISJOINT-key update batches sequentially (same effective date)

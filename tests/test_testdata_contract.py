@@ -152,3 +152,53 @@ def test_events_max_ts_not_hour_aligned(spark, sf_dir):
         hi = ev.agg(F.max("ts")).first()[0]
         ms = (hi.minute, hi.second, hi.microsecond // 1000)
         assert ms != (0, 0, 0), f"{d}: max(ts)={hi} is hour-aligned"
+
+
+# JSON double fields formatted by _jd (plans/collect.py) — the list
+# the formatter's Double.toString emulation must keep covering
+_JD_FIELDS = [
+    "latitude",
+    "longitude",
+    "temperature_celsius",
+    "ndvi_latest",
+    "mean_elevation_m",
+    "success_rate",
+    "q_weather",
+    "q_modis",
+    "q_landfire",
+    "q_topography",
+]
+
+
+def test_json_double_formatter_envelope(spark, sf_dir):
+    """Tripwire for the collect_json_sink oracle's Java-Double.toString
+    emulation (plans/collect.py::_jd): it covers exactly three value
+    families — 0, plain decimals with 1e-3 <= |x| < 1e7, and the
+    round(,4)-quantized sub-milli band k*1e-4 (k=1..9). A testdata
+    refresh producing |x| >= 1e7 or an unquantized sub-milli double
+    would make the ORACLE (not the engine) print a different string;
+    this test fails first and NAMES the drifting column/value instead
+    of leaving an opaque hash mismatch (r4 verdict item 6)."""
+    from env_data_pipeline_spark.plans.collect import _wide_enriched
+
+    wide = _wide_enriched(spark, sf_dir)
+    aggs = []
+    for c in _JD_FIELDS:
+        v = F.col(c)
+        covered = (
+            v.isNull()
+            | (v == 0)
+            | ((F.abs(v) >= 1e-3) & (F.abs(v) < 1e7))
+            | (
+                (F.abs(v) < 1e-3)
+                & (F.round(v, 4) == v)
+                & F.floor(F.abs(v) * 1e4 + F.lit(0.5)).between(1, 9)
+            )
+        )
+        aggs.append(F.max(F.when(~covered, v)).alias(c))
+    row = wide.agg(*aggs).first()
+    offenders = {c: row[c] for c in _JD_FIELDS if row[c] is not None}
+    assert not offenders, (
+        f"_jd double-format envelope drift: {offenders} — extend "
+        "plans/collect.py::_jd (and this list) to cover the new family"
+    )

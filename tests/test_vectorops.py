@@ -116,6 +116,37 @@ def _exact_top3(pts, qids):
     )
 
 
+def test_ivf_trained_recall_floor(spark, sf_dir):
+    """The trained-centroid IVF serving path (kmeans_train ->
+    topk_ivf_cells, the similarity_topk_ivf_trained query): recall@3
+    >= 0.93 vs brute-force ground truth at nprobe=6 of K=8 cells
+    (measured 1.0 at this tier; the sampled-cell baseline needs the
+    same probe fraction for less recall because its cells are
+    unbalanced)."""
+    k, step = 8, 60
+    pts = _pts(spark, sf_dir)
+    init = pts.filter(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") < k * step)
+    ).select(
+        (F.col("vec_id") / step).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    cent = X.kmeans_train(pts, init, iters=2)
+    cent.cache().count()
+    from env_data_pipeline_spark.catalog import table as _table
+
+    got = X.topk_ivf_cells(
+        _table(spark, sf_dir, "embeddings"), cent, k=3, nprobe=6
+    ).select("query_id", "neighbor_id")
+    qids = pts.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    exact = _exact_top3(pts, qids)
+    hits = exact.join(got, ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    cent.unpersist()
+    assert total > 0
+    assert hits / total >= 0.93, (hits, total)
+
+
 def test_pq_adc_recall_with_trained_codebook(spark, sf_dir):
     """The PQ serving path end-to-end: train the codebook (2 Lloyd
     iterations per subspace), ADC-shortlist 60 candidates from codes
