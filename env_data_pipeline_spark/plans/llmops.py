@@ -113,6 +113,65 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.contamination_report(train, eval_docs, n=4)
 
 
+_SWEEP_NS = (4, 8, 13)
+
+
+def _decon_sweep_oracle() -> str:
+    """Per-tier replay of the contamination join for n = 4/8/13:
+    same 48-bit md5-prefix hashes, same distinct-per-doc hit counts,
+    aggregated to one summary row per tier."""
+    tiers = []
+    for n in _SWEEP_NS:
+        tiers.append(
+            f"""
+    SELECT {n} AS ngram_n,
+           CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+           CAST(COALESCE(SUM(h), 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(MAX(h), 0) AS BIGINT) AS max_hits_per_doc
+    FROM (
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, source,
+             ('0x' || substr(md5(g), 1, 12))::BIGINT AS ghash
+             FROM (SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(ws) - {n - 2}), i ->
+                       list_aggr(ws[i:i+{n - 1}], 'string_agg', ' '))) AS g
+                   FROM w WHERE len(ws) >= {n})),
+      ev AS (SELECT DISTINCT ghash FROM sh WHERE source = '{_EVAL_SOURCE}')
+      SELECT t.doc_id, COUNT(*) AS h
+      FROM (SELECT doc_id, ghash FROM sh WHERE source <> '{_EVAL_SOURCE}') t
+      JOIN ev USING (ghash) GROUP BY 1
+    )"""
+        )
+    return "\nUNION ALL\n".join(tiers)
+
+
+@query("decontaminate_ngram_sweep", oracle=_decon_sweep_oracle())
+def decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination aggressiveness sweep (r4 verdict item 9): the
+    word-4-gram tier of decontaminate_eval_overlap plus the standard
+    8- and 13-gram tiers (the GPT-3 appendix-C 13-gram rule and the
+    common 8-gram middle ground), one summary row per tier so mixture
+    owners can see what each aggressiveness level would flag before
+    choosing. Each tier is the same broadcast-hash-set semi-join plan
+    as the base query — hashes travel, text never does; three tiers
+    means three narrow scans, not a wider shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != _EVAL_SOURCE)
+    eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
+    out = None
+    for n in _SWEEP_NS:
+        rep = L.contamination_report(train, eval_docs, n=n)
+        tier = rep.agg(
+            F.count("*").alias("n_flagged_docs"),
+            F.coalesce(F.sum("n_eval_ngram_hits"), F.lit(0)).alias("total_hits"),
+            F.coalesce(F.max("n_eval_ngram_hits"), F.lit(0)).alias(
+                "max_hits_per_doc"
+            ),
+        ).select(F.lit(n).alias("ngram_n"), "*")
+        out = tier if out is None else out.unionByName(tier)
+    return out
+
+
 @query(
     "corpus_pack_sequences",
     oracle=f"""

@@ -28,13 +28,13 @@ from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            -- money sums in exact 1e-4 units (group sums ~1e9-1e10:
            -- raw-double ROUND flips on summation order at sf>=0.1)
-           ROUND(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+           ROUND(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
                  / 10000.0, 4) AS sum_base_price,
            ROUND(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
-                                * 10000) AS BIGINT)) / 10000.0, 4)
+                                * 10000 + 0.5) AS BIGINT)) / 10000.0, 4)
              AS sum_disc_price,
            ROUND(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
-                                * (1 + l_tax) * 10000) AS BIGINT))
+                                * (1 + l_tax) * 10000 + 0.5) AS BIGINT))
                  / 10000.0, 4) AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
@@ -62,17 +62,17 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(
-                F.sum(F.floor(F.col("l_extendedprice") * 10000).cast("bigint"))
+                F.sum(F.floor(F.col("l_extendedprice") * 10000 + 0.5).cast("bigint"))
                 / F.lit(10000.0),
                 4,
             ).alias("sum_base_price"),
             F.round(
-                F.sum(F.floor(disc_price * 10000).cast("bigint"))
+                F.sum(F.floor(disc_price * 10000 + 0.5).cast("bigint"))
                 / F.lit(10000.0),
                 4,
             ).alias("sum_disc_price"),
             F.round(
-                F.sum(F.floor(charge * 10000).cast("bigint")) / F.lit(10000.0),
+                F.sum(F.floor(charge * 10000 + 0.5).cast("bigint")) / F.lit(10000.0),
                 4,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -92,7 +92,7 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- region sums are ~1e9 where raw-double rounding is
            -- summation-order-sensitive)
            ROUND(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
+                                * 10000 + 0.5) AS BIGINT)) / 10000.0, 4) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -130,6 +130,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
                         * 10000
+                        + 0.5
                     ).cast("bigint")
                 )
                 / F.lit(10000.0),
@@ -554,13 +555,18 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(r.r_name, 'ALL') AS region,
            coalesce(n.n_name, 'ALL') AS nation,
-           -- per-row revenue floored to 1e-4 money units BEFORE the
-           -- sum: grand-total sums reach ~1e10 where a double's ulp
-           -- exceeds the 4th decimal, so ROUND(SUM(double)) flips
-           -- between engines on summation order (observed at sf0.1);
-           -- integer micro-unit accounting is exact at any scale
+           -- per-row revenue rounded HALF-UP to 1e-4 money units
+           -- BEFORE the sum: grand totals reach ~1e10 where a double's
+           -- ulp exceeds the 4th decimal, so ROUND(SUM(double)) flips
+           -- between engines on summation order (observed at sf0.1).
+           -- floor(x*1e4 + 0.5) instead of floor(x*1e4): the product's
+           -- binary representation can sit a hair BELOW the decimal
+           -- grid point (8.29*1e4 = 82899.999...), which plain floor
+           -- systematically undercounts by one micro-unit (ADVICE r4);
+           -- half-up recovers the decimal-exact value while staying
+           -- bit-identical across engines
            ROUND(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT)) / 10000.0, 4) AS revenue,
+                                * 10000 + 0.5) AS BIGINT)) / 10000.0, 4) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -591,7 +597,7 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     rev_u = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("bigint")
     return (
         j.rollup("r_name", "n_name")

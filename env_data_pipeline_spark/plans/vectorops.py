@@ -29,12 +29,15 @@ from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 _DIM = 64  # embeddings.embedding is FLOAT[64] (TESTDATA.md)
 
 # headline representatives: the iterative-training compute class, the
-# broadcast-codebook assignment class, and the ADC serving path
+# broadcast-codebook assignment class, the ADC serving path, and the
+# trained-centroid serving paths (r5: training + serving in one plan)
 BENCH_EXTRA.update(
     {
         "similarity_ivf_kmeans",
         "embedding_pq_reconstruction",
         "similarity_topk_pq",
+        "similarity_topk_ivf_trained",
+        "similarity_topk_ivfpq",
     }
 )
 
@@ -560,5 +563,180 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_D,
         k=_ADC_K,
         shortlist=_ADC_SHORTLIST,
+        quant=float(_QGRID),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk_ivfpq — the composite billion-scale index served from
+# TRAINED coarse centroids: IVF cells prune, PQ codes rank, exact re-rank
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 4
+_IVFPQ_SHORTLIST = 60
+
+
+def _ivfpq_oracle() -> str:
+    """Full replay: coarse k-means training (shared _kmeans_ctes with
+    the final update), seeded PQ codebook, quantized-L2 coarse
+    assignment, per-query probe cells, per-query LUT, cell-restricted
+    integer ADC, exact-cosine re-rank."""
+    pq_dist = (
+        f"list_sum(list_transform(range({_PQ_D}), "
+        "i -> (s.sv[i + 1] - c.cw[i + 1]) * (s.sv[i + 1] - c.cw[i + 1])))"
+    )
+    ctes = _kmeans_ctes(_K, _ITERS, _INIT_STEP, final_update=True)
+    ctes.append(
+        f"""cb AS (
+  SELECT m.range AS m, CAST(vec_id / {_PQ_STEP} AS INT) AS code,
+         v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS cw
+  FROM pts CROSS JOIN range({_PQ_M}) m
+  WHERE vec_id % {_PQ_STEP} = 0 AND vec_id < {_PQ_K * _PQ_STEP}
+)"""
+    )
+    ctes.append(
+        f"""cells AS (
+  SELECT vec_id, v, cluster_id AS cell FROM (
+    SELECT p.vec_id, p.v, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({_KM_DIST} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM pts p CROSS JOIN c{_ITERS} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""sub AS (
+  SELECT vec_id, cell, m.range AS m,
+         v[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS sv
+  FROM cells CROSS JOIN range({_PQ_M}) m
+)"""
+    )
+    ctes.append(
+        f"""codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT s.vec_id, s.cell, s.m, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY CAST(floor({pq_dist} * {_QGRID}) AS BIGINT), c.code
+           ) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0)"
+    )
+    ctes.append(
+        f"""qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT p.vec_id AS query_id, c.cluster_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({_KM_DIST} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM (SELECT query_id AS vec_id, qv AS v FROM q) p CROSS JOIN c{_ITERS} c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+)"""
+    )
+    ctes.append(
+        f"""qsub AS (
+  SELECT query_id, m.range AS m,
+         qv[m.range * {_PQ_D} + 1 : m.range * {_PQ_D} + {_PQ_D}] AS sv
+  FROM q CROSS JOIN range({_PQ_M}) m
+)"""
+    )
+    ctes.append(
+        f"""lut AS (
+  SELECT s.query_id, s.m, c.code,
+         CAST(floor({pq_dist} * {_QGRID}) AS BIGINT) AS lut_u
+  FROM qsub s JOIN cb c ON s.m = c.m
+)"""
+    )
+    ctes.append(
+        f"""adc AS (
+  SELECT l.query_id, cd.vec_id, SUM(l.lut_u) AS adc_u
+  FROM codes cd
+  JOIN qprobe pr ON pr.cell = cd.cell
+  JOIN lut l ON l.query_id = pr.query_id AND l.m = cd.m AND l.code = cd.code
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY 1, 2 HAVING COUNT(*) = {_PQ_M}
+)"""
+    )
+    ctes.append(
+        f"""short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_u, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_IVFPQ_SHORTLIST}
+)"""
+    )
+    ctes.append(
+        f"""resc AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         ROUND({_DUCK_COS_QV_CV}, 4) AS cosine_sim
+  FROM short s
+  JOIN (SELECT vec_id, v AS cv FROM pts) c ON c.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM resc
+) WHERE rank <= {_ADC_K}"""
+    )
+
+
+@query("similarity_topk_ivfpq", oracle=_ivfpq_oracle())
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite serving (extensions/similarity.py::ivfpq_topk)
+    from TRAINED coarse centroids — the billion-scale layout: Lloyd
+    cells prune the corpus (nprobe=4 of K=8), 8-byte PQ codes rank
+    inside the probed inverted lists via a per-query integer LUT, the
+    shortlist re-ranks with exact cosine. Completes the r4 verdict's
+    top item: both IVF serving queries now consume kmeans_train output
+    instead of sampled corpus rows. The oracle replays every stage —
+    coarse training, coding, probing, ADC, re-rank — on the shared
+    1e-6 grid. Recall/probe monotonicity pinned by
+    tests/test_vectorops.py::test_ivfpq_recall_and_probe_monotonicity."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = pts.filter(
+        (F.col("vec_id") % _INIT_STEP == 0) & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    coarse = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID))
+    cb = X.pq_subvectors(
+        pts.filter(
+            (F.col("vec_id") % _PQ_STEP == 0)
+            & (F.col("vec_id") < _PQ_K * _PQ_STEP)
+        ).select((F.col("vec_id") / _PQ_STEP).cast("int").alias("code"), "v"),
+        _PQ_M,
+        _PQ_D,
+    ).select("m", "code", F.col("sv").alias("cw"))
+    qids = pts.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    return X.ivfpq_topk(
+        pts,
+        qids,
+        coarse,
+        cb,
+        _PQ_M,
+        _PQ_D,
+        k=_ADC_K,
+        nprobe=_IVFPQ_NPROBE,
+        shortlist=_IVFPQ_SHORTLIST,
         quant=float(_QGRID),
     )

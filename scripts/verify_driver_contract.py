@@ -77,6 +77,22 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 - report and continue
             fails.append(name)
             print(f"{name}: FAIL {str(ex)[:300]}")
+        # Collect dead broadcast/shuffle state between queries: on the
+        # default 1 GB heap a long sweep otherwise accretes residue
+        # until a wide query (landfire_viz_arrays at sf0.1) tips over —
+        # it passes solo, so the margin is residue, not the plan.
+        # Python gc FIRST: py4j holds JVM-side references for every
+        # DataFrame/Column the compare touched until Python finalizers
+        # send their detach commands — a JVM System.gc() alone cannot
+        # free what Python still pins. Both wrapped so a dead JVM
+        # doesn't kill the remaining sweep.
+        import gc as _pygc
+
+        _pygc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - JVM may be gone; keep reporting
+            pass
     print(f"checked {len(qs)} queries; FAILURES: {fails if fails else 'none'}")
     return 1 if fails else 0
 
