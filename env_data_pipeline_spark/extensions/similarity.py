@@ -1,15 +1,25 @@
-"""Similarity search over embedding columns (X3, SURVEY.md §2.11).
+"""Similarity search + vector storage over embedding columns (X3,
+SURVEY.md §2.11).
 
 Cosine is computed with higher-order functions (zip_with + aggregate)
-— JVM-side, no Python in the loop. Two paths:
+— JVM-side, no Python in the loop. The family, baseline to scale path:
 
-- brute-force top-k: broadcast the (small) query set against the
-  corpus; one pass, one window for the top-k. The right baseline, and
-  at 100 TB still the right answer when the query set is small.
-- LSH-bucketed top-k: sign-bit bucket on the leading dimensions turns
-  the cross join into an equi-join on bucket — the scale path when
-  queries are numerous. (An IVF variant would replace the sign bucket
-  with a learned-centroid assignment; same join shape.)
+- brute-force top-k (`topk_bruteforce`): broadcast query set crossed
+  against the corpus — the recall ground truth, never the default.
+- multi-probe LSH top-k (`topk_lsh`): sign-of-coordinate or seeded
+  Rademacher-hyperplane buckets turn the cross join into an equi-join;
+  the hyperplane family is the user-facing default (mixes all dims, so
+  it survives correlated real embeddings).
+- IVF (`topk_ivf` sampled-cell baseline; `kmeans_train` +
+  `topk_ivf_cells` the trained serving path): broadcast centroid
+  assignment + cell equi-join, nprobe as the recall lever.
+- storage quantization: symmetric int8 (`int8_quantize_cols`) and
+  product quantization (`pq_train_codebook`/`pq_codes`) with ADC
+  serving (`pq_adc_topk`) and the IVF+PQ composite (`ivfpq_topk`) —
+  broadcast-codebook integer joins end to end; floats never shuffle.
+
+Every iterative step quantizes to a fixed grid (1e-6) so training and
+serving replay bit-identically in the DuckDB oracles.
 """
 
 from __future__ import annotations

@@ -300,22 +300,30 @@ def elevation_center_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "landfire_viz_arrays",
     oracle=f"""
     {{DUCK_WITH}},
-    rows_ AS (
-      SELECT grid_id, request_id, product, row,
-             list(pixel_value ORDER BY col) AS row_values
-      FROM landfire_pixels
-      GROUP BY grid_id, request_id, product, row
-    ),
+    -- ZERO-AGGREGATION oracle (r5): derive both the arrays JSON and
+    -- the legend value sets from the GRID-form fixture (one 16x16
+    -- nested array per grid, a pure generator expression) instead of
+    -- re-aggregating the 57.6M-row long form. The list()/string_agg
+    -- ORDER BY aggregates buffer their whole input unspillably and
+    -- could not materialize the sf0.1 tier inside one process's
+    -- memory-map budget; the grid form streams 225k rows. The two
+    -- fixtures generate the SAME pixel expression (fixtures.py), so
+    -- the engine's long-form re-pivot is still checked value-for-value.
     grids AS (
       SELECT grid_id, request_id, product,
-             to_json(list(row_values ORDER BY row))::VARCHAR AS arrays
-      FROM rows_ GROUP BY grid_id, request_id, product
+             to_json(arrays)::VARCHAR AS arrays
+      FROM landfire_grids
     ),
     p AS (
-      SELECT grid_id, product, pixel_value FROM landfire_pixels
+      SELECT grid_id, product,
+             unnest(list_distinct(flatten(arrays))) AS pixel_value
+      FROM landfire_grids
     ),
     cls AS (
-      SELECT DISTINCT p.grid_id, p.pixel_value, {_DUCK_CLASSIFY} AS interpreted
+      -- p is already distinct per (grid, value) (list_distinct) and
+      -- both attribute joins match at most one row (unique
+      -- exact_value; disjoint ranges), so no DISTINCT re-shuffle
+      SELECT p.grid_id, p.pixel_value, {_DUCK_CLASSIFY} AS interpreted
       FROM p
       {_DUCK_ATTR_JOINS}
     ),
@@ -331,7 +339,7 @@ def elevation_center_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.grid_id, g.request_id, g.product, g.arrays, l.legend
     FROM grids g JOIN legends l USING (grid_id)
     """.replace(
-        "{DUCK_WITH}", duck_with("landfire_pixels", "landfire_attributes")
+        "{DUCK_WITH}", duck_with("landfire_grids", "landfire_attributes")
     ),
 )
 def landfire_viz_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,6 +131,31 @@ def streaming_stateful_event_totals(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_event_id,
+           b.event_id AS purchase_event_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us,
+           ROUND(b.value, 4) AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: live views x live purchases on
+    user_id within a 2-hour attribution window, both sides
+    watermarked so buffered state evicts at the horizon
+    (streaming/event_trigger.py::stream_stream_attribution). Inner
+    matches emit on arrival, so the full replay equals the batch
+    interval join — full oracle."""
+    return ET.stream_stream_attribution(spark, sf_dir)
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH o AS (

@@ -143,6 +143,110 @@ def compact_dataset(
     )
 
 
+def zorder_key(cols: Sequence, mins: Sequence[float], maxs: Sequence[float], bits: int = 8):
+    """Z-order (Morton) key over N numeric columns as pure Column math:
+    each value is min-max normalized to ``bits`` bits using the GLOBAL
+    min/max (computed once as a 1-row aggregate and broadcast — never a
+    rank window, which would funnel the dataset through one partition),
+    then the bit patterns interleave. Range-partitioning + sorting on
+    this key gives every output file a small hyper-rectangle of the key
+    space, so min/max file stats prune on EVERY participating column —
+    linear cluster_by prunes only its leading column.
+
+    ``cols`` are Columns (or names), ``mins``/``maxs`` the matching
+    global bounds. Returns a bigint Column; N * bits must stay < 63."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits >= 63:
+        raise ValueError(f"zorder_key: {n} cols x {bits} bits overflows bigint")
+    quant = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        scaled = (
+            F.lit(0).cast("bigint")
+            if span == 0
+            else F.least(
+                F.lit((1 << bits) - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (col.cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * F.lit(float(1 << bits))
+                    ),
+                ),
+            ).cast("bigint")
+        )
+        quant.append(scaled)
+    key = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for i, q in enumerate(quant):
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(q, bit).bitwiseAND(F.lit(1)),
+                bit * n + i,
+            ).cast("bigint")
+    return key
+
+
+def compact_dataset_zorder(
+    spark,
+    path: str,
+    zorder_by: Sequence[str],
+    target_records_per_file: int = 1_000_000,
+    bits: int = 8,
+    fmt: str = "parquet",
+) -> int:
+    """compact_dataset's multi-dimensional sibling: rewrite the dataset
+    range-clustered on the interleaved Z-order key of ``zorder_by`` so
+    file-level min/max stats prune for predicates on ANY of those
+    columns (a linear cluster_by serves only its first column — the
+    standard reason lakehouses Z-order their two or three hottest
+    filter columns).
+
+    Plan: one 1-row global min/max aggregate (broadcast back via a
+    cross join — the engine's standard scalar-aggregate shape), a
+    map-side Morton-key projection, then the same
+    repartitionByRange + sortWithinPartitions + atomic-swap write as
+    compact_dataset. Returns the new file count."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_records_per_file))
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+        *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+    ).first()
+    mins = [bounds[f"_lo_{c}"] for c in zorder_by]
+    maxs = [bounds[f"_hi_{c}"] for c in zorder_by]
+    keyed = df.withColumn("_zkey", zorder_key(list(zorder_by), mins, maxs, bits))
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_old"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "part-*"))
+            if not f.endswith(".crc")
+        ]
+    )
+
+
 def _hive_partition_cols(path: str) -> list[str]:
     """Partition column names from nested key=value directory levels
     (one name per level, outermost first); [] when unpartitioned."""

@@ -202,6 +202,59 @@ def priority_routed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, routed, "priority_routed_events_sink", "append")
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the last engine-native streaming
+    join family): the live view stream inner-joined to the live
+    purchase stream on user_id with an event-time range — every
+    purchase within 2 h after a view attributes to it. Both sides
+    carry watermarks and the join carries the time-range condition,
+    which is what lets the state store evict a buffered view once the
+    purchase-side watermark passes view_ts + 2 h — without the range
+    constraint both sides buffer forever. Inner-join matches emit as
+    soon as both rows have arrived, so a full replay equals the batch
+    interval join (the append-mode caveat of outer stream-stream
+    joins — emit only at watermark — does not apply to inner).
+
+    At scale both streams shuffle on user_id into co-partitioned
+    state stores; per-key buffered state spans only the 2 h + 1 h
+    watermark horizon, independent of stream length."""
+    views = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+    return _drain(spark, joined, "stream_stream_attribution_sink", "append")
+
+
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION windows (dynamic-gap state merge): per-user
     sessions close after 30 min of inactivity, emitted in append mode

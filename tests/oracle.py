@@ -114,28 +114,66 @@ def run_duckdb(sql: str, sf_dir: str):
 
 
 def run_duckdb_full(sql: str, sf_dir: str):
+    """Run an oracle, preferring in-process DuckDB; on an allocation
+    failure retry ONCE in a spawned subprocess with its own address
+    space. Root cause of the in-process failures: the compare harness
+    hosts a JVM + Arrow + DuckDB in one process, and DuckDB's jemalloc
+    maps its 256 KB blocks individually — a multi-GB oracle
+    (landfire_viz_arrays at sf0.1) exhausts the kernel's 65530-entry
+    per-process map table long before RAM runs out ('Failed to
+    allocate block of 262144 bytes (bad allocation)' with 120 GB
+    free). In-process DuckDB is therefore bounded (threads=8,
+    memory_limit=10GB, spill dir); the rare oracle that genuinely needs
+    more gets a fresh process whose whole map table is DuckDB's."""
+    try:
+        return _run_duckdb(sql, sf_dir, "10GB")
+    except Exception as ex:  # retry isolated only for allocation errors
+        if "alloc" not in str(ex).lower():
+            raise
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # never fork a JVM-bearing process
+        with ctx.Pool(1) as pool:
+            return pool.apply(_run_duckdb, (sql, sf_dir, "12GB"))
+
+
+def _run_duckdb(sql: str, sf_dir: str, mem: str):
     con = duckdb.connect()
-    for t in TABLES:
+    try:
+        con.execute("SET threads = 8")
+        con.execute(f"SET memory_limit = '{mem}'")
+        # in-memory DuckDB has NO spill location by default — give it
+        # one so the cap degrades to disk offload instead of an
+        # allocation error on the biggest oracles
+        import tempfile
+
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SET temp_directory = '{tempfile.gettempdir()}/duckdb_oracle_spill'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    types = [str(d[1]) for d in cur.description]
-    rows = cur.fetchall()
-    # .df() mirrors the driver's DuckDB materialization (HUGEINT ->
-    # float64, nullable BIGINT -> float64), re-run cheaply off the
-    # same connection for the driver-faithful pass
-    pdf = con.execute(sql).df()
-    # .df() widens DATE to datetime64 midnight; the driver's hasher
-    # matched DATE oracle outputs against Spark date objects in r01
-    # (modis_date_codes green), so restore date-ness for declared
-    # DATE columns to avoid a false drift alarm
-    for c, t in zip(cols, types):
-        if t.upper() == "DATE" and pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = pdf[c].dt.date
-    con.close()
-    return cols, rows, pdf
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        types = [str(d[1]) for d in cur.description]
+        rows = cur.fetchall()
+        # .df() mirrors the driver's DuckDB materialization (HUGEINT ->
+        # float64, nullable BIGINT -> float64), re-run cheaply off the
+        # same connection for the driver-faithful pass
+        pdf = con.execute(sql).df()
+        # .df() widens DATE to datetime64 midnight; the driver's hasher
+        # matched DATE oracle outputs against Spark date objects in r01
+        # (modis_date_codes green), so restore date-ness for declared
+        # DATE columns to avoid a false drift alarm
+        for c, t in zip(cols, types):
+            if t.upper() == "DATE" and pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                pdf[c] = pdf[c].dt.date
+        return cols, rows, pdf
+    finally:
+        # close even on failure: a dying connection left open pins its
+        # buffer pool and poisons every later oracle in the sweep
+        con.close()
 
 
 def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:

@@ -205,6 +205,72 @@ def test_compact_dataset_clusters_within_hive_partitions(spark, tmp_path):
     assert back.agg(F.sum("k")).first()[0] == sum(range(6000))
 
 
+def test_compact_dataset_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering must make file-level min/max stats selective
+    on EVERY participating column: a narrow slice on x OR on y each
+    overlaps only a minority of files. Linear cluster_by on (x, y) is
+    the contrast case — it prunes x but every file spans ~the full y
+    range. This is the property that justifies Morton interleaving at
+    100 TB: one physical layout serves two filter columns."""
+    import pyarrow.parquet as pq
+
+    from env_data_pipeline_spark.sources.sinks import (
+        compact_dataset,
+        compact_dataset_zorder,
+    )
+
+    def overlap_fraction(path, col_idx, lo, hi):
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        n_overlap = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_overlap += 1
+        return n_overlap / len(files), len(files)
+
+    # deterministic pseudo-uniform 2-D points, x and y independent
+    base = spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("x"),
+        (F.col("id") * 40503 % 100_000).alias("y"),
+    )
+
+    zpath = str(tmp_path / "zorder")
+    base.repartition(8).write.parquet(zpath)
+    # 64 files -> 6 z-prefix bits -> an 8x8 (x, y) grid of files; a
+    # narrow slice on either dim then touches ~1 row/column of the grid
+    n_z = compact_dataset_zorder(
+        spark, zpath, zorder_by=("x", "y"), target_records_per_file=313
+    )
+    assert n_z == 64
+
+    lpath = str(tmp_path / "linear")
+    base.repartition(8).write.parquet(lpath)
+    compact_dataset(spark, lpath, target_records_per_file=313, cluster_by=("x", "y"))
+
+    # a 5%-wide slice on each dimension
+    fx_z, _ = overlap_fraction(zpath, 0, 40_000, 45_000)
+    fy_z, _ = overlap_fraction(zpath, 1, 40_000, 45_000)
+    fx_l, _ = overlap_fraction(lpath, 0, 40_000, 45_000)
+    fy_l, _ = overlap_fraction(lpath, 1, 40_000, 45_000)
+    # z-order: both dims prune to a minority of files
+    assert fx_z <= 0.4, fx_z
+    assert fy_z <= 0.4, fy_z
+    # linear: x prunes harder than z-order ever can, y not at all
+    assert fx_l <= fx_z
+    assert fy_l == 1.0, fy_l
+    # rows survive the rewrite exactly
+    back = spark.read.parquet(zpath)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("x"), F.sum("y")).first() == base.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+
+
 def test_json_sink_doubles_stay_in_jd_covered_families(spark):
     """Tripwire for the byte-identical JSON oracle: _jd
     (plans/collect.py) formats doubles for exactly three families —
