@@ -455,7 +455,17 @@ def grid_mean_vectors(
     component floor-quantized to the 1/quant grid — the shared
     centroid-update step of kmeans_lloyd and pq_train_codebook
     (posexplode -> per-dim avg -> grid floor -> re-assemble sorted).
-    The grid is what keeps the iteration engine-reproducible."""
+    The grid is what keeps the iteration engine-reproducible.
+
+    KNOWN RESIDUAL RISK (ADVICE r4, accepted): the floor applies to
+    AVG of raw doubles, i.e. AFTER aggregation — cross-engine (or
+    run-to-run partial-agg) low-bit summation differences can in
+    principle straddle a grid boundary and flip a centroid component,
+    cascading into different assignments. Probability is tiny on this
+    data; if a vectorops/zscore oracle-parity run ever fails
+    unreproducibly, check a grid-boundary straddle here FIRST (the
+    same aggregate-then-round pattern lives in events_anomaly_zscore's
+    mu/sigma)."""
     return (
         df.select(*keys, F.posexplode(vec_col).alias("pos", "val"))
         .groupBy(*keys, "pos")

@@ -275,6 +275,46 @@ def partial_aggs(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     )
 
 
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group fixed-bin histogram as MERGEABLE state: one
+    (keys..., bin, n_rows) row per populated bin, bin =
+    clamp(floor((v - lo)/width), 0, n_bins-1). The distribution
+    analog of partial_aggs — percentile/shape dashboards refresh from
+    these counts without rescanning history, and merging is plain
+    per-bin addition. Bin edges must be exactly representable doubles
+    (integral widths here) so both engines floor identically."""
+    width = (hi - lo) / n_bins
+    b = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(value) - F.lit(lo)) / F.lit(width))),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return df.groupBy(*keys, b).agg(F.count("*").alias("n_rows"))
+
+
+def refresh_histogram(
+    base_state: DataFrame, delta_state: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge two histogram states: per-(keys, bin) count addition —
+    associative/commutative like refresh_partial_aggs, so any delta
+    batching yields the same state."""
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+
+
 def refresh_partial_aggs(base_state: DataFrame, delta_state: DataFrame, keys: list[str]) -> DataFrame:
     """Combine two partial states into the refreshed state — the
     count/sum/min/max merge algebra. Associative and commutative, so

@@ -124,6 +124,54 @@ def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20  # width 25.0, exact double
+
+
+@query(
+    "events_incremental_histogram",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(LEAST({_HIST_BINS - 1},
+                        GREATEST(0, floor(value / 25.0))) AS INT) AS bin
+      FROM events
+    )
+    SELECT event_type, bin,
+           CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+           CAST((bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+           COUNT(*) AS n_rows
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def events_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram maintenance, proven like the agg refresh:
+    fixed-bin (20 x 25.0-wide) value histograms per event_type built
+    SEPARATELY over the base (90%) and delta (10%) slices and merged
+    by per-bin addition (operators/incremental.py::histogram_state /
+    refresh_histogram) — the oracle is a full recompute, so hash
+    equality proves the merge algebra. This is the distribution
+    counterpart of count/sum/min/max state: percentile dashboards at
+    100 TB refresh from O(|groups| x bins) counts, never a rescan.
+    Bin edges are exact doubles (integral width), so both engines
+    floor identically — the same grid discipline as the money sums."""
+    events = table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % _DELTA_MOD != 0)
+    delta = events.filter(F.col("event_id") % _DELTA_MOD == 0)
+    state = INC.refresh_histogram(
+        INC.histogram_state(base, ["event_type"], "value", _HIST_LO, _HIST_HI, _HIST_BINS),
+        INC.histogram_state(delta, ["event_type"], "value", _HIST_LO, _HIST_HI, _HIST_BINS),
+        ["event_type"],
+    )
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    return state.select(
+        "event_type",
+        "bin",
+        (F.col("bin") * width).cast("double").alias("bin_lo"),
+        ((F.col("bin") + 1) * width).cast("double").alias("bin_hi"),
+        "n_rows",
+    )
+
+
 # SCD2 scenario: every 5th customer changes (balance +100, segment
 # re-labelled); every 7th-but-not-5th gets a NO-OP update (same attrs)
 # proving idempotence — a re-delivered unchanged row must not fork

@@ -94,6 +94,32 @@ def test_refresh_batching_invariant(spark, sf_dir):
         assert a[t]["sum_value"] == pytest.approx(b[t]["sum_value"], rel=1e-12)
 
 
+def test_histogram_refresh_batching_invariant(spark, sf_dir):
+    """The histogram merge algebra: 3-way replay equals 2-way equals
+    the direct full-scan histogram, bin for bin — per-bin integer
+    addition is exact, so equality is strict."""
+    from env_data_pipeline_spark.catalog import table
+
+    events = table(spark, sf_dir, "events")
+    LO, HI, NB = 0.0, 500.0, 20
+    parts = [
+        INC.histogram_state(
+            events.filter(F.col("event_id") % 3 == i), ["event_type"], "value", LO, HI, NB
+        )
+        for i in range(3)
+    ]
+    merged = INC.refresh_histogram(
+        INC.refresh_histogram(parts[0], parts[1], ["event_type"]),
+        parts[2],
+        ["event_type"],
+    )
+    direct = INC.histogram_state(events, ["event_type"], "value", LO, HI, NB)
+    a = {(r["event_type"], r["bin"]): r["n_rows"] for r in merged.collect()}
+    b = {(r["event_type"], r["bin"]): r["n_rows"] for r in direct.collect()}
+    assert a == b
+    assert sum(a.values()) == events.count()
+
+
 def test_streaming_refresh_deterministic_across_runs(spark, sf_dir):
     """Two independent drains (fresh temp dirs, fresh checkpoints)
     must produce identical state — batch order and partitioning may
