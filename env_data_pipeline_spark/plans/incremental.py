@@ -172,6 +172,78 @@ def events_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_percentiles_from_histogram",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(LEAST({_HIST_BINS - 1},
+                        GREATEST(0, floor(value / 25.0))) AS INT) AS bin
+      FROM events
+    ),
+    h AS (SELECT event_type, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type,
+           CAST(SUM(total) / COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN bin END) * 25.0 AS DOUBLE)
+               AS p50_lo,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN bin END) * 25.0 AS DOUBLE)
+               AS p90_lo,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * total THEN bin END) * 25.0 AS DOUBLE)
+               AS p99_lo
+    FROM c GROUP BY event_type
+    """,
+)
+def events_percentiles_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the mergeable histogram is FOR: bin-resolution p50/p90/p99
+    per event_type read straight from the maintained counts — the
+    percentile lookup is O(groups x bins), never a rescan or a global
+    sort of raw values (percentile_approx at 100 TB still scans; this
+    reads standing state). Thresholds are pure integer comparisons
+    (2*cum >= total etc.), so no float can straddle a rank boundary
+    between engines; the emitted estimate is the bin's exact-double
+    lower edge. Oracle recomputes from raw rows — proving the
+    histogram state answers the same question the full scan would."""
+    from pyspark.sql.window import Window as W
+
+    events = table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % _DELTA_MOD != 0)
+    delta = events.filter(F.col("event_id") % _DELTA_MOD == 0)
+    state = INC.refresh_histogram(
+        INC.histogram_state(base, ["event_type"], "value", _HIST_LO, _HIST_HI, _HIST_BINS),
+        INC.histogram_state(delta, ["event_type"], "value", _HIST_LO, _HIST_HI, _HIST_BINS),
+        ["event_type"],
+    )
+    wc = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("event_type")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    c = state.withColumn("cum", F.sum("n_rows").over(wc)).withColumn(
+        "total", F.sum("n_rows").over(wt)
+    )
+
+    def _p(num: int, den: int, name: str):
+        return (
+            F.min(
+                F.when(den * F.col("cum") >= num * F.col("total"), F.col("bin"))
+            )
+            * width
+        ).cast("double").alias(name)
+
+    return c.groupBy("event_type").agg(
+        (F.sum("total") / F.count("*")).cast("bigint").alias("n_rows"),
+        _p(1, 2, "p50_lo"),
+        _p(9, 10, "p90_lo"),
+        _p(99, 100, "p99_lo"),
+    )
+
+
 # SCD2 scenario: every 5th customer changes (balance +100, segment
 # re-labelled); every 7th-but-not-5th gets a NO-OP update (same attrs)
 # proving idempotence — a re-delivered unchanged row must not fork

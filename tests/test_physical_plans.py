@@ -400,3 +400,23 @@ def test_kmeans_argmin_has_no_window(spark, sf_dir):
     of combining to one row map-side (review finding, fixed)."""
     plan = formatted_plan(spark, "similarity_ivf_kmeans", sf_dir)
     assert not re.findall(r"\(\d+\) Window", plan)
+
+
+def test_ivf_trained_serving_plan_shape(spark, sf_dir):
+    """The trained-centroid serving path must keep the r4-approved IVF
+    shape: the CORPUS-side cell assignment is a map-side min(struct)
+    partial aggregate — the only Window nodes allowed are the two on
+    query-sized data (the nprobe probe ranking and the final top-k) —
+    centroid/candidate joins are broadcasts, and nothing plans a
+    shuffle cross product. This is the 'plan shape unchanged' clause
+    of the r4 verdict's top item."""
+    plan = formatted_plan(spark, "similarity_topk_ivf_trained", sf_dir)
+    assert "CartesianProduct" not in plan
+    # broadcast assignment: corpus x K centroids via BNLJ, candidates
+    # via broadcast hash join on the cell key
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly two Window nodes (probe rank + final rank), neither on
+    # the corpus assignment; WindowGroupLimit entries don't count
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 2, true_windows
