@@ -43,6 +43,39 @@ def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "streaming_sliding_window_counts",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL 30 MINUTE]) AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM w
+    -- same ms-truncated watermark finalization cutoff as the tumbling
+    -- oracle: only windows whose END the watermark has passed emit
+    WHERE ws + INTERVAL 1 HOUR <=
+          (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR
+           FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming agg (1 h length, 30 min slide): every
+    event lands in exactly two overlapping windows; both engines align
+    buckets to 30-minute epoch multiples, so the oracle fans each row
+    to its two window starts relationally and applies the identical
+    finalization cutoff. Completes the window-class coverage:
+    tumbling, session, sliding."""
+    return ET.sliding_window_counts(spark, sf_dir)
+
+
+@query(
     "streaming_priority_routing",
     oracle="""
     WITH typed AS (

@@ -113,6 +113,37 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, agg, "windowed_event_counts_sink", "append")
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1-hour windows every 30 minutes (each event lands in
+    exactly 2 overlapping windows) — the third engine-native window
+    class next to tumbling and session. Same append-mode finalization
+    contract: a window emits once when the watermark passes its end.
+    State is bounded by (window length / slide) x watermark horizon —
+    the overlap factor multiplies state rows, not raw data, which is
+    why the slide should stay a coarse fraction of the length at
+    100 TB."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "sliding_window_counts_sink", "append")
+
+
 def cache_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8/X1 on the live stream: one computation per (user, hour)
     cache key via dropDuplicatesWithinWatermark — the streaming form
