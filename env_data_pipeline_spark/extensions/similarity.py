@@ -578,6 +578,45 @@ def kmeans_train(
     return cent
 
 
+def coarse_scores(pts: DataFrame, centroids: DataFrame, quant: float) -> DataFrame:
+    """(vec_id, v) x broadcast (cluster_id, c) with the grid-quantized
+    squared-L2 distance cd_u — the ONE place the coarse-assignment
+    distance discipline lives (topk_ivf_cells and ivfpq_topk both
+    derive corpus cells AND query probes from this frame; a drifting
+    copy would silently desynchronize serving from the _kmeans_ctes
+    oracle replay, the same hazard pq_subvectors centralizes away)."""
+    return pts.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "cluster_id",
+        F.floor(sq_dist(F.col("v"), F.col("c")) * F.lit(quant))
+        .cast("bigint")
+        .alias("cd_u"),
+    )
+
+
+def coarse_assign(scored: DataFrame) -> DataFrame:
+    """Nearest cell per vector from a coarse_scores frame: map-side
+    min(struct) argmin (one row per vector reaches the exchange,
+    never K), ties to the smallest cluster_id. Returns
+    (vec_id, v, cell)."""
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("cd_u", "cluster_id")).getField("cluster_id").alias("cell"),
+        F.first("v").alias("v"),
+    )
+
+
+def probe_cells(scored: DataFrame, nprobe: int) -> DataFrame:
+    """nprobe nearest cells per vector from a coarse_scores frame —
+    the SAME (cd_u, cluster_id) ordering as coarse_assign's argmin,
+    expressed as a window because the probe keeps nprobe rows (only
+    ever applied to the tiny query set)."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("cd_u"), F.asc("cluster_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= nprobe
+    )
+
+
 def topk_ivf_cells(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -604,32 +643,16 @@ def topk_ivf_cells(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    scored = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "cluster_id",
-        F.floor(sq_dist(F.col("v"), F.col("c")) * F.lit(quant))
-        .cast("bigint")
-        .alias("cd_u"),
-    )
-    # corpus side: argmin via map-side min(struct) — one row per
-    # vector reaches the exchange, never K
-    cells = scored.groupBy("vec_id").agg(
-        F.min(F.struct("cd_u", "cluster_id")).getField("cluster_id").alias("cell"),
-        F.first("v").alias("v"),
-    )
+    scored = coarse_scores(e, centroids, quant)
+    cells = coarse_assign(scored)
     # query side: nprobe nearest cells (tiny — the query filter pushes
     # to the scan before the broadcast centroid cross)
-    wq = Window.partitionBy("vec_id").orderBy(F.asc("cd_u"), F.asc("cluster_id"))
-    q_cells = (
-        scored.filter(F.col("vec_id") % query_mod == 0)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("q_vec"),
-            F.col("cluster_id").alias("cell"),
-        )
+    q_cells = probe_cells(
+        scored.filter(F.col("vec_id") % query_mod == 0), nprobe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        F.col("cluster_id").alias("cell"),
     )
     cand = (
         cells.select(
@@ -873,47 +896,22 @@ def ivfpq_topk(
     At 100 TB the selectivity story is multiplicative: nprobe/K of the
     corpus is touched, and each touched vector costs an 8-int LUT sum
     rather than a 64-float cosine."""
-    # 1. coarse assignment of the corpus
-    cell_scored = pts.crossJoin(F.broadcast(coarse_centroids)).select(
-        "vec_id",
-        "v",
-        "cluster_id",
-        F.floor(sq_dist(F.col("v"), F.col("c")) * F.lit(quant))
-        .cast("bigint")
-        .alias("cd_u"),
-    )
-    cells = (
-        cell_scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("cd_u", "cluster_id")).getField("cluster_id").alias(
-                "cell"
-            ),
-            F.first("v").alias("v"),
-        )
-    )
+    # 1. coarse assignment of the corpus — the shared coarse_scores /
+    # coarse_assign discipline (one source of truth for the quantized
+    # distance and tie-break)
+    cells = coarse_assign(coarse_scores(pts, coarse_centroids, quant))
     codes = pq_assign(
         cells.select("vec_id", "cell", "v"), pq_codebook, m_subspaces, dim_per_sub, quant
     ).select("vec_id", "cell", "m", "code")
 
-    # 2. query-side: probed cells + LUT
+    # 2. query-side: probed cells + LUT (same shared scoring/probing)
     queries = pts.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    q_cells = queries.crossJoin(F.broadcast(coarse_centroids)).select(
-        "query_id",
-        "cluster_id",
-        F.floor(sq_dist(F.col("qv"), F.col("c")) * F.lit(quant))
-        .cast("bigint")
-        .alias("cd_u"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.asc("cd_u"), F.asc("cluster_id")
-    )
-    probed = (
-        q_cells.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", F.col("cluster_id").alias("cell"))
-    )
+    probed = probe_cells(
+        coarse_scores(pts.join(query_ids, "vec_id"), coarse_centroids, quant),
+        nprobe,
+    ).select(F.col("vec_id").alias("query_id"), F.col("cluster_id").alias("cell"))
     lut = pq_score(
         pq_subvectors(queries, m_subspaces, dim_per_sub, vec_col="qv"),
         pq_codebook,

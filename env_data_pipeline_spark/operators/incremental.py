@@ -238,6 +238,27 @@ def scd2_apply_history(
     )
 
 
+def scd2_apply_batches(
+    hist: DataFrame,
+    batches: list[tuple[str, DataFrame]],
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Apply several update batches in EFFECTIVE-DATE order regardless
+    of delivery order — the correct-reordering complement to
+    scd2_apply_history's out-of-order rejection: when all batches are
+    in hand (a backfill, a replayed queue), sorting by effective date
+    is the total fix; only a live stream that cannot wait needs the
+    rejection to surface the violation. ``batches``: (effective_date,
+    updates) pairs, any order; duplicate dates apply in input order
+    (they must then touch disjoint keys, per the one-update-per-key
+    precondition)."""
+    out = hist
+    for batch_date, updates in sorted(batches, key=lambda b: b[0]):
+        out = scd2_apply_history(out, updates, key, attrs, batch_date)
+    return out
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

@@ -310,7 +310,14 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
         F.col("v").alias("c"),
     )
-    cent = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID))
+    # materialize the trained index artifact ONCE (K=8 tiny rows):
+    # both serving consumers (corpus assignment + query probe) read
+    # the centroids, and without the checkpoint each would re-execute
+    # the whole training subtree — at scale a trained index is a
+    # stored artifact, never recomputed per consumer
+    cent = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID)).localCheckpoint(
+        eager=True
+    )
     return X.topk_ivf_cells(
         table(spark, sf_dir, "embeddings"),
         cent,
@@ -718,7 +725,13 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
         F.col("v").alias("c"),
     )
-    coarse = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID))
+    # trained coarse cells materialized once (see
+    # similarity_topk_ivf_trained): corpus assignment and query probe
+    # both consume them, and re-running Lloyd training per consumer is
+    # not a plan a vector store would ever execute
+    coarse = X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID)).localCheckpoint(
+        eager=True
+    )
     cb = X.pq_subvectors(
         pts.filter(
             (F.col("vec_id") % _PQ_STEP == 0)

@@ -46,6 +46,77 @@ def write_dataset(
     writer.format(fmt).save(path)
 
 
+def _restore_crashed_swap(path: str) -> None:
+    """If a prior compaction died between the two swap renames, the
+    '._compact_old' sibling IS the live data — put it back."""
+    import os
+
+    bak = path.rstrip("/") + "._compact_old"
+    if not os.path.exists(path) and os.path.exists(bak):
+        os.rename(bak, path)
+
+
+def _read_preserving_partitions(spark, path: str, fmt: str):
+    """Read a dataset keeping hive partition VALUES as literal strings
+    (inference would re-type '01' -> 1 and bake it in on rewrite).
+    Returns (df, partition_cols)."""
+    pcols = _hive_partition_cols(path)
+    if not pcols:
+        return spark.read.format(fmt).load(path), []
+    prev_inf = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    )
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        return spark.read.format(fmt).load(path), pcols
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev_inf
+        )
+
+
+def _footer_row_count(df, path: str, fmt: str) -> int:
+    """Row count from parquet footer metadata (no data scan); falls
+    back to a count() for other formats."""
+    import glob
+    import os
+
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if files:
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return df.count()
+
+
+def _swap_in(out, path: str, fmt: str, pcols: Sequence[str]) -> int:
+    """Write ``out`` to a sibling tmp dir, atomically swap it in (with
+    the crash-recoverable '._compact_old' protocol), return the new
+    data-file count."""
+    import glob
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_old"
+    writer = out.write.mode("overwrite").format(fmt)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.save(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+            if not f.endswith(".crc")
+        ]
+    )
+
+
 def compact_dataset(
     spark,
     path: str,
@@ -71,49 +142,9 @@ def compact_dataset(
       swap would be a manifest commit — table-format territory:
       Delta/Iceberg.)
     """
-    import glob
-    import os
-    import shutil
-
-    bak = path.rstrip("/") + "._compact_old"
-    if not os.path.exists(path) and os.path.exists(bak):
-        # prior run crashed mid-swap: the backup IS the live data
-        os.rename(bak, path)
-
-    # Hive-partitioned input: the rewrite must preserve the partition
-    # LAYOUT (or downstream pruning is silently lost) and the partition
-    # VALUES (inference would re-type '01' -> 1 and bake the re-typed
-    # value in as a data column). Detect key=value subdir levels and
-    # read with partition-column type inference off so values stay the
-    # literal directory strings.
-    pcols = _hive_partition_cols(path)
-    if pcols:
-        prev_inf = spark.conf.get(
-            "spark.sql.sources.partitionColumnTypeInference.enabled"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
-        try:
-            df = spark.read.format(fmt).load(path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionColumnTypeInference.enabled", prev_inf
-            )
-    else:
-        df = spark.read.format(fmt).load(path)
-    if fmt == "parquet":
-        # row count from footer metadata: no data scan
-        import pyarrow.parquet as pq
-
-        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        n_rows = (
-            sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            if files
-            else df.count()
-        )
-    else:
-        n_rows = df.count()
+    _restore_crashed_swap(path)
+    df, pcols = _read_preserving_partitions(spark, path, fmt)
+    n_rows = _footer_row_count(df, path, fmt)
     n_files = max(1, -(-n_rows // target_records_per_file))
     if cluster_by:
         out = df.repartitionByRange(n_files, *pcols, *cluster_by).sortWithinPartitions(
@@ -125,22 +156,7 @@ def compact_dataset(
         out = df.repartition(n_files, *pcols)
     else:
         out = df.repartition(n_files)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    writer = out.write.mode("overwrite").format(fmt)
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.save(tmp)
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return len(
-        [
-            f
-            for f in glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
-            if not f.endswith(".crc")
-        ]
-    )
+    return _swap_in(out, path, fmt, pcols)
 
 
 def zorder_key(cols: Sequence, mins: Sequence[float], maxs: Sequence[float], bits: int = 8):
@@ -209,15 +225,15 @@ def compact_dataset_zorder(
     cross join — the engine's standard scalar-aggregate shape), a
     map-side Morton-key projection, then the same
     repartitionByRange + sortWithinPartitions + atomic-swap write as
-    compact_dataset. Returns the new file count."""
-    import glob
-    import os
-    import shutil
-
+    compact_dataset (shared helpers: crash-recovery preamble,
+    footer-metadata row count, hive layout/value preservation with
+    the z-clustering applied WITHIN partitions). Returns the new file
+    count."""
     from pyspark.sql import functions as F
 
-    df = spark.read.format(fmt).load(path)
-    n_rows = df.count()
+    _restore_crashed_swap(path)
+    df, pcols = _read_preserving_partitions(spark, path, fmt)
+    n_rows = _footer_row_count(df, path, fmt)
     n_files = max(1, -(-n_rows // target_records_per_file))
     bounds = df.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
@@ -225,26 +241,18 @@ def compact_dataset_zorder(
     ).first()
     mins = [bounds[f"_lo_{c}"] for c in zorder_by]
     maxs = [bounds[f"_hi_{c}"] for c in zorder_by]
+    if n_rows == 0 or any(v is None for v in mins + maxs):
+        # empty dataset or all-NULL z column: nothing to cluster on —
+        # degrade to a plain compaction instead of a TypeError
+        out = df.repartition(n_files, *pcols) if pcols else df.repartition(n_files)
+        return _swap_in(out, path, fmt, pcols)
     keyed = df.withColumn("_zkey", zorder_key(list(zorder_by), mins, maxs, bits))
     out = (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
+        keyed.repartitionByRange(n_files, *pcols, "_zkey")
+        .sortWithinPartitions(*pcols, "_zkey")
         .drop("_zkey")
     )
-    tmp = path.rstrip("/") + "._compact_tmp"
-    bak = path.rstrip("/") + "._compact_old"
-    out.write.mode("overwrite").format(fmt).save(tmp)
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return len(
-        [
-            f
-            for f in glob.glob(os.path.join(path, "part-*"))
-            if not f.endswith(".crc")
-        ]
-    )
+    return _swap_in(out, path, fmt, pcols)
 
 
 def _hive_partition_cols(path: str) -> list[str]:

@@ -138,18 +138,20 @@ def run_duckdb_full(sql: str, sf_dir: str):
 
 
 def _run_duckdb(sql: str, sf_dir: str, mem: str):
+    import shutil
+    import tempfile
+
     con = duckdb.connect()
+    # in-memory DuckDB has NO spill location by default — give it one
+    # so the cap degrades to disk offload instead of an allocation
+    # error on the biggest oracles. PER-CONNECTION dir: concurrent
+    # harness processes (pytest + a verify sweep) would collide on
+    # DuckDB's instance-local temp block filenames in a shared dir.
+    spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
     try:
         con.execute("SET threads = 8")
         con.execute(f"SET memory_limit = '{mem}'")
-        # in-memory DuckDB has NO spill location by default — give it
-        # one so the cap degrades to disk offload instead of an
-        # allocation error on the biggest oracles
-        import tempfile
-
-        con.execute(
-            f"SET temp_directory = '{tempfile.gettempdir()}/duckdb_oracle_spill'"
-        )
+        con.execute(f"SET temp_directory = '{spill}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -174,6 +176,7 @@ def _run_duckdb(sql: str, sf_dir: str, mem: str):
         # close even on failure: a dying connection left open pins its
         # buffer pool and poisons every later oracle in the sweep
         con.close()
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def compare(spark, name: str, spark_fn, oracle: str, sf_dir: str) -> None:

@@ -305,6 +305,36 @@ def test_scd2_out_of_order_batch_rejected(spark):
         bad.collect()
 
 
+def test_scd2_apply_batches_reorders_shuffled_delivery(spark):
+    """scd2_apply_batches sorts by effective date, so SHUFFLED
+    delivery produces the identical history as in-order application —
+    the correct-reordering path for backfills/replays (live streams
+    get the named rejection instead)."""
+    dim = spark.createDataFrame([(1, "a", 10.0)], "k bigint, seg string, bal double")
+    upd_mar = spark.createDataFrame([(1, "c", 12.0)], "k bigint, seg string, bal double")
+    upd_jun = spark.createDataFrame([(1, "b", 11.0)], "k bigint, seg string, bal double")
+    hist0 = INC.scd2_init(dim, "k", ["seg", "bal"], "2024-01-01")
+    shuffled = INC.scd2_apply_batches(
+        hist0,
+        [("2024-06-01", upd_jun), ("2024-03-01", upd_mar)],  # out of order
+        "k",
+        ["seg", "bal"],
+    )
+    in_order = INC.scd2_apply_history(
+        INC.scd2_apply_history(hist0, upd_mar, "k", ["seg", "bal"], "2024-03-01"),
+        upd_jun, "k", ["seg", "bal"], "2024-06-01",
+    )
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["seg"], r["bal"], str(r["valid_from"]),
+             str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(shuffled) == canon(in_order)
+
+
 def test_scd2_batch_composition_disjoint_keys(spark):
     """The algebra the streaming refresh relies on: applying two
     DISJOINT-key update batches sequentially (same effective date)

@@ -133,14 +133,17 @@ def test_fixture_cache_key_tracks_source_data(tmp_path):
     assert p2 != p1
 
 
-def test_events_max_ts_not_hour_aligned(spark, sf_dir):
-    """The streaming append-mode oracle finalizes windows with
-    end <= floor_ms(max(ts)) - 1h. At an EXACT hour boundary the
+def test_events_max_ts_not_window_boundary_aligned(spark, sf_dir):
+    """The streaming append-mode oracles finalize windows with
+    end <= floor_ms(max(ts)) - 1h. At an EXACT window-boundary the
     trailing window's fate depends on the pinned Spark version's
     eviction predicate (< vs <=) — keep the comparison tie-free by
-    pinning that the generator's max(ts) is never hour-aligned at ms
-    precision. A refresh that lands on a boundary fails HERE with a
-    name, not as an opaque streaming oracle mismatch."""
+    pinning that the generator's max(ts) never lands on a boundary at
+    ms precision. Guarded grids: the hour (tumbling windows) AND the
+    half-hour (the sliding windows' 30-minute slide — an XX:30:00.000
+    max(ts) would pass an hour-only guard yet tie a sliding window
+    end; review finding). A refresh that lands on a boundary fails
+    HERE with a name, not as an opaque streaming oracle mismatch."""
     import os as _os
 
     root = os.path.dirname(sf_dir.rstrip("/"))
@@ -150,8 +153,12 @@ def test_events_max_ts_not_hour_aligned(spark, sf_dir):
             continue
         ev = table(spark, os.path.join(root, d), "events")
         hi = ev.agg(F.max("ts")).first()[0]
-        ms = (hi.minute, hi.second, hi.microsecond // 1000)
-        assert ms != (0, 0, 0), f"{d}: max(ts)={hi} is hour-aligned"
+        aligned_30m = (
+            hi.minute % 30 == 0 and hi.second == 0 and hi.microsecond // 1000 == 0
+        )
+        assert not aligned_30m, (
+            f"{d}: max(ts)={hi} sits on the 30-min window-boundary grid"
+        )
 
 
 # JSON double fields formatted by _jd (plans/collect.py) — the list
