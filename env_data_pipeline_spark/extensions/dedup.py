@@ -433,3 +433,74 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (incremental dedup at 100 TB: probe a
+# delta against a corpus-sized SKETCH instead of joining the corpus)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 14  # bitmap size; scale with |corpus| for fixed FPP
+BLOOM_K = 5  # hash functions
+
+
+def _bloom_positions(col: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> Column:
+    """The k bit positions of a value: xxhash64 seeded 0..k-1, mod m —
+    pure JVM Column math, shared by build and probe so the two sides
+    cannot hash differently."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Aggregate a column into a Bloom bitmap: ONE row holding
+    map<word -> bigint bitmask> (word = bit_position div 64). Build
+    cost is a map-side explode of k ints per row plus a bit_or
+    aggregation over at most m/64 words — the corpus values never
+    shuffle, only (word, mask) pairs do. The resulting row is a few KB
+    regardless of corpus size: the artifact you broadcast to probe a
+    100 TB corpus membership without touching the corpus."""
+    pos = df.select(F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("p"))
+    words = pos.select(
+        (F.col("p") / 64).cast("int").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (F.col("p") % 64).cast("int")
+        ).alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word", "mask")))
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Keep rows whose value is PROBABLY in the built set: every one
+    of the k bit positions must be set (missing word => bit unset).
+    No false negatives — a true member always passes — so filtering
+    probabilistically here and confirming exactly on the survivors
+    yields an exact result with the expensive join shrunk to the
+    probable set (classic two-phase membership dedup)."""
+    probe = _bloom_positions(F.col(col), m_bits, k)
+    hit = F.forall(
+        probe,
+        lambda p: (
+            F.coalesce(
+                F.element_at(F.col("bloom"), (p / 64).cast("int")), F.lit(0)
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+    return df.crossJoin(F.broadcast(bloom)).filter(hit).drop("bloom")

@@ -1293,3 +1293,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_checksum"),
         F.col("flen").alias("frame_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# X1/X7: Bloom-prefiltered incremental membership dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_membership_dedup",
+    oracle="""
+    WITH delta AS (
+      SELECT d.doc_id,
+             md5(CASE WHEN d.doc_id % 20 = 0 THEN coalesce(b.text, d.text)
+                      ELSE d.text END) AS text_md5
+      FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT doc_id, text_md5 FROM delta
+    WHERE text_md5 IN
+          (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+    """,
+)
+def corpus_membership_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a delta against the standing corpus,
+    TWO-PHASE: (1) the corpus aggregates once into a few-KB Bloom
+    bitmap (extensions/dedup.py::bloom_build — map<word, bigint> of
+    bit masks, corpus values never shuffle) which broadcasts and
+    prefilters the delta to its PROBABLE members; (2) only those
+    survivors exact-join the corpus hashes for confirmation. Bloom has
+    no false negatives, so the emitted rows are exactly the delta docs
+    whose text exists in the corpus — the oracle is a plain semi-join,
+    while the plan never joins the unfiltered delta against the
+    corpus. Scenario: re-crawled deltas (every 20th doc re-fetches its
+    successor's page verbatim). At 100 TB the sketch is what makes
+    nightly dedup O(|delta|) instead of O(|corpus| join): the corpus
+    is read once to BUILD (and incrementally maintained by bit_or
+    merging batch bitmaps), never re-joined wholesale. FPP only costs
+    wasted confirmations, pinned by tests/test_extensions.py."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("text_md5")
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(nxt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 20 == 0,
+                    F.coalesce(F.col("next_text"), F.col("text")),
+                ).otherwise(F.col("text"))
+            ).alias("text_md5"),
+        )
+    )
+    bloom = D.bloom_build(base, "text_md5")
+    probable = D.bloom_probe(delta, "text_md5", bloom)
+    return probable.join(base.distinct(), "text_md5", "left_semi").select(
+        "doc_id", "text_md5"
+    )

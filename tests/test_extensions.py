@@ -463,3 +463,31 @@ def test_gap_fill_scaffold_properties(spark, sf_dir):
         # starts at the user's min ts), so no null fills at all
         assert r["n_null_fill"] == 0, r
         assert r["null_at_observed"] == 0, r
+
+
+def test_bloom_membership_no_false_negatives_and_prunes(spark, sf_dir):
+    """The Bloom prefilter contract behind corpus_membership_dedup:
+    (a) NO false negatives — every true member of the base set passes
+    the probe (this is what makes two-phase dedup exact); (b) the
+    probable set is close to the true member set (FPP at m=16384,
+    k=5, n~450 is ~3e-5, so a handful of false positives is already a
+    regression); (c) a disjoint probe set is pruned almost entirely —
+    the property that shrinks the confirmation join at scale."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.extensions import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("text_md5")
+    )
+    bloom = D.bloom_build(base, "text_md5")
+    # (a) probing the base itself must keep every row
+    self_probe = D.bloom_probe(base, "text_md5", bloom)
+    assert self_probe.count() == base.count()
+    # (c) probing values guaranteed absent (different hash domain)
+    absent = docs.select(F.md5(F.concat(F.lit("absent:"), "text")).alias("text_md5"))
+    n_absent = absent.count()
+    fp = D.bloom_probe(absent, "text_md5", bloom).count()
+    assert fp <= max(2, n_absent // 50), (fp, n_absent)
