@@ -346,3 +346,36 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
         (1, float(BASE_S), 2),
         (1, float(BASE_S + 3600), 1),
     ], rows
+
+
+def test_stream_stream_join_state_is_bounded_and_real(spark, sf_dir):
+    """The stream-stream interval join must run as a REAL streaming
+    join with keyed state on BOTH sides, and the watermark + time-range
+    condition must keep buffered state at the horizon scale, not the
+    stream length: the whole replay arrives in one batch here, so
+    after the final no-data batch advances the watermark, only rows
+    within the (2 h range + 1 h watermark) tail may remain buffered."""
+    from env_data_pipeline_spark.streaming import event_trigger as ET
+
+    out = ET.stream_stream_attribution(spark, sf_dir)
+    n_emitted = out.count()
+    assert n_emitted > 0
+
+    lp = ET.LAST_QUERY_PROGRESS["stream_stream_attribution_sink"]
+    ops = lp["stateOperators"]
+    assert ops, "no state operator reported — not a stateful join"
+    state_rows = sum(op["numRowsTotal"] for op in ops)
+    # total view+purchase rows across the month-long replay
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+
+    n_input = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .count()
+    )
+    assert 0 <= state_rows < n_input / 5, (
+        f"join buffers {state_rows} of {n_input} input rows — "
+        "state is not being evicted at the watermark horizon"
+    )
