@@ -491,3 +491,30 @@ def test_bloom_membership_no_false_negatives_and_prunes(spark, sf_dir):
     n_absent = absent.count()
     fp = D.bloom_probe(absent, "text_md5", bloom).count()
     assert fp <= max(2, n_absent // 50), (fp, n_absent)
+
+
+def test_bloom_bitmap_merge_equals_union_build(spark, sf_dir):
+    """The sketch's incremental-maintenance claim: building Bloom
+    bitmaps over two corpus slices and merging them word-by-word with
+    bit_or must equal the bitmap built over the union — the algebra
+    that lets a 100 TB corpus maintain its membership sketch per
+    ingestion batch instead of rebuilding."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.extensions import dedup as D
+
+    docs = table(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    a = docs.filter(F.crc32(F.col("h")) % 2 == 0)
+    b = docs.filter(F.crc32(F.col("h")) % 2 == 1)
+
+    def words(bloom_df):
+        row = bloom_df.first()["bloom"]
+        return dict(row)
+
+    wa, wb = words(D.bloom_build(a, "h")), words(D.bloom_build(b, "h"))
+    merged = {
+        w: wa.get(w, 0) | wb.get(w, 0) for w in set(wa) | set(wb)
+    }
+    direct = words(D.bloom_build(docs, "h"))
+    assert merged == direct
