@@ -121,12 +121,18 @@ def make_decode_batch(codec=None):
         import pandas as pd
 
         def byte_stats(payload: bytes, media_type: str) -> dict:
+            import math
+
+            # mean byte value rounded HALF-UP to 4 decimals (the
+            # repo's cross-engine rounding discipline): Python's
+            # round() is half-EVEN, and payload lengths with only
+            # 2s and 5s in their factorization (512, 320, ...) make
+            # sum/len an exact 5-decimal tie where the two rules
+            # disagree — observed at doc 285 (93.90625)
+            mean = sum(payload) / len(payload) if len(payload) else 0.0
             return {
                 "checksum": hashlib.md5(payload).hexdigest(),
-                # deterministic fake 'brightness': mean byte value
-                "brightness": round(sum(payload) / len(payload), 4)
-                if len(payload)
-                else 0.0,
+                "brightness": math.floor(mean * 10000 + 0.5) / 10000,
                 "feature_dim": 16,
             }
 

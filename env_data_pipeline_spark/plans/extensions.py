@@ -266,12 +266,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
 
 
-@query("dedup_simhash_pairs", oracle=None)
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM aug),
+    hw AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM w),
+    bits AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS acc
+      FROM hw CROSS JOIN range(64) b GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0
+                      THEN (CAST(1 AS UBIGINT) << CAST(bit AS INT))
+                      ELSE CAST(0 AS UBIGINT) END) AS ufp
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, ufp, b.range AS band,
+             (ufp >> CAST(b.range * 16 AS INT)) & 65535 AS key
+      FROM fp CROSS JOIN range({D.SIMHASH_N_BANDS}) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.ufp AS ua, b2.ufp AS ub
+      FROM bands a
+      JOIN bands b2 ON a.band = b2.band AND a.key = b2.key
+                   AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ua, ub)) <= 6
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2b: SimHash fingerprints via Arrow-vectorized pandas_udf +
-    blocked Hamming-distance self-join. Non-SQL-expressible (bit_count
-    + Python hashing) -> rows-only driver check; exact goldens in
-    tests/test_extensions.py."""
+    banded Hamming-distance self-join. FULL ORACLE as of r5 (this was
+    one of the two rows-only rows): the kernel's word hashes are
+    md5-derived 64-bit ints, so DuckDB replays the whole fingerprint —
+    per-word +/-1 bit votes, sign aggregation, 16-bit band keys, the
+    band equi-join and the bit_count(xor) distance — in the unsigned
+    domain, bit-identical to the signed LongType fingerprints Spark
+    carries (parity asserted per-doc by the golden tests)."""
     fps = D.simhash_fingerprints(_aug_docs(spark, sf_dir))
     return D.simhash_near_pairs(fps, max_hamming=6)
 
@@ -926,11 +965,44 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text, encode(text) AS payload
+      FROM documents
+    )
+    SELECT asset_id, media_type,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           -- md5 over the UTF-8 payload == md5 of the source string
+           -- (DuckDB md5 hashes the string's UTF-8 encoding)
+           md5(text) AS checksum,
+           ROUND(CASE WHEN octet_length(payload) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(
+                               range(octet_length(payload)),
+                               i -> ('0x' || substr(hex(payload), i * 2 + 1, 2))::INT))
+                           / CAST(octet_length(payload) AS DOUBLE) END,
+                 4) AS brightness,
+           16 AS feature_dim
+    FROM a
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: the decode/feature-extract kernel over mapInPandas (codec
     stubbed — deterministic byte statistics; see extensions/multimodal
-    for the swap point). Rows-only driver check + unit goldens."""
+    for the real-decoder swap point). FULL ORACLE as of r5 (the last
+    rows-only row): the stand-in codec is a pure function of the
+    payload bytes — md5 checksum, mean byte value rounded to 4
+    (DuckDB walks the hex dump two chars per byte), constant
+    feature_dim — so the oracle replays byte-for-byte what the Arrow
+    kernel computes. Tie-safety: the kernel rounds the mean HALF-UP
+    (matching SQL ROUND) because payload lengths factoring into 2s
+    and 5s make sum/len an exact 5-decimal tie where Python's
+    half-even round() would diverge (observed at len 512/320)."""
     assets = M.media_assets(table(spark, sf_dir, "documents"))
     return M.extract_features(assets)
 

@@ -40,12 +40,7 @@ def query(name: str, oracle: str | None) -> Callable[[SparkQuery], SparkQuery]:
 
 
 # Queries with a driver-stamped green row (rows+schema+hash all true)
-# in CORRECTNESS_r01..r04 — plus the two by-design rows-only queries
-# (dedup_simhash_pairs, multimodal_features), folded per the r4
-# verdict's instruction: their driver row can never exceed a rows
-# check (no_oracle), so re-sampling them spends a window slot for no
-# new evidence; their real coverage is the pinned golden/recall tests.
-# The round driver samples only the FIRST 50
+# in CORRECTNESS_r01..r04. The round driver samples only the FIRST 50
 # registered queries, so load_all rotates the NOT-yet-stamped set to
 # the front of the registry; everything rotated out of the window was
 # stamped green in an earlier round and stays covered by
@@ -93,7 +88,11 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "corpus_chunk_windows", "corpus_resample_execute",
         "corpus_split_assignment", "corpus_dedup_keep",
         "dedup_clusters", "dedup_ngram_jaccard",
-        "dedup_simhash_pairs", "dedup_embedding_cosine",
+        # dedup_simhash_pairs / multimodal_features deliberately NOT
+        # stamped: their r4 rows were no_oracle rows-only; r5 gave both
+        # FULL DuckDB oracles, so the r5 window should record the
+        # upgraded evidence
+        "dedup_embedding_cosine",
         "dedup_crossmodal_agreement", "similarity_topk_exact_baseline",
         "similarity_topk_lsh",
         # similarity_topk deliberately NOT stamped: its r4 stamp
@@ -103,7 +102,7 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "similarity_topk_hyperplane", "text_quality_profile",
         "text_token_stats", "corpus_mixture_summary",
         "corpus_stratified_sample", "text_rolling_fingerprint",
-        "multimodal_metadata", "multimodal_features",
+        "multimodal_metadata",
         "multimodal_base64_sink", "multimodal_nested_sanitize",
         "text_langid_accuracy", "similarity_topk_ivf",
         "similarity_knn_label_agreement", "similarity_recall_at_k",

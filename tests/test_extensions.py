@@ -96,7 +96,14 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         f_row = by_id[r["doc_id"]]
         assert f_row["n_bytes"] == len(text)
         assert f_row["checksum"] == hashlib.md5(text).hexdigest()
-        assert f_row["brightness"] == round(sum(text) / len(text), 4)
+        # half-up at 4 decimals (the kernel's cross-engine rounding —
+        # NOT python round(), which is half-even and diverges on
+        # dyadic-length ties like len 512)
+        import math
+
+        assert f_row["brightness"] == math.floor(
+            sum(text) / len(text) * 10000 + 0.5
+        ) / 10000
         assert f_row["feature_dim"] == 16
 
 
