@@ -55,6 +55,7 @@ NESTED_LOOP_OK = {
     "similarity_ivf_kmeans",  # Lloyd assignment: corpus x K=8 broadcast centroids
     "similarity_topk_ivf_trained",  # same corpus x K broadcast assignment shape
     "similarity_topk_ivfpq",  # coarse assignment + probe: corpus x K broadcast
+    "corpus_membership_dedup",  # 1-row Bloom bitmap broadcast against the delta
     "similarity_recall_at_k",  # brute-force ground truth by design
     "collect_quality_summary",  # rides the collect join tree
     "semi_anti_join_customers",
