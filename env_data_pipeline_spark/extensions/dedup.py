@@ -456,6 +456,16 @@ def _bloom_positions(col: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) 
     )
 
 
+def _word_and_mask(p: Column) -> tuple[Column, Column]:
+    """Bit position -> (word index, bigint bitmask): the OTHER half of
+    the build/probe contract, shared like _bloom_positions so the two
+    sides cannot derive the bitmap layout differently."""
+    return (
+        (p / 64).cast("int"),
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")),
+    )
+
+
 def bloom_build(
     df: DataFrame, col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> DataFrame:
@@ -467,12 +477,12 @@ def bloom_build(
     regardless of corpus size: the artifact you broadcast to probe a
     100 TB corpus membership without touching the corpus."""
     pos = df.select(F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("p"))
-    words = pos.select(
-        (F.col("p") / 64).cast("int").alias("word"),
-        F.call_function(
-            "shiftleft", F.lit(1).cast("bigint"), (F.col("p") % 64).cast("int")
-        ).alias("mask"),
-    ).groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    w, m = _word_and_mask(F.col("p"))
+    words = (
+        pos.select(w.alias("word"), m.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
     return words.agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("word", "mask")))
@@ -490,17 +500,13 @@ def bloom_probe(
     yields an exact result with the expensive join shrunk to the
     probable set (classic two-phase membership dedup)."""
     probe = _bloom_positions(F.col(col), m_bits, k)
-    hit = F.forall(
-        probe,
-        lambda p: (
-            F.coalesce(
-                F.element_at(F.col("bloom"), (p / 64).cast("int")), F.lit(0)
-            ).bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
-                )
-            )
+
+    def _bit_set(p: Column) -> Column:
+        w, m = _word_and_mask(p)
+        return (
+            F.coalesce(F.element_at(F.col("bloom"), w), F.lit(0)).bitwiseAND(m)
             != 0
-        ),
-    )
+        )
+
+    hit = F.forall(probe, _bit_set)
     return df.crossJoin(F.broadcast(bloom)).filter(hit).drop("bloom")

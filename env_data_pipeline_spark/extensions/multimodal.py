@@ -117,12 +117,11 @@ def make_decode_batch(codec=None):
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import math
 
         import pandas as pd
 
         def byte_stats(payload: bytes, media_type: str) -> dict:
-            import math
-
             # mean byte value rounded HALF-UP to 4 decimals (the
             # repo's cross-engine rounding discipline): Python's
             # round() is half-EVEN, and payload lengths with only

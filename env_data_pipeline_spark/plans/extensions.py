@@ -1425,6 +1425,9 @@ def corpus_membership_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = D.bloom_build(base, "text_md5")
     probable = D.bloom_probe(delta, "text_md5", bloom)
-    return probable.join(base.distinct(), "text_md5", "left_semi").select(
+    # no distinct on the corpus side: a LEFT SEMI join's output is
+    # unaffected by right-side duplicates, and the distinct would be a
+    # full extra aggregate exchange over the corpus hash set (review)
+    return probable.join(base, "text_md5", "left_semi").select(
         "doc_id", "text_md5"
     )

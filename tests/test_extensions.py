@@ -485,19 +485,30 @@ def test_bloom_membership_no_false_negatives_and_prunes(spark, sf_dir):
     from env_data_pipeline_spark.catalog import table
     from env_data_pipeline_spark.extensions import dedup as D
 
+    import math
+
     docs = table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0).select(
         F.md5("text").alias("text_md5")
     )
-    bloom = D.bloom_build(base, "text_md5")
+    # size the filter to the tier like a deployment would — a FIXED
+    # m saturates on a bigger fixture (review finding: the sf0.1 test
+    # tier carries 10x the docs) — then bound false positives by the
+    # THEORETICAL fpp for (m, k, n) with 4x headroom
+    n = base.count()
+    m_bits = 1 << max(14, (16 * n).bit_length())
+    k = 5
+    bloom = D.bloom_build(base, "text_md5", m_bits=m_bits, k=k)
     # (a) probing the base itself must keep every row
-    self_probe = D.bloom_probe(base, "text_md5", bloom)
-    assert self_probe.count() == base.count()
+    self_probe = D.bloom_probe(base, "text_md5", bloom, m_bits=m_bits, k=k)
+    assert self_probe.count() == n
     # (c) probing values guaranteed absent (different hash domain)
     absent = docs.select(F.md5(F.concat(F.lit("absent:"), "text")).alias("text_md5"))
     n_absent = absent.count()
-    fp = D.bloom_probe(absent, "text_md5", bloom).count()
-    assert fp <= max(2, n_absent // 50), (fp, n_absent)
+    fp = D.bloom_probe(absent, "text_md5", bloom, m_bits=m_bits, k=k).count()
+    fpp = (1.0 - math.exp(-k * n / m_bits)) ** k
+    budget = max(2, math.ceil(4 * fpp * n_absent))
+    assert fp <= budget, (fp, n_absent, fpp, budget)
 
 
 def test_bloom_bitmap_merge_equals_union_build(spark, sf_dir):
