@@ -115,6 +115,13 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "streaming_incremental_agg_refresh", "collect_json_sink",
         "streaming_session_windows", "events_interval_attribution",
         "events_gap_fill_hourly", "events_anomaly_zscore",
+        # --- stamped by the round-5 driver window (CORRECTNESS_r05) ---
+        "corpus_membership_dedup", "decontaminate_ngram_sweep",
+        "dedup_simhash_pairs", "events_incremental_histogram",
+        "events_percentiles_from_histogram", "multimodal_features",
+        "similarity_topk", "similarity_topk_ivf_trained",
+        "similarity_topk_ivfpq", "streaming_sliding_window_counts",
+        "streaming_stream_stream_join",
     }
 )
 
