@@ -5,12 +5,15 @@ ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 Timing = full plan execution to a count/collect action, after one
 untimed warm-up of the session (JVM + parquet footer caches), so the
 number reflects steady-state engine throughput, not JVM startup.
-Each query reports the MEDIAN of 5 timed runs plus a relative-spread
-"variance" field ((max-min)/median), with a forced JVM GC between
-queries — the r4 round showed uniform +10-60% drift on unchanged
-plans (shared-JVM broadcast/GC churn as the headline set grew), and
-a median with a spread is what separates plan regressions from that
-harness noise.
+Each query reports the MEDIAN of 5 timed runs plus a "rel_spread"
+field ((max-min)/median), with a forced JVM GC between queries — the
+r4 round showed uniform +10-60% drift on unchanged plans (shared-JVM
+broadcast/GC churn as the headline set grew), and a median with a
+spread is what separates plan regressions from that harness noise.
+The last timed run is also sampled for per-query shuffle read/write
+bytes ("shuffle_bytes", via the UI status store): wall-time says how
+fast the plan ran, shuffled bytes say whether it is the plan claimed
+(broadcast dims, bucketed joins, map-side partial aggregation).
 
 Scale proof: the same queries are also timed at a LOWER tier
 ($SPARK_GRAFT_SF_LO_DIR, default the sibling sf0.01) and the JSON
@@ -29,6 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from env_data_pipeline_spark.benchmetrics import measure_shuffle
 from env_data_pipeline_spark.plans import registry
 from env_data_pipeline_spark.session import get_spark
 
@@ -49,8 +53,8 @@ _N_RUNS = 5  # timed runs per query; reported time is the MEDIAN
 
 def _time_tier(
     spark, names: list[str], sf_dir: str
-) -> tuple[dict[str, float], dict[str, float]]:
-    """Returns (median timings, relative spread per query).
+) -> tuple[dict[str, float], dict[str, float], dict[str, dict[str, int]]]:
+    """Returns (median timings, relative spread, shuffle bytes per query).
 
     Per query: one untimed warm-up (whole-stage-codegen compilation,
     broadcast build, parquet footers, fixture snapshot on a cold
@@ -65,25 +69,42 @@ def _time_tier(
     (the headline set shares one JVM)."""
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    shuffles: dict[str, dict[str, int]] = {}
     for name in names:
         registry.QUERIES[name](spark, sf_dir).count()
         # drop the previous query's garbage (broadcast blocks, shuffle
         # files are released via weak refs on GC) outside the window
         spark.sparkContext._jvm.System.gc()
         runs = []
-        for _ in range(_N_RUNS):
+        for _ in range(_N_RUNS - 1):
             t0 = time.perf_counter()
-            df = registry.QUERIES[name](spark, sf_dir)
-            n = df.count()
+            n = registry.QUERIES[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
             assert n >= 0
+        # the LAST timed run doubles as the shuffle-byte sample (bytes
+        # are deterministic per plan, so one sampled run suffices); the
+        # timer wraps only the action so the REST reads stay untimed
+        last = {}
+
+        def timed_action():
+            t0 = time.perf_counter()
+            n = registry.QUERIES[name](spark, sf_dir).count()
+            last["dt"] = time.perf_counter() - t0
+            assert n >= 0
+
+        meter = measure_shuffle(spark, timed_action)
+        runs.append(last["dt"])
+        shuffles[name] = {
+            "read_bytes": meter["read_bytes"],
+            "write_bytes": meter["write_bytes"],
+        }
         runs.sort()
         med = runs[len(runs) // 2]
         timings[name] = round(med, 4)
         # relative spread: (max-min)/median — >0.5 flags a timing too
         # noisy to read as a regression
         spreads[name] = round((runs[-1] - runs[0]) / med, 2) if med else 0.0
-    return timings, spreads
+    return timings, spreads, shuffles
 
 
 def _dump_plans(spark, names: list[str], sf_dir: str) -> None:
@@ -150,7 +171,7 @@ def main() -> None:
         if n not in names and n in registry.BENCH_EXTRA:
             names.append(n)
 
-    timings, spreads = _time_tier(spark, names, sf_dir)
+    timings, spreads, shuffles = _time_tier(spark, names, sf_dir)
     total = round(sum(timings.values()), 4)
 
     # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
@@ -158,25 +179,45 @@ def main() -> None:
     # stdout stays the one-JSON-line driver contract
     _dump_plans(spark, names, sf_dir)
 
+    # Key order is deliberate: the driver's tail capture can truncate
+    # a long line, so the noise bound (rel_spread) and the shuffle
+    # bytes — the evidence fields — come BEFORE the bulky per-tier
+    # dicts (VERDICT r5 item 7). "rel_spread" = (max-min)/median of
+    # the timed runs (renamed from "variance", which it never was).
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "variance": spreads,
-        "runs_per_query": _N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": _N_RUNS,
+        "rel_spread": spreads,
+        "shuffle_bytes": shuffles,
+        "queries": timings,
     }
 
     if os.path.isdir(lo_dir) and os.path.abspath(lo_dir) != os.path.abspath(sf_dir):
         lo_sf = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
-        lo_timings, _ = _time_tier(spark, names, lo_dir)
+        lo_timings, _, lo_shuffles = _time_tier(spark, names, lo_dir)
         result["tiers"] = {sf: timings, lo_sf: lo_timings}
         result["data_ratio"] = _row_ratios(spark, sf_dir, lo_dir)
         result["scaling"] = {
             n: round(timings[n] / lo_timings[n], 2)
             for n in names
             if lo_timings.get(n)
+        }
+        # shuffle growth across the tier pair: bytes are deterministic,
+        # so this ratio reads plan behavior directly — a bucketed /
+        # broadcast claim holds iff shuffled bytes grow no faster than
+        # the driving table
+        result["shuffle_scaling"] = {
+            n: round(
+                (shuffles[n]["read_bytes"] + shuffles[n]["write_bytes"])
+                / (lo_shuffles[n]["read_bytes"] + lo_shuffles[n]["write_bytes"]),
+                2,
+            )
+            for n in names
+            if lo_shuffles.get(n)
+            and (lo_shuffles[n]["read_bytes"] + lo_shuffles[n]["write_bytes"]) > 0
         }
 
     print(json.dumps(result))

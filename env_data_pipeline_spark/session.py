@@ -37,7 +37,13 @@ def get_spark(app_name: str = "env_data_pipeline_spark", cpus: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
-        .config("spark.ui.enabled", "false")
+        # UI on a random free port: the status store behind its REST API
+        # is how bench.py and the shuffle-pin tests read per-stage
+        # shuffle read/write bytes (benchmetrics.measure_shuffle) — the
+        # bytes that prove the broadcast/bucketed plan claims.
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()
