@@ -452,25 +452,31 @@ def grid_mean_vectors(
     df: DataFrame, keys: list[str], vec_col: str, out_col: str, quant: float
 ) -> DataFrame:
     """Element-wise mean of an array column per key group, every
-    component floor-quantized to the 1/quant grid — the shared
-    centroid-update step of kmeans_lloyd and pq_train_codebook
-    (posexplode -> per-dim avg -> grid floor -> re-assemble sorted).
-    The grid is what keeps the iteration engine-reproducible.
+    component landing on the 1/quant grid — the shared centroid-update
+    step of kmeans_lloyd and pq_train_codebook (posexplode -> per-dim
+    exact-integer mean -> grid floor -> re-assemble sorted). The grid
+    is what keeps the iteration engine-reproducible.
 
-    KNOWN RESIDUAL RISK (ADVICE r4, accepted): the floor applies to
-    AVG of raw doubles, i.e. AFTER aggregation — cross-engine (or
-    run-to-run partial-agg) low-bit summation differences can in
-    principle straddle a grid boundary and flip a centroid component,
-    cascading into different assignments. Probability is tiny on this
-    data; if a vectorops/zscore oracle-parity run ever fails
-    unreproducibly, check a grid-boundary straddle here FIRST (the
-    same aggregate-then-round pattern lives in events_anomaly_zscore's
-    mu/sigma)."""
+    Float discipline (closes ADVICE r4 / VERDICT r5 item 3): each
+    component is floor-quantized to integer grid units PER ROW, the
+    mean is then SUM(bigint)/COUNT — exact integers whose division is
+    one deterministic IEEE op — and floored once. Nothing
+    order-dependent ever meets the floor, so a low-bit partial-agg
+    difference can no longer straddle a grid boundary and flip a
+    centroid component (the old shape floored AVG(double) AFTER
+    aggregation). Magnitudes: unit-norm-ish components at quant=1e6
+    give |sum| <= rows*1e6, exact in bigint and in double up to 2^53
+    — 9e9 rows per (group, dim) at this grid."""
     return (
         df.select(*keys, F.posexplode(vec_col).alias("pos", "val"))
+        .select(
+            *keys,
+            "pos",
+            F.floor(F.col("val") * F.lit(quant)).cast("bigint").alias("qval"),
+        )
         .groupBy(*keys, "pos")
-        .agg(F.avg("val").alias("cval"))
-        .withColumn("cval", F.floor(F.col("cval") * F.lit(quant)) / F.lit(quant))
+        .agg(F.sum("qval").alias("s"), F.count("qval").alias("n"))
+        .withColumn("cval", F.floor(F.col("s") / F.col("n")) / F.lit(quant))
         .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
         .select(

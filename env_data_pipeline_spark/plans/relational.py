@@ -838,30 +838,49 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_anomaly_zscore",
     oracle="""
-    WITH stats AS (
-      -- mu/sigma rounded to the 1e-6 grid BEFORE z is computed: the
-      -- raw aggregates differ between engines in their low bits
-      -- (summation order), and |z| > 3 is a discrete cliff — rounding
-      -- the inputs makes every downstream z bitwise identical
+    -- The |z| > 3 cliff is decided in EXACT INTEGER arithmetic: with
+    -- qv = round-half-up micro-units of value, mu = s1/(n*g) and
+    -- sigma^2 = (n*s2 - s1^2)/(n*g)^2, so
+    --   |z| > 3  <=>  (qv*n - s1)^2 > 9*(n*s2 - s1^2)
+    -- where every term is an exact integer (HUGEINT here,
+    -- decimal(38,0) on the Spark side). No double ever feeds the
+    -- discrete decision, so partial-agg summation order cannot flip
+    -- it (the old ROUND(AVG)/ROUND(stddev) inputs could straddle a
+    -- grid boundary). z itself is (qv*n - s1)/sqrt(r) — doubles only
+    -- for the rounded continuous output.
+    WITH q AS (
       SELECT event_type,
-             ROUND(AVG(value), 6) AS mu,
-             ROUND(stddev_pop(value), 6) AS sigma,
-             COUNT(*) AS n_total
-      FROM events GROUP BY event_type
+             CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS qv
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_total,
+             SUM(qv) AS s1,
+             SUM(qv * qv) AS s2
+      FROM q GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n_total, s1,
+             n_total * s2 - s1 * s1 AS r
+      FROM stats
     ),
     scored AS (
-      SELECT e.event_id, e.event_type, e.value, s.n_total,
-             CASE WHEN s.sigma = 0 THEN 0.0
-                  ELSE (e.value - s.mu) / s.sigma END AS z
-      FROM events e JOIN stats s USING (event_type)
+      SELECT q.event_type, s.n_total, s.r,
+             ABS(q.qv * s.n_total - s.s1) AS num
+      FROM q JOIN st s USING (event_type)
     )
     SELECT event_type,
            CAST(MIN(n_total) AS BIGINT) AS n_total,
-           CAST(SUM(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_anomalies,
-           ROUND(SUM(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN r > 0 AND num * num > 9 * r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(SUM(CASE WHEN r > 0 AND num * num > 9 * r
+                          THEN 1 ELSE 0 END)
                  / CAST(MIN(n_total) AS DOUBLE), 6) AS anomaly_rate,
-           ROUND(MAX(abs(z)), 4) AS max_abs_z
+           ROUND(CASE WHEN MIN(r) <= 0 THEN 0.0
+                      ELSE CAST(MAX(num) AS DOUBLE)
+                           / sqrt(CAST(MIN(r) AS DOUBLE)) END,
+                 4) AS max_abs_z
     FROM scored GROUP BY event_type
     """,
 )
@@ -872,29 +891,66 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     no anomaly notion at all; its nearest analog is the hard-coded
     risk thresholds, weather_container.py:199-223).
 
+    Float discipline (closes ADVICE r4 / VERDICT r5 item 3): the
+    anomaly decision never touches a double. value is quantized
+    per-row to round-half-up micro-units qv; with exact integer sums
+    s1 = sum(qv), s2 = sum(qv^2), r = n*s2 - s1^2, the z-test
+    rearranges to (qv*n - s1)^2 > 9*r — exact decimal(38,0)
+    arithmetic, identical under any summation order and on any
+    engine. Only the ROUNDED continuous outputs (max_abs_z =
+    max|qv*n - s1|/sqrt(r)) pass through doubles. Headroom: at 100x
+    this data (2e6 rows/group, value<=600) the largest term
+    (qv*n - s1)^2 is ~1.3e30 against decimal(38)'s 1e38.
+
     Scale notes. Two passes over the same scan: a 5-row stats
     aggregate that BROADCASTS back onto the fact scan (the fact table
     never shuffles), then the flag summary re-aggregates map-side.
-    z is a per-row projection; the plan survives 100x because the only
-    exchanges carry 5-row group states."""
+    The per-row test is a projection; the plan survives 100x because
+    the only exchanges carry 5-row group states."""
     ev = table(spark, sf_dir, "events")
-    # mu/sigma quantized to the 1e-6 grid before z (see oracle note)
-    stats = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_pop("value"), 6).alias("sigma"),
-        F.count("*").alias("n_total"),
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("qv"),
     )
-    scored = ev.join(F.broadcast(stats), "event_type").select(
+    stats = (
+        q.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("qv").alias("s1"),
+            F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "s1",
+            (
+                F.col("n_total").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1") * F.col("s1")
+            ).alias("r"),
+        )
+    )
+    scored = q.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "n_total",
-        F.when(F.col("sigma") == 0.0, F.lit(0.0))
-        .otherwise((F.col("value") - F.col("mu")) / F.col("sigma"))
-        .alias("z"),
+        "r",
+        F.abs(
+            F.col("qv") * F.col("n_total").cast("decimal(38,0)") - F.col("s1")
+        ).alias("num"),
     )
-    flagged = F.sum(F.when(F.abs(F.col("z")) > 3, 1).otherwise(0))
+    is_anom = (F.col("r") > 0) & (
+        F.col("num") * F.col("num") > F.lit(9).cast("decimal(38,0)") * F.col("r")
+    )
+    flagged = F.sum(F.when(is_anom, 1).otherwise(0))
     return scored.groupBy("event_type").agg(
         F.min("n_total").alias("n_total"),
         flagged.alias("n_anomalies"),
         F.round(flagged / F.min("n_total"), 6).alias("anomaly_rate"),
-        F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        F.round(
+            F.when(F.min("r") <= 0, F.lit(0.0)).otherwise(
+                F.max("num").cast("double") / F.sqrt(F.min("r").cast("double"))
+            ),
+            4,
+        ).alias("max_abs_z"),
     )

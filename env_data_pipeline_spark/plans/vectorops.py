@@ -154,7 +154,12 @@ def _kmeans_ctes(k: int, iters: int, step: int, final_update: bool) -> list[str]
                 f"""c{it + 1} AS (
   SELECT cluster_id, list(cval ORDER BY pos) AS c FROM (
     SELECT a.cluster_id, r.range AS pos,
-           floor(AVG(a.v[r.range + 1]) * {_QGRID}) / {_QGRID} AS cval
+           -- exact-integer mean replay of grid_mean_vectors: per-row
+           -- grid floor, bigint sum, one deterministic division+floor
+           -- (never floor-of-AVG(double), which is summation-order
+           -- sensitive)
+           floor(SUM(CAST(floor(a.v[r.range + 1] * {_QGRID}) AS BIGINT))
+                 / COUNT(*)) / {_QGRID} AS cval
     FROM a{it} a CROSS JOIN range({_DIM}) r
     GROUP BY a.cluster_id, r.range
   ) GROUP BY cluster_id
