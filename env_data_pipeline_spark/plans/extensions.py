@@ -303,14 +303,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2b: SimHash fingerprints via Arrow-vectorized pandas_udf +
-    banded Hamming-distance self-join. FULL ORACLE as of r5 (this was
-    one of the two rows-only rows): the kernel's word hashes are
-    md5-derived 64-bit ints, so DuckDB replays the whole fingerprint —
-    per-word +/-1 bit votes, sign aggregation, 16-bit band keys, the
-    band equi-join and the bit_count(xor) distance — in the unsigned
-    domain, bit-identical to the signed LongType fingerprints Spark
-    carries (parity asserted per-doc by the golden tests)."""
+    """X2b: SimHash fingerprints as pure JVM Column math (r6: the
+    former Arrow pandas_udf kernel is gone — dedup.simhash_col
+    evaluates the whole fingerprint in the scan projection, zero
+    Python) + banded Hamming-distance self-join. FULL ORACLE as of
+    r5: word hashes are md5-derived 64-bit ints, so DuckDB replays
+    the whole fingerprint — per-word +/-1 bit votes, sign
+    aggregation, 16-bit band keys, the band equi-join and the
+    bit_count(xor) distance — in the unsigned domain, bit-identical
+    to the signed LongType fingerprints Spark carries (parity
+    asserted per-doc by the golden tests)."""
     fps = D.simhash_fingerprints(_aug_docs(spark, sf_dir))
     return D.simhash_near_pairs(fps, max_hamming=6)
 

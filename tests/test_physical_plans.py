@@ -149,6 +149,10 @@ def test_simhash_pairs_banded_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+    # r6: the fingerprint is pure JVM Column math now — no Python
+    # kernel anywhere in the plan (ArrowEvalPython was the engine's
+    # last row-level Python besides the multimodal byte codec)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
