@@ -253,8 +253,19 @@ def scd2_apply_batches(
     updates) pairs, any order; duplicate dates apply in input order
     (they must then touch disjoint keys, per the one-update-per-key
     precondition)."""
+    import datetime
+
+    def as_date(s: str) -> datetime.date:
+        y, m, d = s.split("-")
+        return datetime.date(int(y), int(m), int(d))
+
     out = hist
-    for batch_date, updates in sorted(batches, key=lambda b: b[0]):
+    # sort on the PARSED date, not the raw string: scd2_apply_history
+    # accepts any to_date-parseable form (incl. non-zero-padded), and
+    # a lexicographic sort of e.g. '2024-6-01' vs '2024-10-01' orders
+    # them backwards; an unparseable date raises HERE, not as a
+    # downstream out-of-order mystery
+    for batch_date, updates in sorted(batches, key=lambda b: as_date(b[0])):
         out = scd2_apply_history(out, updates, key, attrs, batch_date)
     return out
 

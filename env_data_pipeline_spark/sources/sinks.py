@@ -195,7 +195,12 @@ def zorder_key(cols: Sequence, mins: Sequence[float], maxs: Sequence[float], bit
                 ),
             ).cast("bigint")
         )
-        quant.append(scaled)
+        # a NULL in ONE column must not null the whole Morton key
+        # (that would funnel every partially-NULL row into a single
+        # range partition and lose min/max pruning for them): NULL
+        # buckets as 0, so the row still interleaves on its non-null
+        # dimensions
+        quant.append(F.coalesce(scaled, F.lit(0).cast("bigint")))
     key = F.lit(0).cast("bigint")
     for bit in range(bits):
         for i, q in enumerate(quant):

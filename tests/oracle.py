@@ -133,8 +133,18 @@ def run_duckdb_full(sql: str, sf_dir: str):
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")  # never fork a JVM-bearing process
-        with ctx.Pool(1) as pool:
-            return pool.apply(_run_duckdb, (sql, sf_dir, "12GB"))
+        try:
+            with ctx.Pool(1) as pool:
+                return pool.apply(_run_duckdb, (sql, sf_dir, "12GB"))
+        except Exception as retry_ex:
+            # the spawn retry can itself fail for unrelated reasons
+            # (e.g. the child can't re-import this module under a
+            # nonstandard path) — never let that mask the allocation
+            # error being retried
+            raise RuntimeError(
+                f"duckdb oracle: in-process run failed ({ex}) and the "
+                f"spawned-subprocess retry also failed"
+            ) from retry_ex
 
 
 def _run_duckdb(sql: str, sf_dir: str, mem: str):
