@@ -189,6 +189,107 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    -- the engine's global watermark is the MIN of both sides'
+    -- (multipleWatermarkPolicy=min), each = ms-truncated side max - 1h
+    wm AS (
+      SELECT least(
+               (SELECT date_trunc('millisecond', max(ts)) FROM v),
+               (SELECT date_trunc('millisecond', max(ts)) FROM p)
+             ) - INTERVAL 1 HOUR AS w
+    )
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM v
+    LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    -- matched pairs emit on arrival (inner semantics); an unmatched
+    -- view emits its NULL row only once the watermark proves no
+    -- future purchase can match (view evicted from join state)
+    WHERE p.event_id IS NOT NULL
+       OR v.ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join with watermark null
+    emission (streaming/event_trigger.py::stream_stream_attribution_left):
+    unmatched views surface as (view, NULL) when the global watermark
+    passes view_ts + 2h. Oracle = batch left join restricted to
+    matched rows plus finalized-unmatched rows under the identical
+    min-of-sides ms-truncated watermark."""
+    return ET.stream_stream_attribution_left(spark, sf_dir)
+
+
+@query(
+    "streaming_stateful_session_expiry",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN pts IS NULL
+                        OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, sid,
+             MAX(sid) OVER (PARTITION BY user_id) AS max_sid,
+             MIN(epoch_us(ts)) AS session_start_us,
+             MAX(epoch_us(ts)) + 1800000000 AS session_end_us,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             ROUND(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                   / 10000.0, 4) AS total_value
+      FROM m GROUP BY user_id, sid
+    ),
+    wm AS (
+      SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w
+      FROM events
+    )
+    SELECT user_id, session_start_us, session_end_us,
+           n_events, total_value
+    FROM s
+    -- a session emits either when a LATER event closes it by gap
+    -- evidence (sid < the user's max sid) or when the event-time
+    -- TIMEOUT fires: the GroupState clock is milliseconds, so the
+    -- armed timestamp is the ms-floored last event + 30 min, fired
+    -- strictly before the watermark
+    WHERE sid < max_sid
+       OR date_trunc('millisecond', last_ts) + INTERVAL 30 MINUTE
+          < (SELECT w FROM wm)
+    """,
+)
+def streaming_stateful_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator with EVENT-TIME TIMEOUT eviction
+    (streaming/stateful.py::stateful_session_expiry): per-user idle
+    sessions close on in-stream gap evidence or on watermark timeout,
+    and timed-out keys DROP their state. Oracle = gaps-and-islands
+    sessionization emitting closed sessions plus timed-out trailing
+    sessions under the same ms-clock cutoff."""
+    from env_data_pipeline_spark.streaming.stateful import stateful_session_expiry
+
+    return stateful_session_expiry(spark, sf_dir)
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH o AS (

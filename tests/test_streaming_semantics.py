@@ -379,3 +379,116 @@ def test_stream_stream_join_state_is_bounded_and_real(spark, sf_dir):
         f"join buffers {state_rows} of {n_input} input rows — "
         "state is not being evicted at the watermark horizon"
     )
+
+
+def test_left_outer_join_emits_null_at_watermark_horizon(spark, tmp_path):
+    """LEFT-OUTER stream-stream join null emission: an unmatched view
+    emits (view, NULL) exactly when the global watermark (MIN of both
+    sides) passes view_ts + 2 h — not before, not never. Staged so one
+    user matches, one is unmatched-and-finalized, one is
+    unmatched-but-inside-the-horizon (must NOT emit)."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = 3_000_000.0
+
+    def row(event_id, minute, user, etype, value=1.0):
+        ts_nanos = (BASE_S + minute * 60) * 1_000_000_000
+        return (event_id, ts_nanos, user, etype, value, "{}")
+
+    _stage_file(
+        spark,
+        watch,
+        "a",
+        [
+            row(1, 0, 1, "view"),
+            row(2, 10, 1, "purchase", 5.0),
+            row(3, 0, 2, "view"),  # never matched, far behind horizon
+            row(4, 540, 3, "view"),  # never matched, INSIDE horizon
+            # watermark pushers on BOTH sides: min-of-sides = 10h - 1h
+            row(5, 600, 9, "view"),
+            row(6, 600, 9, "purchase", 0.5),
+        ],
+        now + 1,
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(watch)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select("user_id", "view_event_id", "purchase_event_id")
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_semantics_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["view_event_id"], r["purchase_event_id"])
+        for r in spark.table("lo_semantics_sink").collect()
+    }
+    assert (1, 1, 2) in got, got  # matched pair emits
+    assert (9, 5, 6) in got, got  # watermark pusher matches itself
+    assert (2, 3, None) in got, got  # finalized unmatched -> NULL row
+    # view at minute 540: 540m + 2h horizon not yet passed by the 9h
+    # watermark -> must still be buffered, no emission of any kind
+    assert not any(r[1] == 4 for r in got), got
+
+
+def test_stateful_timeout_drops_expired_state(spark, sf_dir):
+    """EventTimeTimeout state eviction: after the full replay + flush
+    batch, every user idle >= 30 min as of the final watermark must
+    have fired its timeout and DROPPED its state — the state store
+    holds exactly the still-open keys (one row each), not one row per
+    user ever seen."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.streaming import event_trigger as ET
+    from env_data_pipeline_spark.streaming.stateful import stateful_session_expiry
+
+    out = stateful_session_expiry(spark, sf_dir)
+    assert out.count() > 0
+
+    lp = ET.LAST_QUERY_PROGRESS["stateful_session_expiry"]
+    ops = lp["stateOperators"]
+    assert ops, "no state operator reported"
+    state_rows = sum(op["numRowsTotal"] for op in ops)
+    removed = sum(op["numRowsRemoved"] for op in ops)
+
+    ev = table(spark, sf_dir, "events")
+    # the engine's GroupState clock is milliseconds
+    wm = ev.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) - 3600 * 1000).alias("w")
+    ).collect()[0]["w"]
+    still_open = (
+        ev.groupBy("user_id")
+        .agg(F.floor(F.unix_micros(F.max("ts")) / 1000).alias("last_ms"))
+        .filter(F.col("last_ms") + 30 * 60 * 1000 >= wm)
+        .count()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert removed > 0, "no key ever timed out — eviction never ran"
+    assert state_rows == still_open, (
+        f"state holds {state_rows} keys; exactly {still_open} of "
+        f"{n_users} users are inside the 30-min idle horizon"
+    )
