@@ -48,6 +48,11 @@ def measure_shuffle(spark, action: Callable[[], object]) -> dict[str, int]:
         action()
     finally:
         sc.setJobGroup("", "")
+    # AppStatusStore is fed asynchronously from the listener bus — an
+    # immediate REST read can miss trailing stage metrics (or whole
+    # jobs) and silently undercount. Drain the bus before reading
+    # (ADVICE r6); 10 s is far beyond local-mode event latency.
+    sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
     stage_ids: set[int] = set()
     for job in _rest(spark, "jobs"):
         if job.get("jobGroup") == group:
