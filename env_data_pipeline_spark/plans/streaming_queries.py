@@ -251,7 +251,6 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     ),
     s AS (
       SELECT user_id, sid,
-             MAX(sid) OVER (PARTITION BY user_id) AS max_sid,
              MIN(epoch_us(ts)) AS session_start_us,
              MAX(epoch_us(ts)) + 1800000000 AS session_end_us,
              MAX(ts) AS last_ts,
@@ -267,23 +266,25 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     SELECT user_id, session_start_us, session_end_us,
            n_events, total_value
     FROM s
-    -- a session emits either when a LATER event closes it by gap
-    -- evidence (sid < the user's max sid) or when the event-time
-    -- TIMEOUT fires: the GroupState clock is milliseconds, so the
-    -- armed timestamp is the ms-floored last event + 30 min, fired
-    -- strictly before the watermark
-    WHERE sid < max_sid
-       OR date_trunc('millisecond', last_ts) + INTERVAL 30 MINUTE
+    -- watermark-gated finality, the built-in session-window rule: a
+    -- session emits exactly once, when the ms-floored last event
+    -- + 30 min falls strictly below the watermark (the GroupState
+    -- clock is milliseconds) — gap evidence alone does NOT emit,
+    -- because a late-but-admitted event could still merge into any
+    -- session whose horizon the watermark has not passed
+    WHERE date_trunc('millisecond', last_ts) + INTERVAL 30 MINUTE
           < (SELECT w FROM wm)
     """,
 )
 def streaming_stateful_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator with EVENT-TIME TIMEOUT eviction
-    (streaming/stateful.py::stateful_session_expiry): per-user idle
-    sessions close on in-stream gap evidence or on watermark timeout,
-    and timed-out keys DROP their state. Oracle = gaps-and-islands
-    sessionization emitting closed sessions plus timed-out trailing
-    sessions under the same ms-clock cutoff."""
+    (streaming/stateful.py::stateful_session_expiry): per-user
+    sessions emit when the watermark passes last_event + gap, and
+    finalized events DROP out of state. Oracle = gaps-and-islands
+    sessionization over globally sorted event time under the same
+    ms-clock watermark cutoff — the kernel re-splits its raw pending
+    suffix every batch, so the two agree for ANY batching/ordering of
+    admitted events (ADVICE r6)."""
     from env_data_pipeline_spark.streaming.stateful import stateful_session_expiry
 
     return stateful_session_expiry(spark, sf_dir)

@@ -65,31 +65,38 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("v_u", T.LongType()),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("v_u", T.ArrayType(T.LongType())),
     ]
 )
 
 
 def _make_session_expiry_fn():
     """Kernel for idle-session expiry with EVENT-TIME TIMEOUT state
-    eviction (VERDICT r5 item 6 — the streaming/stateful matrix
-    previously ran NoTimeout only). Nested closure: cloudpickle
+    eviction (VERDICT r5 item 6). Nested closure: cloudpickle
     serializes by value, executors never import this repo.
 
-    Per user key, per batch WITH data: merge the (possibly existing)
-    open session with the batch's events sorted by event time, split
-    on >= 30 min gaps (the same extends-iff-strictly-before-prev+gap
-    rule as Spark session windows), emit every session CLOSED by gap
-    evidence immediately, keep the trailing open session in state and
-    arm an event-time timeout at last_event + 30 min. When the
-    watermark passes that timestamp the key fires the TIMED-OUT path
-    (no data): the open session emits as final and the state is
-    REMOVED — idle keys cannot accrete state forever. The emission
-    set is batching-invariant: a session emits exactly once, either
-    on the gap that closes it or on its timeout.
+    Finality is WATERMARK-GATED — the same rule as Spark's built-in
+    session windows: a session emits exactly once, when the GroupState
+    ms clock proves no admissible event can still join it
+    (``floor(last_event_us/1000) + 30 min < watermark_ms``; any event
+    that could merge would carry event time below the watermark and
+    is dropped before the kernel sees it). State per key is the RAW
+    (ts, value) list of the not-yet-final suffix, re-split from
+    scratch every invocation — so an out-of-order-but-admitted event
+    that belongs BEFORE the open session's start, or that bridges two
+    still-open sessions, lands exactly where a global sort would put
+    it (ADVICE r6: the previous fold-into-open-session shortcut
+    diverged from the sorted-oracle under multi-batch replay).
+    Because session finality is monotone in event time, the final
+    set is always a PREFIX of the split and the kept suffix stays
+    contiguous. Each batch re-arms the event-time timeout at the
+    earliest pending finality instant (>= watermark by construction,
+    so arming never throws); the timed-out path re-splits, emits the
+    newly-final prefix, and REMOVES state when nothing is pending —
+    idle keys cannot accrete state forever. State is bounded by the
+    admission horizon (events within watermark-delay + gap of the
+    stream head), not by history.
 
     Money discipline: values fold as round-half-up 1e-4 integer units
     so the emitted total is summation-order-proof against the SQL
@@ -98,54 +105,61 @@ def _make_session_expiry_fn():
     def expire_sessions(key, pdfs, state):
         import pandas as pd
 
-        if state.hasTimedOut:
-            start_us, last_us, n, v_u = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start_us": [start_us],
-                    "session_end_us": [last_us + SESSION_GAP_US],
-                    "n_events": [n],
-                    "total_value": [v_u / 10000.0],
-                }
-            )
-            return
-        frames = [p[["ts", "value"]] for p in pdfs if len(p)]
-        if not frames:
-            return
-        import numpy as np
-
-        batch = pd.concat(frames)
-        # Arrow hands ts as datetime64[ns]; event time in micros
-        ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
-        # round-half-up 1e-4 units, the same floor(x*1e4 + 0.5) the
-        # oracle replays (values are non-negative in this stream)
-        v_us = np.floor(batch["value"].to_numpy() * 10000.0 + 0.5).astype("int64")
-        order = ts_us.argsort(kind="stable")
-        ts_us, v_us = ts_us[order], v_us[order]
-
+        pts: list[int] = []
+        pvs: list[int] = []
         if state.exists:
-            cur_start, cur_last, cur_n, cur_v = state.get
-        else:
-            cur_start, cur_last, cur_n, cur_v = int(ts_us[0]), int(ts_us[0]), 0, 0
-        closed = []
-        for t, v in zip(ts_us.tolist(), v_us.tolist()):
-            if cur_n and t - cur_last >= SESSION_GAP_US:
-                closed.append((cur_start, cur_last, cur_n, cur_v))
-                cur_start, cur_last, cur_n, cur_v = t, t, 0, 0
-            cur_n += 1
-            cur_v += v
-            # a late-but-admitted event can precede the open session's
-            # span (cross-batch); extend the span, never shrink it
-            if t < cur_start:
-                cur_start = t
-            if t > cur_last:
-                cur_last = t
-        state.update((cur_start, cur_last, cur_n, cur_v))
-        # timeout at ms resolution (the GroupState clock): floor of the
-        # last event's micros
-        state.setTimeoutTimestamp(cur_last // 1000 + SESSION_GAP_MS)
+            st_ts, st_v = state.get
+            pts.extend(int(t) for t in st_ts)
+            pvs.extend(int(v) for v in st_v)
+        if not state.hasTimedOut:
+            import numpy as np
+
+            frames = [p[["ts", "value"]] for p in pdfs if len(p)]
+            if frames:
+                batch = pd.concat(frames)
+                # Arrow hands ts as datetime64[ns]; event time in micros
+                pts.extend((batch["ts"].astype("int64") // 1000).tolist())
+                # round-half-up 1e-4 units, the same floor(x*1e4 + 0.5)
+                # the oracle replays (values are non-negative here)
+                pvs.extend(
+                    np.floor(batch["value"].to_numpy() * 10000.0 + 0.5)
+                    .astype("int64")
+                    .tolist()
+                )
+        if not pts:
+            if state.exists:
+                state.remove()
+            return
+        order = sorted(range(len(pts)), key=pts.__getitem__)
+        pts = [pts[i] for i in order]
+        pvs = [pvs[i] for i in order]
+        # re-split the full pending list on >= 30 min gaps (the same
+        # extends-iff-strictly-before-prev+gap rule as Spark session
+        # windows); sessions come out in time order
+        bounds = [0]
+        bounds += [
+            i for i in range(1, len(pts)) if pts[i] - pts[i - 1] >= SESSION_GAP_US
+        ]
+        bounds.append(len(pts))
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = []  # final sessions: (start_us, last_us, n, v_units)
+        keep_from = len(pts)  # start index of the first kept event
+        pending_fire_ms = None  # earliest pending finality instant
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            last_us = pts[e - 1]
+            fire_ms = last_us // 1000 + SESSION_GAP_MS
+            if fire_ms < wm_ms:
+                closed.append((pts[s], last_us, e - s, sum(pvs[s:e])))
+            else:
+                keep_from = s
+                pending_fire_ms = fire_ms
+                break
+        if keep_from < len(pts):
+            state.update((pts[keep_from:], pvs[keep_from:]))
+            # >= wm_ms by the finality test above, so this never throws
+            state.setTimeoutTimestamp(pending_fire_ms)
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {
@@ -163,10 +177,11 @@ def _make_session_expiry_fn():
 def stateful_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the event stream through the timeout-evicting session
     kernel. availableNow's trailing no-data batch is where the
-    event-time timeouts fire: every user idle >= 30 min as of the
-    final watermark emits its last session and drops its state; only
-    sessions still inside the idle horizon stay unemitted (state
-    bound: one open session per active key)."""
+    event-time timeouts fire: every session whose ms-floored last
+    event + 30 min lies strictly below the final watermark emits
+    (exactly once) and its events leave the state; sessions still
+    inside the admission horizon stay unemitted, one raw-event-suffix
+    state row per active key."""
     stream = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")

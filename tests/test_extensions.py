@@ -51,8 +51,11 @@ def test_simhash_col_matches_python_golden(spark):
     for i, t in enumerate(texts):
         assert got[i] == D._simhash64(t), (i, t)
         signs.add(got[i] < 0)
-    # at least exercise both signed halves across the fixture set
-    assert True in signs or all(D._simhash64(t) >= 0 for t in texts)
+    # both signed halves must actually be exercised (ADVICE r6: the old
+    # disjunct was a tautology). The fixtures are chosen so the spec
+    # yields both: "a b c d e" is negative (bit 63 set — the
+    # Long.MIN_VALUE literal path), "the quick brown fox" positive.
+    assert signs == {True, False}
 
 
 def test_simhash_pairs_find_planted_dups(spark, sf_dir):

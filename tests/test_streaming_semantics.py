@@ -492,3 +492,150 @@ def test_stateful_timeout_drops_expired_state(spark, sf_dir):
         f"state holds {state_rows} keys; exactly {still_open} of "
         f"{n_users} users are inside the 30-min idle horizon"
     )
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState, faithful to the pieces
+    the session kernel uses: exists/get/update/remove, hasTimedOut,
+    getCurrentWatermarkMs, and setTimeoutTimestamp's cannot-be-older-
+    than-watermark contract."""
+
+    def __init__(self):
+        self._val = None
+        self.wm_ms = 0
+        self.timed_out = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        assert self._val is not None
+        return self._val
+
+    @property
+    def hasTimedOut(self):
+        return self.timed_out
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+        self.timeout_ms = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms >= self.wm_ms, "armed a timeout below the watermark"
+        self.timeout_ms = ms
+
+
+def _replay_session_kernel(batches):
+    """Drive the session-expiry kernel over (events, wm_ms) batches the
+    way the engine would for one key: a batch with data invokes the
+    data path; a batch without data fires the timed-out path iff the
+    armed timer lies strictly below the new watermark. Returns the
+    emitted session set and the final state."""
+    import pandas as pd
+
+    from env_data_pipeline_spark.streaming.stateful import _make_session_expiry_fn
+
+    fn = _make_session_expiry_fn()
+    state = _FakeGroupState()
+    emitted = []
+    for events, wm_ms in batches:
+        assert wm_ms >= state.wm_ms, "watermark must be monotone"
+        state.wm_ms = wm_ms
+        if events:
+            for t_us, _v in events:
+                assert t_us // 1000 >= wm_ms, "batch carries a sub-watermark event"
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([t for t, _ in events], unit="us"),
+                    "value": [v for _, v in events],
+                }
+            )
+            state.timed_out = False
+            out = list(fn((7,), iter([pdf]), state))
+        elif state.timeout_ms is not None and state.timeout_ms < wm_ms:
+            state.timed_out = True
+            out = list(fn((7,), iter([]), state))
+            state.timed_out = False
+        else:
+            out = []
+        for frame in out:
+            emitted.extend(
+                (
+                    int(r.session_start_us),
+                    int(r.session_end_us),
+                    int(r.n_events),
+                    float(r.total_value),
+                )
+                for r in frame.itertuples()
+            )
+    return emitted, state
+
+
+def test_session_kernel_batching_and_order_invariant():
+    """ADVICE r6: the kernel must sessionize identically to a GLOBAL
+    sort of the admitted events no matter how they are batched or
+    (admissibly) reordered — including an out-of-order event that
+    lands BEFORE the open session's start, the exact case the old
+    fold-into-open-session shortcut got wrong."""
+    MIN_US = 60_000_000
+    GAP_US = 30 * MIN_US
+    ev = {  # minute -> (ts_us, value)
+        m: (m * MIN_US, v)
+        for m, v in [(0, 1.5), (10, 2.25), (50, 0.75), (55, 4.0), (120, 3.5), (125, 0.5)]
+    }
+    # global-sort sessions: A=[0,10], B=[50,55], C=[120,125]
+    expect_a = (0, 10 * MIN_US + GAP_US, 2, 3.75)
+    expect_b = (50 * MIN_US, 55 * MIN_US + GAP_US, 2, 4.75)
+    expect_c = (120 * MIN_US, 125 * MIN_US + GAP_US, 2, 4.0)
+    wm_final = 100 * 60_000  # ms: finalizes A (fire 40min) and B (85min), not C (155min)
+
+    single = [([ev[m] for m in (0, 10, 50, 55, 120, 125)], 0), ([], wm_final)]
+    in_order = [
+        ([ev[0], ev[10]], 0),
+        ([ev[50], ev[55]], 5 * 60_000),
+        ([ev[120], ev[125]], 20 * 60_000),
+        ([], wm_final),
+    ]
+    out_of_order = [  # event 0 arrives AFTER the session it precedes opened
+        ([ev[55]], 0),
+        ([ev[0], ev[120]], 0),
+        ([ev[50], ev[10], ev[125]], 5 * 60_000),
+        ([], wm_final),
+    ]
+    results = []
+    for scenario in (single, in_order, out_of_order):
+        emitted, state = _replay_session_kernel(scenario)
+        assert sorted(emitted) == [expect_a, expect_b], emitted
+        assert state.exists, "still-open session C must stay in state"
+        results.append(sorted(emitted))
+    assert results[0] == results[1] == results[2]
+
+    # pushing the watermark past C's horizon emits it once and DROPS
+    # the state (timeout eviction)
+    emitted, state = _replay_session_kernel(single + [([], 156 * 60_000)])
+    assert sorted(emitted) == [expect_a, expect_b, expect_c], emitted
+    assert not state.exists and state.timeout_ms is None
+
+
+def test_session_kernel_never_double_emits():
+    """A session crosses finality exactly once: replaying extra no-data
+    flush batches after the emitting one yields nothing new."""
+    MIN_US = 60_000_000
+    batches = [
+        ([(0, 1.0), (5 * MIN_US, 2.0)], 0),
+        ([], 40 * 60_000),
+        ([], 50 * 60_000),
+        ([], 60 * 60_000),
+    ]
+    emitted, state = _replay_session_kernel(batches)
+    assert len(emitted) == 1 and emitted[0][2] == 2, emitted
+    assert not state.exists
