@@ -122,6 +122,13 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "similarity_topk", "similarity_topk_ivf_trained",
         "similarity_topk_ivfpq", "streaming_sliding_window_counts",
         "streaming_stream_stream_join",
+        # --- stamped by the round-6 driver window (CORRECTNESS_r06) ---
+        "streaming_stream_stream_left_join",
+        # streaming_stateful_session_expiry deliberately NOT stamped:
+        # its r6 stamp attested the gap-evidence-OR-timeout emission
+        # rule; r7 redefined finality to the watermark-gated
+        # session-window rule (ADVICE r6 batching-invariance fix), so
+        # the r7 window must re-sample the redefined query
     }
 )
 
@@ -140,6 +147,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.raster  # noqa: F401
     import env_data_pipeline_spark.plans.envpipe  # noqa: F401
     import env_data_pipeline_spark.plans.relational  # noqa: F401
+    import env_data_pipeline_spark.plans.relational_ext  # noqa: F401
 
     ordered = [n for n in QUERIES if n not in DRIVER_STAMPED] + [
         n for n in QUERIES if n in DRIVER_STAMPED

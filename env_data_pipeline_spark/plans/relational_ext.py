@@ -1,0 +1,753 @@
+"""Extended relational surface: the classic decision-support shapes
+(TPC-H-style analogs adapted to the TESTDATA schema — it carries no
+partsupp/shipmode/commitdate columns, so each analog keeps the
+original's PLAN shape and swaps in available predicates).
+
+Why these exist: SURVEY.md §2's reference inventory is fully covered
+by plans/envpipe|raster|collect; this module widens the engine the
+way a user coming from any warehouse expects — top-k over star joins,
+outer-join distributions, decorrelated scalar subqueries, disjunctive
+pushdown, EXISTS/NOT-EXISTS, CUBE, window navigation — each with a
+DuckDB oracle and a scale note.
+
+Float discipline (memory: float-grid parity): any money sum compared
+cross-engine folds as round-half-up 1e-4 integer units
+(``floor(x*10000 + 0.5)``) before SUM on BOTH engines; averages and
+ratios ROUND(...,4) at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+
+# round-half-up 1e-4 fixed-point units for a money expression
+def _units(col):
+    return F.floor(col * 10000 + F.lit(0.5)).cast("bigint")
+
+
+_REV_UNITS_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: unshipped-revenue top-10 for one market segment.
+
+    Scale: the segment filter (1/5 of customers) and both date
+    predicates push to the scans; customer broadcasts into orders, the
+    orders⋈lineitem edge co-partitions on orderkey (sort-merge under
+    AQE at real scale), and the global top-10 is a TakeOrderedAndProject
+    — partial top-k per partition, never a full sort.
+    Deterministic: ties broken by (orderdate, orderkey).
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev) / 10000.0, 4).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "returned_items_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS name,
+           ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS revenue,
+           ROUND(c.c_acctbal, 4) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: customers who returned the most revenue in a
+    6-month window.
+
+    Scale: date window prunes orders at the scan; returnflag pushes to
+    the lineitem scan; customer/nation broadcast, so the only big edge
+    is lineitem⋈orders on orderkey; top-20 via TakeOrderedAndProject.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev) / 10000.0, 4).alias("revenue"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: distribution of per-customer order counts,
+    INCLUDING zero-order customers (the left-outer join is the point —
+    an inner join silently drops the c_count=0 bucket).
+
+    Scale: the non-equi part of the predicate lives in the JOIN
+    condition, not a post-filter (a post-filter would turn the outer
+    join inner); count per custkey is a shuffle on the join key the
+    join already produced, and the second aggregation lands on a
+    handful of c_count groups.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_REV_UNITS_SQL} ELSE 0 END)
+                   / SUM({_REV_UNITS_SQL}), 4) AS promo_pct,
+           ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN {_REV_UNITS_SQL} ELSE 0 END) / 10000.0, 4)
+             AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: share of one month's revenue from PROMO parts.
+
+    Scale: the one-month predicate prunes lineitem at the scan; part is
+    a broadcast dim (only p_partkey/p_type read); conditional agg — one
+    pass, no second join. The ratio is computed on exact integer
+    units so both engines divide identical numerators/denominators.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.round(F.sum(promo) / 10000.0, 4).alias("promo_revenue"),
+        )
+    )
+
+
+BENCH_EXTRA.update({"shipping_priority_topk", "customer_order_distribution"})
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 4) AS totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 150, with
+    their customer — the IN-(grouped-HAVING-subquery) shape.
+
+    Scale: the HAVING side is a map-side-combinable agg on the SAME
+    key (orderkey) the subsequent join uses, so at real scale the agg
+    output is already partitioned for the join (one exchange reused);
+    customer broadcasts; top-100 is TakeOrderedAndProject. Unlike
+    textbook Q18 there is no second re-aggregation — the per-order sum
+    is carried through the join instead of recomputed.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: OR-of-conjunctions across both join sides.
+
+    Scale: Catalyst factors the single-side conjuncts out of the OR —
+    the part scan keeps only the three brands, the lineitem scan keeps
+    only quantity 1..30 (visible as PushedFilters on both scans) —
+    then the residual disjunction filters the broadcast join output.
+    A naive engine evaluates the OR post-join over the full corpus.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sole_failed_supplier_lines",
+    oracle="""
+    WITH stats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_linestatus = 'F'
+                                 THEN l_suppkey END) AS n_fail
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    fail_lines AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT s.s_name AS supplier, COUNT(*) AS numwait
+    FROM fail_lines f
+    JOIN stats    ON stats.l_orderkey = f.l_orderkey
+    JOIN orders o ON o.o_orderkey = f.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE stats.n_supp > 1 AND stats.n_fail = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier
+    LIMIT 20
+    """,
+)
+def sole_failed_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (EXISTS + NOT-EXISTS over a self-join): for
+    finalized orders, the supplier whose line is the ONLY failed line
+    in a multi-supplier order. The textbook formulation is
+    EXISTS(another supplier's line) AND NOT EXISTS(another supplier's
+    failed line); both decorrelate into one per-order aggregate
+    (n_supp > 1, distinct failing suppliers = 1) — the form used here
+    on BOTH engines, so the oracle pins the decorrelation itself.
+
+    Scale: ONE pass over lineitem per side, both keyed on orderkey
+    (the stats agg and the failed-line distinct reuse the same hash
+    partitioning); orders filter pushes to its scan; supplier (tiny)
+    broadcasts; final agg lands on <=|supplier| groups.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_linestatus") == "F", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    fail_lines = (
+        li.filter(F.col("l_linestatus") == "F")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        fail_lines.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+        .limit(20)
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(floor(c.c_acctbal * 10000 + 0.5) AS BIGINT))
+                 / 10000.0, 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN pos
+    WHERE CAST(floor(c.c_acctbal * 10000 + 0.5) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: customers above the positive-balance average
+    who never placed an order, counted per nation — global scalar
+    subquery + ANTI join.
+
+    Scale: the scalar is a one-row broadcast; the above-average test
+    CROSS-MULTIPLIES in exact 1e-4 integer units (bal_u * n > sum_u) —
+    no float division, so a balance one ulp from the mean can never
+    split the engines (float-grid discipline, here with zero grid).
+    The anti join hashes on custkey against orders' custkey projection
+    (at 100 TB a Bloom-filter pre-prune applies; here the broadcast
+    threshold keeps orders' distinct custkeys in-memory at test SF).
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    bal_u = F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("bigint")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal_u).alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(bal_u * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(bal_u) / 10000.0, 4).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "nation_pair_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between a nation pair by year.
+    The same dimension table (nation) joins the fact twice under two
+    roles — supplier side and customer side.
+
+    Scale: both nation copies and supplier broadcast; the pair
+    disjunction is applied AFTER both role joins (it spans both
+    sides); lineitem⋈orders stays the only large edge. The two-year
+    shipdate window prunes the fact scan.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(rev) / 10000.0, 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "market_share_by_year",
+    oracle=f"""
+    WITH sales AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             {_REV_UNITS_SQL} AS rev_u,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2'
+                          THEN rev_u ELSE 0 END) * 1.0 / SUM(rev_u), 4)
+             AS mkt_share,
+           ROUND(SUM(rev_u) / 10000.0, 4) AS total_revenue
+    FROM sales
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one supplier nation's share of a region's
+    revenue, per order year — conditional aggregation over a 6-way
+    star join (nation again under two roles).
+
+    Scale: every dimension broadcasts (the region filter prunes the
+    customer side to 1/5 before the fact join under Catalyst's join
+    reordering); the share divides exact integer units so both engines
+    divide identical numbers.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    target = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(F.sum(target) * 1.0 / F.sum(rev), 4).alias("mkt_share"),
+            F.round(F.sum(rev) / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY nation, ship_year
+    ORDER BY nation, ship_year DESC
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit on one product family by supplier
+    nation and ship year (the schema carries no partsupp, so profit is
+    discounted revenue — the join/agg shape is the point).
+
+    Scale: the LIKE '%green%' filter cannot push below the scan as a
+    range, but it DOES prune the broadcast part build side before the
+    join; supplier/nation broadcast; one fact pass, agg on
+    25 nations x 8 years.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.round(F.sum(rev) / 10000.0, 4).alias("profit"))
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
+@query(
+    "orders_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 / 10000.0, 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with GROUPING flags — all four
+    aggregation levels (detail, per-status, per-priority, grand total)
+    in one pass. Complements revenue_rollup_region_nation (ROLLUP is
+    the hierarchy subset; CUBE is the full lattice).
+
+    Scale: Spark plans CUBE as a single Expand + hash agg — one fact
+    scan for all 2^k level combinations; the GROUPING flags
+    disambiguate a real NULL key from a rolled-up one.
+    """
+    o = table(spark, sf_dir, "orders")
+    price_u = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(price_u) / 10000.0, 4).alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+@query(
+    "customer_order_navigation",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS orderkey,
+           ROUND(o_totalprice, 4) AS totalprice,
+           ROUND(LAG(o_totalprice) OVER w, 4) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 4) AS next_price,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY custkey, rn
+    """,
+)
+def customer_order_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-navigation family in one pass: LAG/LEAD (NULL at the
+    partition edges), NTILE quartiles, PERCENT_RANK, ROW_NUMBER over
+    each customer's order timeline.
+
+    Scale: one shuffle on custkey serves ALL window functions (same
+    partition + order spec); the ordering key (orderdate, orderkey) is
+    unique, so every navigation value is deterministic — a
+    date-only ordering would make LAG/NTILE nondeterministic under
+    ties and could never hash-match a second engine.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .orderBy("custkey", "rn")
+    )
+
+
+@query(
+    "priority_distinct_profile",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 / 10000.0, 4) AS total_price
+    FROM orders
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def priority_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates beside plain ones in a single
+    GROUP BY — the shape Catalyst rewrites with Expand (one input row
+    fans out per distinct group, each partially aggregable).
+
+    Scale: the Expand rewrite keeps everything map-side combinable —
+    no per-group row buffering, no second pass over the fact; the
+    alternative (self-join per distinct column) reads the table k
+    times. Exact counts here; the approx_count_distinct variant trades
+    this for a mergeable HLL sketch when exactness isn't required.
+    """
+    o = table(spark, sf_dir, "orders")
+    price_u = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias(
+                "n_months"
+            ),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(price_u) / 10000.0, 4).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

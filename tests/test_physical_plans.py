@@ -67,6 +67,7 @@ NESTED_LOOP_OK = {
     "collect_aggregated",
     "collect_json_sink",
     "collect_event_id_coordination",
+    "idle_rich_customers",  # 1-row positive-balance scalar broadcast into customer
 }
 
 HEADLINE = [
@@ -425,3 +426,64 @@ def test_ivf_trained_serving_plan_shape(spark, sf_dir):
     # the corpus assignment; WindowGroupLimit entries don't count
     true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
     assert len(true_windows) == 2, true_windows
+
+
+def test_relational_ext_topk_plans(spark, sf_dir):
+    """The TPC-H-analog top-k queries must plan a per-partition
+    partial top-k (TakeOrderedAndProject), never a global sort of the
+    aggregate output."""
+    for name in (
+        "shipping_priority_topk",
+        "returned_items_top_customers",
+        "large_volume_orders",
+        "sole_failed_supplier_lines",
+    ):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_disjunctive_predicates_push_both_scans(spark, sf_dir):
+    """Q19-analog: Catalyst must factor the single-side conjuncts out
+    of the OR — the lineitem scan keeps the quantity envelope, the
+    part scan keeps the brand set — instead of evaluating the whole
+    disjunction post-join."""
+    plan = formatted_plan(spark, "disjunctive_brand_revenue", sf_dir)
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed, pushed
+
+
+def test_customer_order_distribution_keeps_outer_join(spark, sf_dir):
+    """Q13-analog: the priority predicate must stay in the join
+    condition; a post-filter would let Catalyst degrade the outer join
+    to inner and silently drop the zero-order customers."""
+    plan = formatted_plan(spark, "customer_order_distribution", sf_dir)
+    assert "LeftOuter" in plan, plan[:2000]
+
+
+def test_cube_plans_single_expand(spark, sf_dir):
+    """CUBE must evaluate all 2^k grouping sets from ONE fact pass via
+    Expand, not one scan per level."""
+    plan = formatted_plan(spark, "orders_cube_status_priority", sf_dir)
+    assert plan.count("Expand") >= 1, plan[:1500]
+    assert len(read_schemas(plan)) == 1, "CUBE must scan orders exactly once"
+
+
+def test_window_navigation_single_exchange(spark, sf_dir):
+    """All five navigation functions share one window spec — the plan
+    must carry exactly ONE hash-partitioning exchange on custkey (plus
+    the output range sort), not one per function."""
+    plan = formatted_plan(spark, "customer_order_navigation", sf_dir)
+    assert len(re.findall(r"hashpartitioning\(o_custkey", plan)) <= 2, plan[:3000]
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 1, true_windows
+
+
+def test_multi_distinct_uses_expand_not_rejoin(spark, sf_dir):
+    """Two DISTINCT aggregates + plain aggregates must come from one
+    scan via Expand — a per-distinct self-join would read orders
+    multiple times."""
+    plan = formatted_plan(spark, "priority_distinct_profile", sf_dir)
+    assert "Expand" in plan, plan[:1500]
+    assert len(read_schemas(plan)) == 1, "multi-distinct must scan orders once"
