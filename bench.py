@@ -220,6 +220,57 @@ def main() -> None:
             and (lo_shuffles[n]["read_bytes"] + lo_shuffles[n]["write_bytes"]) > 0
         }
 
+    # Scale probe (VERDICT r5 item 8): a builder-generated tier one
+    # decade beyond sf0.1 gives the fastest-growing families a THIRD
+    # scaling point, turning the single hi/lo ratio into a log-log
+    # slope fit over ~100x of data. Skippable via
+    # SPARK_GRAFT_SCALE_PROBE=0 (e.g. quick local iteration).
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+        and "tiers" in result
+    ):
+        import math
+
+        from env_data_pipeline_spark.benchscale import ensure_scale_tier
+        from env_data_pipeline_spark.catalog import table
+
+        probe_dir = ensure_scale_tier(spark, sf_dir)
+        probe: dict[str, dict] = {}
+        for name in ("dedup_minhash_lsh", "similarity_topk_ivfpq"):
+            if name not in names or name not in result["scaling"]:
+                continue
+            src = "embeddings" if name.startswith("similarity") else "documents"
+            rows = [
+                table(spark, d, src).count()
+                for d in (lo_dir, sf_dir, probe_dir)
+            ]
+            registry.QUERIES[name](spark, probe_dir).count()  # warm-up
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, probe_dir).count()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            secs = [
+                result["tiers"][lo_sf][name],
+                result["tiers"][sf][name],
+                round(runs[1], 4),
+            ]
+            # least-squares slope of log(t) vs log(rows): 1.0 = linear
+            # in data, <1 sublinear; an all-pairs stage reads ~2
+            lx = [math.log(r) for r in rows]
+            ly = [math.log(max(s, 1e-4)) for s in secs]
+            mx, my = sum(lx) / 3, sum(ly) / 3
+            slope = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / sum(
+                (x - mx) ** 2 for x in lx
+            )
+            probe[name] = {
+                "rows": rows,
+                "sec": secs,
+                "loglog_slope": round(slope, 3),
+            }
+        result["scale_probe"] = probe
+
     # The driver keeps only the LAST ~2000 characters of stdout and
     # json-parses the final line — every round where the single rich
     # JSON line outgrew that window (r2/r4/r5/r6) was recorded with

@@ -751,3 +751,161 @@ def priority_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM v), 4) AS click_rate,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM c), 4) AS purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase with a 24 h step
+    window: each step counts users whose step event follows THEIR
+    previous step's first completion (the product-analytics staple a
+    plain conditional count gets wrong — a click before the first
+    view must not count).
+
+    Scale: three conditional per-user MIN aggregates, each shuffling
+    on user_id only; the step joins are user-key equi-joins against
+    aggregates (at most one row per user), so the heavy events table
+    is scanned per step but never self-joined row-to-row. Ratios
+    divide exact integer counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") * 1.0 / F.col("n_view"), 4).alias("click_rate"),
+        F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@query(
+    "events_weekly_cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM fw GROUP BY cohort_week
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS act_week
+      FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           s.cohort_size,
+           ROUND(COUNT(DISTINCT a.user_id) * 1.0 / s.cohort_size, 4)
+             AS retention
+    FROM fw f
+    JOIN act a   ON a.user_id = f.user_id
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, retention = share of the cohort active in week +k (Monday
+    weeks on both engines).
+
+    Scale: first-seen and activity both aggregate on user_id (one
+    co-partitioned shuffle each); the cohort-size side is a
+    broadcast (#weeks rows); the triangle is weeks x offsets — tiny
+    output regardless of input size.
+    """
+    ev = table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = fw.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        fw.join(act, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int"),
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

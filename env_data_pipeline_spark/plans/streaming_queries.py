@@ -233,6 +233,54 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_stream_stream_full_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least(
+               (SELECT date_trunc('millisecond', max(ts)) FROM v),
+               (SELECT date_trunc('millisecond', max(ts)) FROM p)
+             ) - INTERVAL 1 HOUR AS w
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM v
+    FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    -- matched pairs emit on arrival; an unmatched VIEW finalizes when
+    -- the watermark passes its 2 h match horizon; an unmatched
+    -- PURCHASE finalizes when the watermark passes its own event time
+    -- (any later view lies outside the interval by construction)
+    WHERE (v.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL
+           AND v.ts + INTERVAL 2 HOUR < (SELECT w FROM wm))
+       OR (v.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+    """,
+)
+def streaming_stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-OUTER stream-stream interval join
+    (streaming/event_trigger.py::stream_stream_attribution_full):
+    both unmatched sides surface under watermark finalization —
+    views at view_ts + 2h, purchases at purchase_ts. Oracle = batch
+    full join restricted to matched rows plus each side's finalized
+    unmatched rows under the identical min-of-sides ms-truncated
+    watermark."""
+    return ET.stream_stream_attribution_full(spark, sf_dir)
+
+
+@query(
     "streaming_stateful_session_expiry",
     oracle="""
     WITH o AS (

@@ -372,3 +372,53 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(spark, agg, "session_window_stats_sink", "append")
+
+
+def stream_stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — both unmatched sides
+    surface: a view that never converts emits (view, NULL purchase)
+    when the global watermark passes view_ts + 2 h (its last possible
+    match), and a purchase with no preceding view emits (NULL view,
+    purchase) when the watermark passes purchase_ts (any later-arriving
+    view would carry event time >= the watermark > purchase_ts, outside
+    the interval). Matched pairs emit on arrival like the inner join.
+
+    At scale: the same co-partitioned two-sided state as the inner
+    join — the outer variant adds a matched bit per buffered row on
+    BOTH sides now; state stays bounded by the 2 h interval + 1 h
+    lateness horizon per side."""
+    views = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+    return _drain(spark, joined, "stream_stream_attribution_full_sink", "append")

@@ -77,3 +77,42 @@ def test_money_sums_oracle_parity_at_high_tier(spark, name):
     from tests.oracle import compare
 
     compare(spark, name, registry.QUERIES[name], registry.ORACLES[name], HI)
+
+
+def test_scale_probe_tier_is_honest(spark):
+    """The builder-generated probe tier (bench.py's third scaling
+    point) must scale the WORK linearly, not the answer shape
+    quadratically: replica 0 is byte-identical to the base tier, and
+    the MinHash pair count grows exactly with the replica factor —
+    word-tagging keeps every replica's planted-duplicate topology
+    identical while sharing no shingles across replicas (a naive copy
+    would emit O(replicas^2) pairs and time an artifact)."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark import benchscale
+
+    base = LO  # sf0.01: fast to replicate in CI; bench derives from sf0.1
+    out = benchscale.ensure_scale_tier(spark, base)
+
+    docs_base = spark.read.parquet(f"{base}/documents.parquet")
+    docs_probe = spark.read.parquet(f"{out}/documents.parquet")
+    assert docs_probe.count() == benchscale.DOC_MULT * docs_base.count()
+    emb_base = spark.read.parquet(f"{base}/embeddings.parquet")
+    emb_probe = spark.read.parquet(f"{out}/embeddings.parquet")
+    assert emb_probe.count() == benchscale.EMB_MULT * emb_base.count()
+
+    # replica 0 strictly contains the original tier
+    rep0 = docs_probe.filter(F.col("doc_id") < benchscale._DOC_STRIDE)
+    assert rep0.count() == docs_base.count()
+    diff = rep0.join(docs_base, "doc_id").filter(
+        rep0["text"] != docs_base["text"]
+    )
+    assert diff.count() == 0, "replica 0 must be the untouched original"
+
+    base_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, base).count()
+    probe_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, out).count()
+    assert probe_pairs == benchscale.DOC_MULT * base_pairs, (
+        f"pair growth {probe_pairs}/{base_pairs} is not linear in the "
+        f"replica factor {benchscale.DOC_MULT} — cross-replica dup "
+        "leakage (or lost planted structure)"
+    )

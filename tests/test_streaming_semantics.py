@@ -639,3 +639,88 @@ def test_session_kernel_never_double_emits():
     emitted, state = _replay_session_kernel(batches)
     assert len(emitted) == 1 and emitted[0][2] == 2, emitted
     assert not state.exists
+
+
+def test_full_outer_join_emits_both_null_sides(spark, tmp_path):
+    """FULL-OUTER stream-stream join: both unmatched sides must emit
+    their NULL row under the correct finalization rule — an unmatched
+    view at view_ts + 2 h < watermark, an unmatched purchase at
+    purchase_ts < watermark — and rows still inside their horizon must
+    stay buffered."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    now = 3_000_000.0
+
+    def row(event_id, minute, user, etype, value=1.0):
+        ts_nanos = (BASE_S + minute * 60) * 1_000_000_000
+        return (event_id, ts_nanos, user, etype, value, "{}")
+
+    _stage_file(
+        spark,
+        watch,
+        "a",
+        [
+            row(1, 0, 1, "view"),
+            row(2, 10, 1, "purchase", 5.0),  # matched pair
+            row(3, 0, 2, "view"),  # unmatched view, behind horizon
+            row(4, 5, 5, "purchase", 2.0),  # unmatched purchase, behind horizon
+            # unmatched purchase INSIDE horizon: a purchase finalizes
+            # when wm passes its OWN ts (here wm = 540 min), so it must
+            # sit at ts >= wm to stay buffered
+            row(7, 590, 6, "purchase", 3.0),
+            row(8, 540, 3, "view"),  # unmatched view INSIDE horizon
+            # watermark pushers on BOTH sides: min-of-sides wm = 10h - 1h
+            row(5, 600, 9, "view"),
+            row(6, 600, 9, "purchase", 0.5),
+        ],
+        now + 1,
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(watch)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("uid"),
+        "view_event_id",
+        "purchase_event_id",
+    )
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fo_semantics_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], r["view_event_id"], r["purchase_event_id"])
+        for r in spark.table("fo_semantics_sink").collect()
+    }
+    assert (1, 1, 2) in got, got  # matched pair emits
+    assert (9, 5, 6) in got, got  # watermark pusher matches itself
+    assert (2, 3, None) in got, got  # finalized unmatched view
+    assert (5, None, 4) in got, got  # finalized unmatched purchase
+    # both inside-horizon rows must still be buffered, no emission
+    assert not any(r[1] == 8 for r in got), got
+    assert not any(r[2] == 7 for r in got), got
