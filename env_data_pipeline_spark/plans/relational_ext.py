@@ -909,3 +909,289 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "revenue_grouping_sets",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           c.c_mktsegment AS segment,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_segment,
+           ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    ORDER BY g_region, g_segment, region_name, segment
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice form ROLLUP/CUBE
+    can't express: per-region totals, per-segment totals, and the
+    grand total, WITHOUT the (region, segment) detail level.
+
+    Scale: one Expand over the joined fact feeds all three sets in a
+    single aggregation pass; the GROUPING flags disambiguate rolled-up
+    NULLs. Dims broadcast as in revenue_by_region.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupingSets(
+            [[F.col("r_name")], [F.col("c_mktsegment")], []],
+            F.col("r_name"),
+            F.col("c_mktsegment"),
+        )
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.round(F.sum(rev) / 10000.0, 4).alias("revenue"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("segment"),
+            "g_region",
+            "g_segment",
+            "revenue",
+        )
+        .orderBy("g_region", "g_segment", "region_name", "segment")
+    )
+
+
+@query(
+    "events_ohlc_6h",
+    oracle="""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket,
+           ROUND(arg_min(value, ts), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ts), 4) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per event type and 6 h bucket, the opening
+    (earliest-ts) and closing (latest-ts) values beside the high/low —
+    the time-series resample shape, expressed with min_by/max_by
+    ordered-selection aggregates instead of a window + row_number pass.
+
+    Scale: a single partial/final hash aggregation; min_by/max_by
+    carry one (value, ts) candidate per partition, so there is no
+    per-bucket row buffering and no second window scan. Deterministic
+    because event timestamps are unique (pinned by the testdata
+    contract suite).
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (6 * 3600)).cast("bigint") * (6 * 3600)
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+             SUM({_REV_UNITS_SQL}) AS rev_u
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY month
+    )
+    SELECT month,
+           ROUND(rev_u / 10000.0, 4) AS revenue,
+           ROUND((rev_u - LAG(rev_u) OVER (ORDER BY month)) * 1.0
+                 / LAG(rev_u) OVER (ORDER BY month), 4) AS mom_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-intelligence: monthly revenue with month-over-month growth
+    — a window function over an AGGREGATED series (LAG on the month
+    grain, not the fact grain).
+
+    Scale: the fact aggregates down to <=|months| rows before the
+    window, so the window's total sort is trivially small no matter
+    the input size; growth divides exact integer unit sums.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(rev).alias("rev_u"))
+    )
+    w = Window.orderBy("month")
+    return (
+        m.select(
+            "month",
+            F.round(F.col("rev_u") / 10000.0, 4).alias("revenue"),
+            F.round(
+                (F.col("rev_u") - F.lag("rev_u").over(w))
+                * 1.0
+                / F.lag("rev_u").over(w),
+                4,
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "lineitem_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY returnflag
+    ORDER BY returnflag
+    """,
+)
+def lineitem_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, sample covariance,
+    stddev, and least-squares regression slope/intercept per group —
+    all mergeable moment sketches (sum, sum^2, sum xy), so they
+    partial-aggregate map-side like any sum.
+
+    Scale: one scan, one shuffle of 3 groups x constant-size moment
+    state; no per-group row buffering. ROUND(4) on both engines
+    absorbs summation-order ulp noise in the second moments.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("price_per_qty"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("price_intercept"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 4) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 4) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: null count, distinct count, min/max
+    per column, emitted long-form (column_name, metrics) — the
+    data-quality sweep every ingestion pipeline runs first.
+
+    Scale: the ENGINE computes all columns' metrics in ONE scan (a
+    single wide aggregate, then an unpivot of the one-row result); the
+    oracle's UNION ALL form re-reads per column, which is fine for a
+    referee but would be k full scans at 100 TB. Numeric min/max
+    stringify through ROUND(4) so the text forms agree.
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        (F.count("*") - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.min("o_custkey").cast("string").alias("custkey_min"),
+        F.max("o_custkey").cast("string").alias("custkey_max"),
+        (F.count("*") - F.count("o_orderstatus")).alias("status_nulls"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        (F.count("*") - F.count("o_orderpriority")).alias("prio_nulls"),
+        F.countDistinct("o_orderpriority").alias("prio_distinct"),
+        F.min("o_orderpriority").alias("prio_min"),
+        F.max("o_orderpriority").alias("prio_max"),
+        (F.count("*") - F.count("o_totalprice")).alias("price_nulls"),
+        F.countDistinct("o_totalprice").alias("price_distinct"),
+        F.round(F.min("o_totalprice"), 4).cast("string").alias("price_min"),
+        F.round(F.max("o_totalprice"), 4).cast("string").alias("price_max"),
+    )
+    return (
+        wide.select(
+            F.expr(
+                """stack(4,
+                   'o_custkey', custkey_nulls, custkey_distinct,
+                       custkey_min, custkey_max,
+                   'o_orderstatus', status_nulls, status_distinct,
+                       status_min, status_max,
+                   'o_orderpriority', prio_nulls, prio_distinct,
+                       prio_min, prio_max,
+                   'o_totalprice', price_nulls, price_distinct,
+                       price_min, price_max
+                ) AS (column_name, n_nulls, n_distinct, min_value, max_value)"""
+            )
+        )
+        .orderBy("column_name")
+    )

@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "collect_json_sink",
     "collect_event_id_coordination",
     "idle_rich_customers",  # 1-row positive-balance scalar broadcast into customer
+    "events_funnel_conversion",  # three 1-row step counts cross-joined into one row
 }
 
 HEADLINE = [
