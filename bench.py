@@ -290,30 +290,42 @@ def main() -> None:
     os.replace(tmp, full_path)
     print(json.dumps(result))
 
+    print(compact_contract_line(result))
+    spark.stop()
+
+
+def compact_contract_line(result: dict, limit: int = 1900) -> str:
+    """The driver-facing final line: metric/value/unit/sf/queries,
+    guaranteed under ``limit`` chars (the driver's tail window is 2000).
+    Sheds optional fields first, then drops the FASTEST queries (the
+    slow ones are the regression signal) with a truncation marker."""
+    timings = result["queries"]
     compact = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "sf": result["sf"],
-        "runs_per_query": result["runs_per_query"],
-        "rel_spread_max": max(spreads.values()) if spreads else 0.0,
+        "runs_per_query": result.get("runs_per_query"),
+        "rel_spread_max": max(result["rel_spread"].values())
+        if result.get("rel_spread")
+        else 0.0,
         "detail": "BENCH_FULL.json",
         "queries": timings,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # future-proof: shed optional fields, then
-        compact.pop("detail", None)  # keep only the slowest queries
+    if len(line) > limit:
+        compact.pop("detail", None)
         compact.pop("rel_spread_max", None)
+        compact.pop("runs_per_query", None)
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > limit:
         keep = sorted(timings, key=timings.get, reverse=True)
-        while len(line) > 1900 and keep:
+        compact["queries_truncated"] = True
+        while len(line) > limit and keep:
             keep.pop()
             compact["queries"] = {n: timings[n] for n in keep}
-            compact["queries_truncated"] = True
             line = json.dumps(compact, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

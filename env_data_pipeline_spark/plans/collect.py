@@ -716,7 +716,14 @@ def collect_json_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct() only at the sink per SURVEY.md §1.4. The oracle rebuilds
     the document TEXT byte-identically (to_json conventions: null
     elision, struct order, Java double formatting — see _JSON_ORACLE),
-    so this row is a full rows+schema+hash check."""
+    so this row is a full rows+schema+hash check.
+
+    Deliberate omission: the reference's future-format arrays
+    (pdf_data/excel_data/kml_data/satellite_imagery,
+    shared_schema.py:151-158) are not emitted — the reference never
+    populates them and its to_dict drops empty lists
+    (shared_schema.py:182), so the emitted JSON is identical for all
+    data that exists."""
     wide = _wide_enriched(spark, sf_dir)
     location = F.struct(
         F.col("latitude"),

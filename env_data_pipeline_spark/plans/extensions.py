@@ -1433,3 +1433,98 @@ def corpus_membership_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probable.join(base, "text_md5", "left_semi").select(
         "doc_id", "text_md5"
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM aug
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+7], chr(31))) AS h
+      FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl_id
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           MIN(pa) AS start_a, MIN(pb) AS start_b,
+           COUNT(*) + 7 AS span_words
+    FROM isl
+    GROUP BY doc_a, doc_b, pa - pb, isl_id
+    HAVING COUNT(*) + 7 >= 12
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 substring-level duplication (the exact-substring dedup of the
+    training-data literature, word-gram form): MAXIMAL shared spans of
+    >= 12 consecutive words between document pairs — not whole-doc
+    fingerprints (text_rolling_fingerprint) and not bag similarity
+    (dedup_ngram_jaccard); this finds the copied PASSAGE inside
+    otherwise-different documents and says where it starts in both.
+
+    Mechanics: 8-word gram hashes with positions; matching gram
+    occurrences across doc pairs land on diagonals (pos_a - pos_b
+    constant); a gaps-and-islands pass per diagonal merges consecutive
+    gram matches into maximal spans (m consecutive grams = m+7 words).
+
+    Scale: only (doc_id, pos, 16-byte hash) tuples shuffle — text
+    never crosses the wire; the equi-join on gram hash is the
+    pigeonhole (a 12-word copied span MUST share an 8-word gram; no
+    false negatives over the threshold); the island window partitions
+    by (pair, diagonal) — bounded by true match volume, the same
+    output-sized cost every exact-substring deduper pays.
+    """
+    docs = _aug_docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 7),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(words, i, 8), "\x1f")).alias("h"),
+        ),
+    )
+    g = (
+        docs.filter(F.size(words) >= 8)
+        .select("doc_id", F.explode(gram_structs).alias("gr"))
+        .select("doc_id", F.col("gr.pos").alias("pos"), F.col("gr.h").alias("h"))
+    )
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql.window import Window as W
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    isl = m.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "isl_id",
+        F.col("pa")
+        - F.row_number().over(
+            W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+        ),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl_id")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + 7).alias("span_words"),
+        )
+        .filter(F.col("span_words") >= 12)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_words")
+    )

@@ -1,0 +1,57 @@
+"""The bench final line IS the driver contract: the round driver keeps
+the last 2000 chars of stdout and json-parses the final line — four of
+the first six rounds lost their bench artifact to an over-long line.
+Pin the compact-line guarantees without needing a Spark session."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_contract_line
+
+REQUIRED_KEYS = {"metric", "value", "unit", "sf", "queries"}
+
+
+def _result(n_queries: int, name_len: int = 40) -> dict:
+    qs = {f"q{'x' * name_len}{i:04d}": round(0.1 * i, 4) for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(qs.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "runs_per_query": 5,
+        "rel_spread": {k: 0.12 for k in qs},
+        "queries": qs,
+    }
+
+
+def test_compact_line_small_set_keeps_everything():
+    line = compact_contract_line(_result(20))
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert REQUIRED_KEYS <= set(d)
+    assert len(d["queries"]) == 20
+    assert d["detail"] == "BENCH_FULL.json"
+
+
+def test_compact_line_sheds_then_truncates_slowest_last():
+    res = _result(200)  # ~10k chars of queries alone
+    line = compact_contract_line(res)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert REQUIRED_KEYS <= set(d)
+    assert d.get("queries_truncated") is True
+    # the kept set must be the SLOWEST queries (the regression signal)
+    kept = set(d["queries"])
+    cutoff = min(res["queries"][k] for k in kept)
+    dropped_faster = all(
+        res["queries"][k] <= cutoff for k in res["queries"] if k not in kept
+    )
+    assert kept and dropped_faster
+
+
+def test_compact_line_is_valid_json_at_every_size():
+    for n in (0, 1, 45, 46, 47, 120, 500):
+        d = json.loads(compact_contract_line(_result(n)))
+        assert REQUIRED_KEYS <= set(d), n
+        assert len(json.dumps(d, separators=(",", ":"))) <= 1900, n

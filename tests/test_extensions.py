@@ -558,3 +558,33 @@ def test_bloom_bitmap_merge_equals_union_build(spark, sf_dir):
     }
     direct = words(D.bloom_build(docs, "h"))
     assert merged == direct
+
+
+def test_substring_spans_find_embedded_passage(spark):
+    """A 15-word passage copied into two otherwise-unrelated documents
+    must surface as ONE maximal span with the right start positions
+    and width — and unrelated text must produce nothing."""
+    from env_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    passage = " ".join(f"p{i}" for i in range(15))  # 15 shared words
+    doc_a = "alpha beta gamma " + passage + " tail words here"
+    doc_b = "one two three four five " + passage + " closing"
+    doc_c = "totally different content with no overlap at all whatsoever"
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    import env_data_pipeline_spark.plans.extensions as X
+
+    # drive the same pipeline the registered query uses, on local docs
+    orig = X._aug_docs
+    try:
+        X._aug_docs = lambda _spark, _sf: docs
+        out = {
+            (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_words"])
+            for r in X.dedup_substring_spans(spark, "unused").collect()
+        }
+    finally:
+        X._aug_docs = orig
+    # passage starts at word 4 in doc_a (1-based), word 6 in doc_b
+    assert out == {(1, 2, 4, 6, 15)}, out
