@@ -110,3 +110,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     DuckDB oracle, so dialect-common SQL runs on both engines."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registered engine queries as SQL temp views (view name =
+    query name), so users compose plain spark.sql over them — e.g.
+    ``SELECT * FROM revenue_by_region WHERE revenue > 1e6``. Lazy:
+    each view is a logical plan; Catalyst fuses the user's SQL with
+    the query plan (filters push INTO the view), nothing materializes
+    until an action. Returns the view names registered.
+
+    Streaming-drained queries (the ``streaming_*`` family) execute a
+    replay inside their builder, so they are excluded by default —
+    register them explicitly via ``names`` if the replay cost is
+    intended."""
+    from env_data_pipeline_spark.plans import registry
+
+    registry.load_all()
+    if names is None:
+        names = [n for n in registry.QUERIES if not n.startswith("streaming_")]
+    registered = []
+    for name in names:
+        registry.QUERIES[name](spark, sf_dir).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered

@@ -233,6 +233,31 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_stream_stream_semi_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_event_id,
+           epoch_us(v.ts) AS view_ts_us
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+      )
+    """,
+)
+def streaming_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-SEMI stream-stream interval join
+    (streaming/event_trigger.py::stream_stream_attribution_semi): each
+    converted view emits exactly once on its first match; unconverted
+    views never emit (their state evicts silently), so the oracle is a
+    plain EXISTS with no watermark clause — semi-join emission needs
+    only match evidence, never finalization."""
+    return ET.stream_stream_attribution_semi(spark, sf_dir)
+
+
+@query(
     "streaming_stream_stream_full_outer_join",
     oracle="""
     WITH v AS (

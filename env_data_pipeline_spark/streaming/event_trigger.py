@@ -422,3 +422,47 @@ def stream_stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("purchase_value", 4).alias("purchase_value"),
     )
     return _drain(spark, joined, "stream_stream_attribution_full_sink", "append")
+
+
+def stream_stream_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-SEMI stream-stream interval join — the converted-views
+    feed: a view emits (once) as soon as SOME purchase lands in its
+    2 h window; views that never convert emit nothing and their state
+    evicts silently at the watermark horizon. Completes the
+    stream-stream join-type matrix (inner / left-outer / full-outer /
+    left-semi).
+
+    At scale: same co-partitioned state as the inner join, but the
+    output carries only the view side and each buffered view emits at
+    most once — no match-multiplicity amplification."""
+    views = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftSemi",
+    ).select(
+        "user_id",
+        "view_event_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+    return _drain(spark, joined, "stream_stream_attribution_semi_sink", "append")

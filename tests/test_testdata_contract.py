@@ -209,3 +209,20 @@ def test_json_double_formatter_envelope(spark, sf_dir):
         f"_jd double-format envelope drift: {offenders} — extend "
         "plans/collect.py::_jd (and this list) to cover the new family"
     )
+
+
+def test_query_views_compose_with_sql(spark, sf_dir):
+    """register_query_views makes every batch query a SQL-composable
+    view: user SQL over the view must fuse with the underlying plan
+    (one lazy tree, user filter applied), not a materialized copy."""
+    from env_data_pipeline_spark.catalog import register_query_views
+
+    names = register_query_views(spark, sf_dir, ["revenue_by_region"])
+    assert names == ["revenue_by_region"]
+    full = spark.sql("SELECT * FROM revenue_by_region").collect()
+    top = spark.sql(
+        "SELECT region_name, revenue FROM revenue_by_region "
+        "WHERE revenue >= (SELECT MAX(revenue) FROM revenue_by_region)"
+    ).collect()
+    assert len(top) == 1
+    assert top[0]["revenue"] == max(r["revenue"] for r in full)
