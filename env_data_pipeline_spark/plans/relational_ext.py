@@ -1195,3 +1195,136 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "events_error_bursts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN pts IS NULL
+                        OR epoch_us(ts) - epoch_us(pts) > 600000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS burst_id
+      FROM e
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS burst_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS burst_end,
+           COUNT(*) AS n_errors
+    FROM m
+    GROUP BY user_id, burst_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, burst_start
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern detection (MATCH_RECOGNIZE-shaped, expressed as
+    gaps-and-islands): runs of >= 3 error events per user where
+    consecutive errors are <= 10 min apart — the alerting primitive
+    'repeated failures in a short window'.
+
+    Scale: one shuffle on user_id serves both the LAG and the
+    running-sum island id (same window spec); bursts aggregate on the
+    island key the window already produced. The error filter pushes to
+    the scan, so only the error slice ever shuffles.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap_us.isNull() | (gap_us > 600_000_000), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("burst_id"),
+    )
+    return (
+        marked.groupBy("user_id", "burst_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("burst_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("burst_end"),
+            F.count("*").alias("n_errors"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .select("user_id", "burst_start", "burst_end", "n_errors")
+        .orderBy("user_id", "burst_start")
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH nr AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             SUM({_REV_UNITS_SQL}) AS rev_u
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY region_name, nation_name
+    )
+    SELECT region_name, nation_name,
+           ROUND(rev_u / 10000.0, 4) AS revenue,
+           ROUND(rev_u * 1.0 / SUM(rev_u) OVER (PARTITION BY region_name), 4)
+             AS share_of_region,
+           CAST(RANK() OVER (PARTITION BY region_name ORDER BY rev_u DESC)
+                AS INTEGER) AS rank_in_region
+    FROM nr
+    ORDER BY region_name, rank_in_region, nation_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT shape): each nation's share of
+    its region's revenue plus in-region rank — a window aggregate OVER
+    an aggregated grain.
+
+    Scale: the fact collapses to 25 nation rows before the window;
+    the share divides exact integer unit sums (identical numerator/
+    denominator on both engines); rank ties are impossible on exact
+    integers unless truly equal, and the output order carries a full
+    tie-break anyway.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev).alias("rev_u"))
+    )
+    w = Window.partitionBy("region_name")
+    return (
+        nr.select(
+            "region_name",
+            "nation_name",
+            F.round(F.col("rev_u") / 10000.0, 4).alias("revenue"),
+            F.round(F.col("rev_u") * 1.0 / F.sum("rev_u").over(w), 4).alias(
+                "share_of_region"
+            ),
+            F.rank()
+            .over(w.orderBy(F.desc("rev_u")))
+            .cast("int")
+            .alias("rank_in_region"),
+        )
+        .orderBy("region_name", "rank_in_region", "nation_name")
+    )
