@@ -236,7 +236,15 @@ def main() -> None:
 
         probe_dir = ensure_scale_tier(spark, sf_dir)
         probe: dict[str, dict] = {}
-        for name in ("dedup_minhash_lsh", "similarity_topk_ivfpq"):
+        # decontaminate: the realistic decade-up — the EVAL side stays
+        # fixed (only replica 0 carries eval grams) while the corpus
+        # grows 10x; substring spans: the gram-diagonal join family
+        for name in (
+            "dedup_minhash_lsh",
+            "similarity_topk_ivfpq",
+            "decontaminate_eval_overlap",
+            "dedup_substring_spans",
+        ):
             if name not in names or name not in result["scaling"]:
                 continue
             src = "embeddings" if name.startswith("similarity") else "documents"
@@ -245,6 +253,10 @@ def main() -> None:
                 for d in (lo_dir, sf_dir, probe_dir)
             ]
             registry.QUERIES[name](spark, probe_dir).count()  # warm-up
+            # same shared-JVM discipline as _time_tier: collect the
+            # previous query's broadcast/shuffle residue outside the
+            # timing window (skipping this showed 4x probe drift)
+            spark.sparkContext._jvm.System.gc()
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -929,7 +929,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small-query-set tool it is documented to be, but is not a headline
 BENCH_EXTRA.update(
     {"dedup_minhash_lsh", "similarity_topk_lsh", "similarity_topk_ivf",
-     "text_quality_profile"}
+     "text_quality_profile", "dedup_substring_spans"}
 )
 
 
