@@ -609,3 +609,65 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         kept.alias("n_kept"),
         F.round(kept / F.count("*"), 4).alias("realized_rate"),
     )
+
+
+@query(
+    "decontaminate_execute",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+           ('0x' || substr(md5(g), 1, 12))::BIGINT AS ghash
+           FROM (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(ws) - 2), i ->
+                     list_aggr(ws[i:i+3], 'string_agg', ' '))) AS g
+                 FROM w WHERE len(ws) >= 4)),
+    ev AS (SELECT DISTINCT ghash FROM sh WHERE source = '{_EVAL_SOURCE}'),
+    flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, ghash FROM sh WHERE source <> '{_EVAL_SOURCE}') t
+      JOIN ev USING (ghash)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(f.doc_id) AS n_dropped,
+           COUNT(*) - COUNT(f.doc_id) AS n_kept,
+           ROUND(COUNT(f.doc_id) * 1.0 / COUNT(*), 4) AS drop_frac
+    FROM documents d
+    LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    WHERE d.source <> '{_EVAL_SOURCE}'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def decontaminate_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination EXECUTION (detect -> act, the same symmetry
+    corpus_resample_execute provides for temperature mixing): apply
+    the 4-gram eval-overlap verdict and report, per training source,
+    how much of the corpus survives the drop.
+
+    Scale: the detection reuses contamination_report (hashes travel,
+    eval side broadcasts); the verdict joins back to the corpus as a
+    LEFT join on doc_id whose non-match IS the keep decision — one
+    extra hash join over detection, output is |sources| rows.
+    """
+    from env_data_pipeline_spark.extensions import llmops as L
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != _EVAL_SOURCE)
+    eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
+    flagged = L.contamination_report(train, eval_docs, n=4).select("doc_id")
+    return (
+        train.join(
+            flagged.withColumn("is_flagged", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_flagged").alias("n_dropped"),
+            (F.count("*") - F.count("is_flagged")).alias("n_kept"),
+            F.round(F.count("is_flagged") * 1.0 / F.count("*"), 4).alias(
+                "drop_frac"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1328,3 +1328,66 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "rank_in_region", "nation_name")
     )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_u,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts))
+               - epoch_us(ts) AS w_us,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(CAST(v_u AS HUGEINT) * CAST(w_us AS HUGEINT))
+                      AS DOUBLE)
+                 / (CAST(SUM(w_us) AS DOUBLE) * 10000.0), 4) AS twap_value,
+           ROUND(AVG(value), 4) AS plain_avg
+    FROM iv
+    WHERE w_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how
+    long it remained current (until the type's next event) — the
+    time-series semantics a plain AVG silently gets wrong when
+    sampling is irregular; both are reported for contrast.
+
+    Exactness: value quantizes to 1e-4 integer units per row, the
+    (value_units x duration_us) products sum in WIDE integers
+    (decimal(38,0) / HUGEINT — products reach ~5e15, past safe int64
+    headroom at high SF), and only the final exact-integer-to-double
+    conversion feeds the division, so both engines divide identical
+    numbers. One window + one aggregation, both on event_type.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    v_u = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    iv = ev.select(
+        "event_type",
+        "value",
+        v_u.alias("v_u"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "w_us"
+        ),
+    ).filter(F.col("w_us").isNotNull())
+    prod = (F.col("v_u") * F.col("w_us")).cast("decimal(38,0)")
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                F.sum(prod).cast("double")
+                / (F.sum("w_us").cast("double") * 10000.0),
+                4,
+            ).alias("twap_value"),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
