@@ -1364,19 +1364,51 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal(38,0) / HUGEINT — products reach ~5e15, past safe int64
     headroom at high SF), and only the final exact-integer-to-double
     conversion feeds the division, so both engines divide identical
-    numbers. One window + one aggregation, both on event_type.
+    numbers.
+
+    Scale: a naive LEAD window partitioned by event_type alone has
+    |types| = 5 partitions — one task per type at any data size. The
+    engine instead windows within (event_type, day) buckets —
+    parallelism = types x days — and repairs the bucket boundaries
+    with a TINY per-(type, bucket) firsts table (broadcast back): each
+    bucket's LAST event takes the next non-empty bucket's first
+    timestamp as its successor. Result is row-for-row identical to
+    the global per-type LEAD (the oracle computes that form).
     """
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts")
     v_u = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
-    iv = ev.select(
+    rows = ev.select(
         "event_type",
         "value",
         v_u.alias("v_u"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
-            "w_us"
-        ),
-    ).filter(F.col("w_us").isNotNull())
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date("ts").alias("bucket"),
+    )
+    wb = Window.partitionBy("event_type", "bucket").orderBy("ts_us")
+    # per-(type, bucket) firsts: #types x #days rows — broadcastable at
+    # any corpus size; its own window is over that tiny table only
+    firsts = rows.groupBy("event_type", "bucket").agg(
+        F.min("ts_us").alias("first_us")
+    )
+    wf = Window.partitionBy("event_type").orderBy("bucket")
+    nxt = firsts.select(
+        "event_type",
+        "bucket",
+        F.lead("first_us").over(wf).alias("next_bucket_first_us"),
+    )
+    iv = (
+        rows.withColumn("lead_us", F.lead("ts_us").over(wb))
+        .join(F.broadcast(nxt), ["event_type", "bucket"])
+        .select(
+            "event_type",
+            "value",
+            "v_u",
+            (
+                F.coalesce("lead_us", "next_bucket_first_us") - F.col("ts_us")
+            ).alias("w_us"),
+        )
+        .filter(F.col("w_us").isNotNull())
+    )
     prod = (F.col("v_u") * F.col("w_us")).cast("decimal(38,0)")
     return (
         iv.groupBy("event_type")

@@ -488,3 +488,15 @@ def test_multi_distinct_uses_expand_not_rejoin(spark, sf_dir):
     plan = formatted_plan(spark, "priority_distinct_profile", sf_dir)
     assert "Expand" in plan, plan[:1500]
     assert len(read_schemas(plan)) == 1, "multi-distinct must scan orders once"
+
+
+def test_twap_windows_on_bucketed_keys(spark, sf_dir):
+    """events_time_weighted_value must window within (event_type, day)
+    buckets — a LEAD partitioned by event_type alone is a 5-task
+    bottleneck at any scale. The row-level exchange must carry BOTH
+    keys; the boundary-repair firsts table joins back as a broadcast."""
+    plan = formatted_plan(spark, "events_time_weighted_value", sf_dir)
+    assert re.search(r"hashpartitioning\(event_type[^)]*bucket", plan), (
+        plan[:3000]
+    )
+    assert "BroadcastHashJoin" in plan
