@@ -326,7 +326,9 @@ def compact_contract_line(result: dict, limit: int = 1900) -> str:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > limit:
-        compact.pop("detail", None)
+        # shed the noise-bound fields, NEVER the BENCH_FULL.json
+        # pointer — an overflowing registry is exactly when the reader
+        # needs the full artifact most (review finding)
         compact.pop("rel_spread_max", None)
         compact.pop("runs_per_query", None)
         line = json.dumps(compact, separators=(",", ":"))

@@ -112,25 +112,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Queries whose BUILDER runs Spark jobs (Lloyd training /
+# connected-components iteration with eager localCheckpoints) —
+# registering these as views costs real computation up front and pins
+# checkpoint blocks in executor storage, so the default excludes them.
+EAGER_BUILD_QUERIES = frozenset(
+    {"similarity_topk_ivf_trained", "similarity_topk_ivfpq", "dedup_clusters"}
+)
+
+
 def register_query_views(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[str]:
     """Expose registered engine queries as SQL temp views (view name =
     query name), so users compose plain spark.sql over them — e.g.
-    ``SELECT * FROM revenue_by_region WHERE revenue > 1e6``. Lazy:
-    each view is a logical plan; Catalyst fuses the user's SQL with
-    the query plan (filters push INTO the view), nothing materializes
-    until an action. Returns the view names registered.
+    ``SELECT * FROM revenue_by_region WHERE revenue > 1e6``. For the
+    default set, each view is a lazy logical plan: Catalyst fuses the
+    user's SQL with the query plan (filters push INTO the view) and
+    nothing materializes until an action. Returns the names registered.
 
-    Streaming-drained queries (the ``streaming_*`` family) execute a
-    replay inside their builder, so they are excluded by default —
-    register them explicitly via ``names`` if the replay cost is
-    intended."""
+    Two families are excluded by default because their BUILDERS are
+    not lazy: ``streaming_*`` queries execute a full replay, and
+    ``EAGER_BUILD_QUERIES`` run training / iterative jobs with eager
+    checkpoints at build time. Pass them via ``names`` explicitly if
+    that cost is intended."""
     from env_data_pipeline_spark.plans import registry
 
     registry.load_all()
     if names is None:
-        names = [n for n in registry.QUERIES if not n.startswith("streaming_")]
+        names = [
+            n
+            for n in registry.QUERIES
+            if not n.startswith("streaming_") and n not in EAGER_BUILD_QUERIES
+        ]
     registered = []
     for name in names:
         registry.QUERIES[name](spark, sf_dir).createOrReplaceTempView(name)

@@ -257,10 +257,14 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
+    # filter on the RAW sum, exactly as the oracle's HAVING does —
+    # filtering the rounded alias would evaluate a different predicate
+    # near the threshold (lockstep discipline; review finding)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+        .select("l_orderkey", F.round("raw_qty", 4).alias("sum_qty"))
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -427,7 +431,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders").select("o_custkey")
-    bal_u = F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("bigint")
+    bal_u = _units(F.col("c_acctbal"))
     pos = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(F.sum(bal_u).alias("s"), F.count("*").alias("n"))
@@ -646,7 +650,7 @@ def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disambiguate a real NULL key from a rolled-up one.
     """
     o = table(spark, sf_dir, "orders")
-    price_u = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+    price_u = _units(F.col("o_totalprice"))
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -738,7 +742,7 @@ def priority_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     this for a mergeable HLL sketch when exactness isn't required.
     """
     o = table(spark, sf_dir, "orders")
-    price_u = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+    price_u = _units(F.col("o_totalprice"))
     return (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
@@ -827,14 +831,21 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase")))
     )
+    # NULL on an empty denominator, matching DuckDB (Spark doubles
+    # would yield IEEE NaN for 0.0/0.0 — a cross-engine mismatch on
+    # any tier where a funnel step goes dry; review finding)
     return counts.select(
         "n_view",
         "n_click",
         "n_purchase",
-        F.round(F.col("n_click") * 1.0 / F.col("n_view"), 4).alias("click_rate"),
-        F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 4).alias(
-            "purchase_rate"
-        ),
+        F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_click") * 1.0 / F.col("n_view"), 4),
+        ).alias("click_rate"),
+        F.when(
+            F.col("n_click") > 0,
+            F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 4),
+        ).alias("purchase_rate"),
     )
 
 
@@ -1376,7 +1387,7 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global per-type LEAD (the oracle computes that form).
     """
     ev = table(spark, sf_dir, "events")
-    v_u = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    v_u = _units(F.col("value"))
     rows = ev.select(
         "event_type",
         "value",
@@ -1409,7 +1420,10 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w_us").isNotNull())
     )
-    prod = (F.col("v_u") * F.col("w_us")).cast("decimal(38,0)")
+    # widen BEFORE the multiply: a bigint*bigint product overflows
+    # int64 for a sparse type with a multi-week gap (ANSI mode would
+    # raise where the HUGEINT oracle returns the right answer)
+    prod = F.col("v_u").cast("decimal(38,0)") * F.col("w_us").cast("decimal(38,0)")
     return (
         iv.groupBy("event_type")
         .agg(

@@ -41,6 +41,9 @@ def test_compact_line_sheds_then_truncates_slowest_last():
     d = json.loads(line)
     assert REQUIRED_KEYS <= set(d)
     assert d.get("queries_truncated") is True
+    # the full-artifact pointer must survive truncation — an
+    # overflowing registry is when the reader needs it most
+    assert d["detail"] == "BENCH_FULL.json"
     # the kept set must be the SLOWEST queries (the regression signal)
     kept = set(d["queries"])
     cutoff = min(res["queries"][k] for k in kept)

@@ -110,9 +110,26 @@ def test_scale_probe_tier_is_honest(spark):
     assert diff.count() == 0, "replica 0 must be the untouched original"
 
     base_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, base).count()
-    probe_pairs = registry.QUERIES["dedup_minhash_lsh"](spark, out).count()
-    assert probe_pairs == benchscale.DOC_MULT * base_pairs, (
-        f"pair growth {probe_pairs}/{base_pairs} is not linear in the "
-        f"replica factor {benchscale.DOC_MULT} — cross-replica dup "
-        "leakage (or lost planted structure)"
+    probe_rows = registry.QUERIES["dedup_minhash_lsh"](spark, out).collect()
+    # (a) the honesty property itself: NO pair spans two replicas —
+    # cross-replica leakage is what would make growth quadratic
+    stride = benchscale._DOC_STRIDE
+    leaks = [
+        (r["doc_a"], r["doc_b"])
+        for r in probe_rows
+        if r["doc_a"] // stride != r["doc_b"] // stride
+    ]
+    assert not leaks, f"cross-replica near-dup leakage: {leaks[:5]}"
+    # (b) growth is linear in the replica factor. Exact equality would
+    # be a latent flake: word-tagging re-rolls the shingle hashes per
+    # replica, so MinHash BAND agreement for near-copies (J < 1) is an
+    # independent draw each replica — a planted near pair can lose all
+    # bands in one replica (p ~ 1e-4) or an unrelated pair can newly
+    # collide. Exact copies always collide, so the total stays within
+    # a tight band of DOC_MULT x base.
+    lo = 0.9 * benchscale.DOC_MULT * base_pairs
+    hi = 1.1 * benchscale.DOC_MULT * base_pairs
+    assert lo <= len(probe_rows) <= hi, (
+        f"pair growth {len(probe_rows)} vs base {base_pairs} is outside "
+        f"[{lo:.0f}, {hi:.0f}] — not linear in the replica factor"
     )
