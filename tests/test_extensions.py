@@ -588,3 +588,84 @@ def test_substring_spans_find_embedded_passage(spark):
         X._aug_docs = orig
     # passage starts at word 4 in doc_a (1-based), word 6 in doc_b
     assert out == {(1, 2, 4, 6, 15)}, out
+
+
+def test_substring_spans_fuzz_against_python_reference(spark):
+    """Seeded randomized corpus with planted shared passages: the
+    gram-diagonal + island pipeline must emit exactly the maximal
+    >=12-word shared spans a brute-force Python reference finds.
+    One Spark round-trip for all trials (documents carry a trial id in
+    the doc_id stride)."""
+    import random
+
+    rng = random.Random(99)
+    STRIDE = 1000
+    VOCAB = [f"w{i}" for i in range(200)]
+    docs = []
+    for trial in range(12):
+        base = trial * STRIDE
+        passage = [rng.choice(VOCAB) for _ in range(rng.randint(8, 20))]
+        a_words = (
+            [rng.choice(VOCAB) for _ in range(rng.randint(0, 6))]
+            + passage
+            + [rng.choice(VOCAB) for _ in range(rng.randint(0, 6))]
+        )
+        b_words = (
+            [rng.choice(VOCAB) for _ in range(rng.randint(0, 6))]
+            + passage
+            + [rng.choice(VOCAB) for _ in range(rng.randint(0, 6))]
+        )
+        c_words = [rng.choice(VOCAB) for _ in range(rng.randint(8, 30))]
+        docs += [
+            (base + 1, " ".join(a_words)),
+            (base + 2, " ".join(b_words)),
+            (base + 3, " ".join(c_words)),
+        ]
+
+    # random words CAN form shared >=8-gram runs across trials only
+    # with vanishing probability (vocab 200, run length 8); to keep
+    # the reference exact, compare the FULL engine output (including
+    # any cross-trial span) against a full-corpus reference
+    def ref_all(pairs_docs):
+        out = set()
+        by_id = dict(pairs_docs)
+        ids = sorted(by_id)
+        for i, da in enumerate(ids):
+            for db in ids[i + 1 :]:
+                wa, wb = by_id[da].split(" "), by_id[db].split(" ")
+                for d in range(-len(wb) + 1, len(wa)):
+                    run = 0
+                    for j in range(len(wb) + 1):
+                        iu = j + d
+                        ok = (
+                            j < len(wb) and 0 <= iu < len(wa) and wa[iu] == wb[j]
+                        )
+                        if ok:
+                            run += 1
+                        else:
+                            if run >= 12:
+                                # 1-based starts of the run
+                                out.add(
+                                    (da, db, j + d - run + 1, j - run + 1, run)
+                                )
+                            run = 0
+        return out
+
+    expected = ref_all(docs)
+    assert expected, "fuzz fixture must plant at least one >=12-word span"
+
+    import env_data_pipeline_spark.plans.extensions as X
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = X._aug_docs
+    try:
+        X._aug_docs = lambda _s, _d: sdf
+        got = {
+            (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_words"])
+            for r in X.dedup_substring_spans(spark, "unused").collect()
+        }
+    finally:
+        X._aug_docs = orig
+    assert got == expected, (
+        f"missing: {sorted(expected - got)[:5]} extra: {sorted(got - expected)[:5]}"
+    )

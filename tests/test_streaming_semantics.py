@@ -724,3 +724,82 @@ def test_full_outer_join_emits_both_null_sides(spark, tmp_path):
     # both inside-horizon rows must still be buffered, no emission
     assert not any(r[1] == 8 for r in got), got
     assert not any(r[2] == 7 for r in got), got
+
+
+def test_session_kernel_fuzz_against_sorted_reference():
+    """Randomized (seeded) fuzz of the watermark-gated session kernel:
+    for random event sets, random admissible batchings, and a rising
+    watermark schedule, the emitted sessions must equal the reference
+    computed from a GLOBAL sort under the finality rule
+    floor(last_us/1000) + GAP_MS < final watermark — and no session
+    may ever emit twice."""
+    import random
+
+    MIN_US = 60_000_000
+    GAP_US = 30 * MIN_US
+    GAP_MS = 30 * 60_000
+    rng = random.Random(20260814)
+
+    for trial in range(25):
+        n = rng.randint(1, 40)
+        times = sorted(
+            rng.sample(range(0, 12 * 60), n)
+        )  # minutes, unique
+        events = [(m * MIN_US, round(rng.uniform(0, 20), 2)) for m in times]
+        wm_final_ms = rng.randint(0, 13 * 60) * 60_000
+
+        # reference: global-sort sessionization + finality rule
+        ref = []
+        cur = [events[0]]
+        for ev in events[1:]:
+            if ev[0] - cur[-1][0] >= GAP_US:
+                ref.append(cur)
+                cur = [ev]
+            else:
+                cur.append(ev)
+        ref.append(cur)
+        import math
+
+        def units(v):
+            return math.floor(v * 10000 + 0.5)
+
+        # random admissible batching: shuffle events into batches with
+        # a non-decreasing watermark that never exceeds any batched
+        # event's own time (Spark would have dropped it otherwise)
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        batches = []
+        wm = 0
+        i = 0
+        while i < len(shuffled):
+            k = rng.randint(1, 4)
+            chunk = shuffled[i : i + k]
+            # admissible + monotone: the watermark may rise only up to
+            # the min event time of everything NOT YET delivered (a
+            # shrinking set, so this bound is itself non-decreasing)
+            lo_rest = min(t // 1000 for t, _ in shuffled[i:])
+            wm = rng.randint(wm, max(lo_rest, wm))
+            batches.append((chunk, wm))
+            i += k
+        batches.append(([], max(wm, wm_final_ms)))
+        wm_final_ms = max(wm, wm_final_ms)  # the schedule is monotone
+        expected = sorted(
+            (
+                s[0][0],
+                s[-1][0] + GAP_US,
+                len(s),
+                sum(units(v) for _, v in s) / 10000.0,
+            )
+            for s in ref
+            if s[-1][0] // 1000 + GAP_MS < wm_final_ms
+        )
+
+        emitted, _state = _replay_session_kernel(batches)
+        got = sorted(
+            (a, b, c, round(d, 4)) for a, b, c, d in emitted
+        )
+        assert got == expected, (
+            f"trial {trial}: wm={wm_final_ms} events={times}\n"
+            f"got {got}\nexpected {expected}"
+        )
+        assert len(emitted) == len(set(emitted)), "double emission"
