@@ -1437,3 +1437,79 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_kmv_distinct_estimate",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_h, MAX(h) AS h_k
+      FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type
+    )
+    SELECT s.event_type,
+           ex.n_exact,
+           ROUND(CASE WHEN s.n_h < 64 THEN s.n_h * 1.0
+                      ELSE 63.0 * 1152921504606846976 / s.h_k
+                 END, 4) AS kmv_estimate
+    FROM sk s JOIN ex USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def events_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k = 64): estimate the
+    per-type distinct-user cardinality from the k smallest 60-bit
+    hashes — (k-1) * 2^60 / h_k, exact below k. Unlike HLL, the
+    sketch is an ORDER STATISTIC of a deterministic hash, so two
+    engines (and two runs) produce bit-identical estimates — which is
+    what makes it oracle-checkable, and what makes sketch unions
+    auditable in production.
+
+    Scale: the sketch is mergeable (union of k-smallest sets is the
+    k-smallest of the union — same partial/final shape as any agg);
+    the rank <= k filter compiles to WindowGroupLimit, so every
+    partition keeps a 64-row heap, never the full distinct set. The
+    exact count rides along here only to exhibit the error.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    d = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_h"), F.max("h").alias("h_k"))
+    )
+    ex = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    return (
+        sk.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.when(F.col("n_h") < 64, F.col("n_h") * 1.0).otherwise(
+                    63.0 * F.lit(1152921504606846976) / F.col("h_k")
+                ),
+                4,
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )

@@ -500,3 +500,17 @@ def test_twap_windows_on_bucketed_keys(spark, sf_dir):
         plan[:3000]
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_sketch_uses_group_limit(spark, sf_dir):
+    """The KMV rank<=k filter must compile to WindowGroupLimit — each
+    partition keeps a 64-row heap, never the full distinct-hash set.
+    And the estimate must actually estimate: within 40% of exact for
+    every type (k=64 gives ~12.5% standard error)."""
+    plan = formatted_plan(spark, "events_kmv_distinct_estimate", sf_dir)
+    assert "WindowGroupLimit" in plan
+    for r in registry.QUERIES["events_kmv_distinct_estimate"](
+        spark, sf_dir
+    ).collect():
+        err = abs(r["kmv_estimate"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert err < 0.40, (r["event_type"], r["kmv_estimate"], r["n_exact"])
