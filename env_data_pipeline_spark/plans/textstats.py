@@ -1,0 +1,455 @@
+"""Corpus-statistics operators: TF-IDF term salience, BM25 keyword
+retrieval, PMI collocations, and boilerplate n-gram scrubbing — the
+remaining lexical-statistics layer of a training-data pipeline
+(complementing plans/llmops.py's LM/decontamination family and
+plans/extensions.py's dedup family).
+
+Cross-engine float discipline (memory: float-grid parity): every
+score that feeds a RANKING is either (a) exact integer arithmetic
+(`div` / DuckDB `//` floor division — identical for the positive
+operands used here), or (b) built from +,-,*,/ doubles ONLY with
+explicit parenthesization and fixed summation order (conditional
+pivots, never group-order-dependent SUMs), which IEEE 754 evaluates
+bit-identically on the JVM and in DuckDB. No ln/exp/pow anywhere near
+a comparison — transcendentals are the one class libm implementations
+may round differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions.text import words
+from env_data_pipeline_spark.plans.registry import query
+
+_DUCK_TOKENS = """
+    tokens AS (SELECT doc_id, u.x AS token
+               FROM documents, unnest(string_split(text, ' ')) AS u(x))
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               -- ratio-idf tf-idf in exact integer micro-units:
+               -- tf * (N + 1) * 1e6 // (df + 1)
+               (tf.tf * (n.n_docs + 1) * 1000000) // (df.df + 1)
+                   AS score_units
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, score_units,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_units DESC, token)
+                   AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, term_rank, token,
+           ROUND(score_units / 1000000.0, 6) AS tfidf
+    FROM ranked WHERE term_rank <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most salient terms per document by tf-idf with a
+    ratio idf (tf * (N+1)/(df+1)) — the log-free variant so the score
+    is EXACT integer arithmetic on both engines (`div` truncation ==
+    DuckDB `//` floor for positive operands); no float enters the
+    ranking.
+
+    Scale: one (doc, token) shuffle for tf (map-side combined), one
+    token shuffle for df; df re-joins tf on token — Zipf keeps the
+    vocabulary broadcastable, and the one-row corpus count broadcasts.
+    The per-doc top-k is a WindowGroupLimit: rank-filter pushes the
+    k-limit into the window sort, so no doc materializes its full
+    vocabulary past the operator.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_units",
+            F.expr("(tf * (n_docs + 1) * 1000000) div (df + 1)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_units"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "term_rank",
+            "token",
+            F.round(F.col("score_units") / 1000000.0, 6).alias("tfidf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+# fixed keyword query; one conditional-pivot column per term keeps the
+# score's summation order FIXED (q1 + q2 + q3), never group-order float
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+          FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    a AS (SELECT SUM(dl) / (SELECT n_docs FROM n) AS avgdl FROM d),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM tokens WHERE token IN {_BM25_TERMS!r}
+           GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    terms AS (
+        SELECT tf.doc_id,
+               COALESCE(SUM(((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * ({_BM25_K1} + 1.0))
+                      / (tf.tf + {_BM25_K1}
+                         * ((1.0 - {_BM25_B})
+                            + ({_BM25_B} * (d.dl / a.avgdl))))))
+                   FILTER (WHERE tf.token = '{_BM25_TERMS[0]}'), 0.0)
+                 + COALESCE(SUM(((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * ({_BM25_K1} + 1.0))
+                      / (tf.tf + {_BM25_K1}
+                         * ((1.0 - {_BM25_B})
+                            + ({_BM25_B} * (d.dl / a.avgdl))))))
+                   FILTER (WHERE tf.token = '{_BM25_TERMS[1]}'), 0.0)
+                 + COALESCE(SUM(((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * ({_BM25_K1} + 1.0))
+                      / (tf.tf + {_BM25_K1}
+                         * ((1.0 - {_BM25_B})
+                            + ({_BM25_B} * (d.dl / a.avgdl))))))
+                   FILTER (WHERE tf.token = '{_BM25_TERMS[2]}'), 0.0)
+                   AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN d ON tf.doc_id = d.doc_id
+        CROSS JOIN n CROSS JOIN a
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_units,
+           ROUND(score, 6) AS bm25
+    FROM terms
+    ORDER BY score_units DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval of the top-15 documents for a
+    fixed keyword query.
+
+    Determinism: the score uses only +,-,*,/ doubles (the log-free
+    idf ratio (N-df+0.5)/(df+0.5)) with identical parenthesization on
+    both engines, and the per-term weights are summed in FIXED term
+    order via conditional aggregates — so the double is bit-identical
+    cross-engine and the 1e-6 unit ranking cannot straddle.
+
+    Scale: tokens filter to the 3 query terms AT THE EXPLODE (the
+    IN-predicate prunes before any shuffle), so tf's shuffle carries
+    only query-term hits; df and the two corpus scalars broadcast;
+    top-k is TakeOrderedAndProject.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(words(F.col("text"))).cast("double").alias("dl")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = d.join(F.broadcast(n_docs)).agg(
+        (F.sum("dl") / F.first("n_docs")).alias("avgdl")
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    ).filter(F.col("token").isin(*_BM25_TERMS))
+    tf = tokens.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_counts = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    def term_weight(term: str):
+        # parenthesization mirrors _bm25_term_sql exactly
+        idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+            F.col("tf")
+            + _BM25_K1
+            * ((1.0 - _BM25_B) + (_BM25_B * (F.col("dl") / F.col("avgdl"))))
+        )
+        return F.coalesce(
+            F.sum(F.when(F.col("token") == term, idf * tf_part)), F.lit(0.0)
+        )
+
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .join(d, "doc_id")
+        .join(F.broadcast(n_docs))
+        .join(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            (
+                term_weight(_BM25_TERMS[0])
+                + term_weight(_BM25_TERMS[1])
+                + term_weight(_BM25_TERMS[2])
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.floor(F.col("score") * 1000000 + 0.5).cast("bigint").alias(
+                "score_units"
+            ),
+            F.round("score", 6).alias("bm25"),
+        )
+        .orderBy(F.desc("score_units"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    uni AS (SELECT token, count(*) AS c FROM tokens GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM uni),
+    bi AS (
+        SELECT u.x AS bigram, count(*) AS c_xy
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents) s,
+             unnest(list_transform(range(1, len(s.ws)),
+                                   i -> s.ws[i] || ' ' || s.ws[i + 1])) AS u(x)
+        GROUP BY 1
+    ),
+    b AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS total_bi FROM bi),
+    lifted AS (
+        SELECT string_split(bi.bigram, ' ')[1] AS w1,
+               string_split(bi.bigram, ' ')[2] AS w2,
+               bi.c_xy,
+               ((bi.c_xy / b.total_bi)
+                / ((u1.c / t.total) * (u2.c / t.total))) AS lift
+        FROM bi
+        JOIN uni u1 ON string_split(bi.bigram, ' ')[1] = u1.token
+        JOIN uni u2 ON string_split(bi.bigram, ' ')[2] = u2.token
+        CROSS JOIN t CROSS JOIN b
+        WHERE bi.c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy AS pair_count,
+           CAST(floor(lift * 10000 + 0.5) AS BIGINT) AS lift_units,
+           ROUND(lift, 4) AS lift
+    FROM lifted
+    ORDER BY lift_units DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word collocations by pointwise-mutual-information LIFT
+    (p(x,y)/(p(x)p(y)) — the exp of PMI, log-free so the ranking stays
+    in deterministic +,*,/ double arithmetic; same ordering as PMI
+    because exp is monotone).
+
+    Scale: bigrams are formed per-row with zip_with (zero shuffle),
+    then one bigram-keyed count shuffle (map-side combined) and one
+    unigram count shuffle; unigram vocabulary broadcasts back onto
+    the bigram table twice (w1, w2); the two corpus totals are one-row
+    broadcasts. min-count 5 prunes the tail before the joins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    bi = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy")).filter(
+        F.col("c_xy") >= _PMI_MIN_COUNT
+    )
+    tokens = docs.select(F.explode(ws).alias("token"))
+    uni = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("total"))
+    total_bi_all = bigrams.agg(F.count(F.lit(1)).cast("double").alias("total_bi"))
+    split_col = F.split(F.col("bigram"), " ")
+    lifted = (
+        bi.withColumn("w1", split_col.getItem(0))
+        .withColumn("w2", split_col.getItem(1))
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .join(F.broadcast(total))
+        .join(F.broadcast(total_bi_all))
+        .withColumn(
+            "lift",
+            (F.col("c_xy") / F.col("total_bi"))
+            / ((F.col("c1") / F.col("total")) * (F.col("c2") / F.col("total"))),
+        )
+    )
+    return (
+        lifted.select(
+            "w1",
+            "w2",
+            F.col("c_xy").alias("pair_count"),
+            F.floor(F.col("lift") * 10000 + 0.5).cast("bigint").alias("lift_units"),
+            F.round("lift", 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift_units"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram scrubbing
+# --------------------------------------------------------------------------
+
+_BOILER_N = 5
+# a gram is boilerplate when it appears in >= 5% of documents —
+# fraction-based so the operator is scale-invariant
+_BOILER_DF_FRAC = 0.05
+
+
+@query(
+    "corpus_boilerplate_scrub",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) - {_BOILER_N - 2}),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i : i + {_BOILER_N - 1}], ' ')
+               )) AS gram
+        FROM documents
+    ),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    df AS (SELECT gram, count(*) AS df FROM gd GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (SELECT gram FROM df CROSS JOIN n
+               WHERE df >= CAST(ceil(n_docs * {_BOILER_DF_FRAC}) AS BIGINT)),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler_grams
+        FROM g LEFT JOIN boiler b ON g.gram = b.gram
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_boiler_grams,
+           ROUND(n_boiler_grams * 1.0 / n_grams, 6) AS boiler_ratio,
+           CASE WHEN n_boiler_grams * 2 > n_grams THEN 'DROP'
+                ELSE 'KEEP' END AS verdict
+    FROM per_doc
+    """,
+)
+def corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word 5-grams occurring in >= 5%
+    of documents are template text (nav bars, license headers); each
+    document reports its boilerplate-gram ratio and a KEEP/DROP
+    verdict (>50% boilerplate drops). Corpus-internal df-based
+    scrubbing — distinct from pairwise span dedup
+    (dedup_substring_spans) and eval decontamination
+    (decontaminate_eval_overlap), which key on other corpora.
+
+    Scale: grams form per-row (zero shuffle); the df aggregate
+    shuffles 16-byte-bounded gram strings once with a per-doc
+    DISTINCT pre-pass; the boilerplate set is tiny by construction
+    (df >= 5% of corpus) so it BROADCASTS back against the gram
+    stream — the corpus is never re-shuffled. The ratio is a
+    per-doc count over its own grams, map-side combinable.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs
+    # must map to an empty gram list (DuckDB's range(1, n) is already
+    # empty there)
+    gram_list = F.when(
+        F.size(ws) >= _BOILER_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (_BOILER_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(_BOILER_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(gram_list).alias("gram"))
+    df_counts = (
+        grams.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        df_counts.join(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            >= F.ceil(F.col("n_docs") * _BOILER_DF_FRAC).cast("bigint")
+        )
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(
+            F.broadcast(boiler.withColumn("is_boiler", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler_grams",
+        F.round(F.col("n_boiler_grams") * 1.0 / F.col("n_grams"), 6).alias(
+            "boiler_ratio"
+        ),
+        F.when(
+            F.col("n_boiler_grams") * 2 > F.col("n_grams"), "DROP"
+        )
+        .otherwise("KEEP")
+        .alias("verdict"),
+    )

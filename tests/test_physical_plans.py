@@ -514,3 +514,95 @@ def test_kmv_sketch_uses_group_limit(spark, sf_dir):
     ).collect():
         err = abs(r["kmv_estimate"] - r["n_exact"]) / max(r["n_exact"], 1)
         assert err < 0.40, (r["event_type"], r["kmv_estimate"], r["n_exact"])
+
+
+def test_q2_analog_window_min_single_pass(spark, sf_dir):
+    """cheapest_supplier_per_part must find the per-part minimum with
+    ONE window pass over the offer aggregate — a re-aggregate +
+    self-join would scan lineitem twice — and finish with a partial
+    top-k, with part/supplier/nation as broadcasts."""
+    plan = formatted_plan(spark, "cheapest_supplier_per_part", sf_dir)
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 1, true_windows
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    li_scans = re.findall(r"lineitem", plan)
+    assert len(li_scans) <= 2, "lineitem must be scanned exactly once"
+
+
+def test_q6_analog_pure_scan_aggregate(spark, sf_dir):
+    """discount_revenue_opportunity is the canonical scan probe: every
+    predicate reaches PushedFilters and the ReadSchema carries exactly
+    the four referenced columns."""
+    plan = formatted_plan(spark, "discount_revenue_opportunity", sf_dir)
+    pushed = " ".join(pushed_filters(plan))
+    for colname in ("l_shipdate", "l_discount", "l_quantity"):
+        assert colname in pushed, pushed
+    schemas = read_schemas(plan)
+    assert len(schemas) == 1, "one table, one scan"
+    assert schemas[0].count(",") == 3, schemas[0]  # exactly 4 columns
+
+
+def test_scalar_threshold_queries_share_one_fact_scan(spark, sf_dir):
+    """Q11/Q15 analogs rejoin their own aggregate against a global
+    scalar (threshold / max). The lazy localCheckpoint must truncate
+    the lineage so BOTH consumers read the materialized aggregate —
+    the formatted plan shows ExistingRDD scans and NO lineitem parquet
+    scan (lineitem is read once, inside the checkpointed RDD)."""
+    for name in ("top_value_partkeys", "top_revenue_supplier"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "ExistingRDD" in plan, name
+        assert not re.search(r"lineitem", plan), (
+            f"{name}: lineitem re-scanned outside the checkpointed aggregate"
+        )
+
+
+def test_q16_analog_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """The NOT-IN supplier exclusion must compile to a broadcast LEFT
+    ANTI probe (non-null key), never a shuffled subquery join."""
+    plan = formatted_plan(spark, "supplier_variety_by_part_attrs", sf_dir)
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan), plan[:2500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_analog_window_share_single_aggregate(spark, sf_dir):
+    """excess_shipping_suppliers computes part totals with one window
+    over the (partkey, suppkey) aggregate — not a second aggregate
+    joined back — and broadcasts part/supplier/nation."""
+    plan = formatted_plan(spark, "excess_shipping_suppliers", sf_dir)
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 1, true_windows
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 rank filter must push into the window sort
+    (WindowGroupLimit) — no document materializes its full vocabulary
+    past the operator."""
+    plan = formatted_plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir):
+    """The query-term IN filter must apply at the token explode —
+    before the tf aggregate's exchange — so the shuffle carries only
+    query-term hits; top-k is a partial TakeOrderedAndProject."""
+    plan = formatted_plan(spark, "text_bm25_search", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the token IN filter must sit DIRECTLY above the explode's
+    # Generate node (tree renders child below parent), pruning
+    # non-query tokens before any exchange
+    assert re.search(r"Filter \(\d+\)\s*\n[^\n]*\+- Generate \(\d+\)", plan), (
+        plan[:2500]
+    )
+
+
+def test_pmi_and_boilerplate_broadcast_vocab(spark, sf_dir):
+    """PMI joins the unigram vocabulary back twice and boilerplate
+    joins its gram set back — all as broadcasts (Zipf keeps both
+    sides small); the corpus token/gram stream is never re-shuffled
+    for the join."""
+    for name in ("text_pmi_collocations", "corpus_boilerplate_scrub"):
+        plan = formatted_plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
