@@ -226,6 +226,100 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_DUCK_LSH_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM lsh_pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_size,
+           CAST(sa.n + sb.n - COALESCE(i.i, 0) AS BIGINT) AS union_size,
+           (COALESCE(i.i, 0) * 1000000
+              // (sa.n + sb.n - COALESCE(i.i, 0))) / 1000000.0 AS jaccard,
+           COALESCE(i.i, 0) * 2 >= sa.n + sb.n - COALESCE(i.i, 0) AS verified
+    FROM lsh_pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 production shape: LSH gives CANDIDATES, not duplicates — a
+    band collision at 16 permutations has a real false-positive rate,
+    so the pipeline every large corpus actually runs is candidates ->
+    exact set-Jaccard verification on just those pairs. This query is
+    that second stage: for every LSH candidate pair, the exact
+    3-shingle intersection / union sizes, the quantized Jaccard
+    ((i * 1e6) div union / 1e6 — integer division, cross-engine
+    exact), and the verified flag at J >= 0.5 via the integer
+    cross-multiply 2*i >= union.
+
+    A left join keeps candidates with an empty intersection (possible
+    only via md5 band-key collision) as verified=false evidence rather
+    than silently dropping them.
+
+    Scale: the exact-Jaccard join — quadratic if run corpus-wide — is
+    restricted to the LSH collision set, which is O(near-dup pairs),
+    a vanishing fraction of the corpus. The candidate pair list
+    broadcasts onto the shingle stream; the intersection count
+    shuffles (doc_a, doc_b) pair keys only.
+    """
+    # lazy checkpoint: cand feeds three consumers (doc filter, pair
+    # broadcast, final assembly) — one LSH run, not three; eager=False
+    # keeps query construction side-effect-free (laziness discipline)
+    cand = (
+        _lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sh = D.shingles(_aug_docs(spark, sf_dir), distinct=True)
+    # restrict the shingle stream to docs that appear in ANY candidate
+    # pair BEFORE anything shuffles — the corpus never re-shuffles
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle").join(
+        F.broadcast(cand), "doc_a"
+    )
+    inter = (
+        a_sh.join(
+            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    union = F.col("na") + F.col("nb") - i0
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            i0.cast("bigint").alias("inter_size"),
+            union.cast("bigint").alias("union_size"),
+            (F.expr("coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))")
+             / F.lit(1000000.0)).alias("jaccard"),
+            (i0 * 2 >= union).alias("verified"),
+        )
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH aug AS ({_DUCK_AUG}),

@@ -671,3 +671,73 @@ def decontaminate_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_N_SHARDS = 64
+
+
+@query(
+    "corpus_shard_balance",
+    oracle=f"""
+    WITH s AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   % {_N_SHARDS} AS shard_id,
+               n_chars
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           (SUM(n_chars) * 1000000
+              // SUM(SUM(n_chars)) OVER ()) / 1000000.0 AS chars_share,
+           (SUM(n_chars) * {_N_SHARDS} * 1000
+              // SUM(SUM(n_chars)) OVER ()) / 1000.0 AS balance_ratio
+    FROM s GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path shard audit: assign every document to one of 64
+    output shards by the engine-wide md5-prefix hash of its doc_id
+    (deterministic, engine-independent — the same document lands in
+    the same shard on any writer), then report per-shard doc count,
+    byte mass, share, and balance_ratio = shard mass / ideal mass
+    (1.000 = perfectly balanced). The audit a pipeline runs BEFORE
+    committing a 100 TB shard layout: a ratio far from 1 on a hot
+    shard means stragglers at training time.
+
+    Exactness: shares and ratios are integer divisions of exact
+    BIGINT sums — never a float ratio.
+
+    Scale: one narrow projection scan (doc_id, n_chars only —
+    ReadSchema-prunable), one 64-key aggregate with map-side combine;
+    the window totals run over 64 rows. The md5 route means shard
+    keys are uniform regardless of doc_id distribution — no salting
+    needed on the write path itself.
+    """
+    from env_data_pipeline_spark.extensions import text as TX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = docs.select(
+        (TX.md5_prefix_hash(F.col("doc_id").cast("string")) % _N_SHARDS).alias(
+            "shard_id"
+        ),
+        "n_chars",
+    )
+    g = s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        g.withColumn(
+            "chars_share",
+            F.expr("n_chars * 1000000 div sum(n_chars) over ()")
+            / F.lit(1000000.0),
+        )
+        .withColumn(
+            "balance_ratio",
+            F.expr(f"n_chars * {_N_SHARDS} * 1000 div sum(n_chars) over ()")
+            / F.lit(1000.0),
+        )
+        .orderBy("shard_id")
+    )

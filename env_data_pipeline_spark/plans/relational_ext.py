@@ -1513,3 +1513,341 @@ def events_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    per_day AS (
+        SELECT first_day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM per_day
+    ORDER BY day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative distinct users via the first-seen trick: the
+    running COUNT(DISTINCT user) up to each day equals the count of
+    users whose FIRST event is on or before it — one per-user MIN plus
+    a day-grain running sum, O(users), instead of the quadratic
+    re-count a naive cumulative distinct would do per day.
+
+    Scale: the user MIN aggregate is the only data-sized shuffle
+    (map-side combined); per_day is |days| rows, so the unpartitioned
+    running-sum window is a few hundred rows on one task — bounded by
+    calendar length, not data volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    bought together in one order.
+
+    The oracle writes the textbook self-join; the engine instead
+    builds each order's sorted distinct part set ONCE and expands
+    ordered pairs with nested array HOFs — the pair blow-up is
+    bounded by basket size squared (baskets are small by nature), and
+    the self-join's second shuffle of the order-part table disappears.
+    Single-part orders map to an empty pair list (Spark's sequence()
+    DESCENDS when stop < start, so the guard is load-bearing).
+
+    Scale: one orderkey shuffle to build baskets, one pair-count
+    shuffle (map-side combined, pairs ~ baskets * k^2/2), top-20 via
+    TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pk")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.when(
+                F.size("pk") >= 2,
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(pk) - 2), i ->
+                        transform(sequence(i + 1, size(pk) - 1), j ->
+                            struct(pk[i] AS part_a, pk[j] AS part_b))))
+                    """
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<part_a:bigint,part_b:bigint>>")
+            )
+        ).alias("pair")
+    ).select("pair.part_a", "pair.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT DISTINCT ud.day + CAST(r.range AS INTEGER) AS w_day, ud.user_id
+        FROM ud, range(7) r
+    )
+    SELECT strftime(c.w_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS active_users_7d
+    FROM contrib c JOIN days d ON c.w_day = d.day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day (the WAU
+    curve), via contribution expansion instead of a per-day re-count:
+    each (user, active day) pair contributes membership to the seven
+    windows it falls in, so the rolling distinct is an ordinary
+    COUNT(*) after a (window_day, user) dedup — no day-by-day DISTINCT
+    re-scan, no range self-join of the raw event log.
+
+    Days with zero events in the trailing week of another day do not
+    appear; the report is restricted to days that themselves have
+    events (broadcast semi join with the tiny day list).
+
+    Scale: the expansion factor is the constant window length (7), the
+    (w_day, user) dedup is the one data-sized shuffle (map-side
+    combinable), and the final per-day count is |days| rows. The naive
+    form — COUNT(DISTINCT user) OVER (RANGE 6 PRECEDING) — cannot
+    partial-aggregate and holds per-day user sets in one task's state;
+    this form is the 100 TB rewrite.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("w_day"),
+        "user_id",
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), contrib["w_day"] == days["day"], "left_semi")
+        .groupBy("w_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+        .select(
+            F.date_format("w_day", "yyyy-MM-dd").alias("day"), "active_users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH tr AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS transitions
+        FROM tr WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(transitions AS BIGINT) AS transitions,
+           (transitions * 1000000
+              // SUM(transitions) OVER (PARTITION BY from_type))
+             / 1000000.0 AS share
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for
+    every (from_type, to_type) adjacent pair in a user's timeline,
+    the transition count and its share of all transitions leaving
+    from_type. The per-user ordering key is (ts, event_id) — event_id
+    is unique, so LAG is deterministic cross-engine even under
+    same-timestamp bursts.
+
+    Float discipline: share = (count * 1e6 div from-total) / 1e6 —
+    exact integer division on both engines, never a float ratio that
+    could round differently.
+
+    Scale: one user-keyed window exchange (the same partitioning the
+    sessionization family uses), then the transition count collapses
+    to |event_types|^2 rows, over which the from-total window is free.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    cnts = tr.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    wtot = Window.partitionBy("from_type")
+    return (
+        cnts.withColumn(
+            "share",
+            F.expr("transitions * 1000000 div sum(transitions) over "
+                   "(partition by from_type)") / F.lit(1000000.0),
+        )
+        .select("from_type", "to_type", "transitions", "share")
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "orders_mad_outliers",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+               CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS u
+        FROM orders
+    ),
+    m AS (
+        SELECT priority, u AS med FROM (
+            SELECT priority, u,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY priority ORDER BY u, orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY priority) AS cnt
+            FROM u)
+        WHERE rn = (cnt + 1) // 2
+    ),
+    a AS (
+        SELECT u.priority, u.orderkey, u.u, m.med,
+               abs(u.u - m.med) AS ad
+        FROM u JOIN m USING (priority)
+    ),
+    md AS (
+        SELECT priority, ad AS mad FROM (
+            SELECT priority, ad,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY priority ORDER BY ad, orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY priority) AS cnt
+            FROM a)
+        WHERE rn = (cnt + 1) // 2
+    )
+    SELECT a.priority, a.orderkey,
+           a.u / 10000.0 AS totalprice,
+           a.med / 10000.0 AS median_price,
+           md.mad / 10000.0 AS mad_price,
+           a.ad / 10000.0 AS abs_dev
+    FROM a JOIN md USING (priority)
+    WHERE a.ad > 5 * md.mad
+    ORDER BY a.ad DESC, a.orderkey
+    LIMIT 20
+    """,
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price-outlier report: the 20 orders whose totalprice
+    deviates from their priority class's MEDIAN by more than 5x the
+    class's median absolute deviation (MAD). Median/MAD instead of
+    mean/stddev so a handful of extreme orders cannot drag the fence
+    they are judged against (the z-score query's known weakness).
+
+    Exactness: prices fold to round-half-up 1e-4 integer units first;
+    both medians are LOWER medians selected by rank — rn == (cnt+1)
+    div 2 with a unique (value, orderkey) sort — so every compared
+    quantity is an exact integer on both engines; the 5x fence is an
+    integer multiply, never a 1.4826 float factor.
+
+    Scale: exact per-group order statistics need an in-group sort, and
+    o_orderpriority has only 5 values — this plan accepts that skew at
+    report grain because it reads ONE narrow projection. At 100 TB the
+    engine's mergeable-histogram percentiles (plans/incremental.py,
+    `histogram_percentiles`) answer the same question at bin
+    resolution without a global sort; this query is the exact-answer
+    small-dims analytics path, documented as such.
+    """
+    orders = table(spark, sf_dir, "orders")
+    u = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        _units(F.col("o_totalprice")).alias("u"),
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w_rn = Window.partitionBy("priority").orderBy(val, "orderkey")
+        w_p = Window.partitionBy("priority")
+        return (
+            df.withColumn("rn", F.row_number().over(w_rn))
+            .withColumn("cnt", F.count(F.lit(1)).over(w_p))
+            .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+            .select("priority", F.col(val).alias(out))
+        )
+
+    med = lower_median(u, "u", "med")
+    a = u.join(F.broadcast(med), "priority").withColumn(
+        "ad", F.abs(F.col("u") - F.col("med"))
+    )
+    mad = lower_median(a, "ad", "mad")
+    return (
+        a.join(F.broadcast(mad), "priority")
+        .where(F.col("ad") > 5 * F.col("mad"))
+        .select(
+            "priority",
+            "orderkey",
+            (F.col("u") / 10000.0).alias("totalprice"),
+            (F.col("med") / 10000.0).alias("median_price"),
+            (F.col("mad") / 10000.0).alias("mad_price"),
+            (F.col("ad") / 10000.0).alias("abs_dev"),
+        )
+        .orderBy(F.desc(F.col("abs_dev")), "orderkey")
+        .limit(20)
+    )
+
+
+# headline-bench nominee: the zero-join HOF pair expansion is a plan
+# shape nothing else in the suite times
+BENCH_EXTRA.add("market_basket_part_pairs")

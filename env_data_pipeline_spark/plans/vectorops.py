@@ -758,3 +758,203 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_IVFPQ_SHORTLIST,
         quant=float(_QGRID),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic outlier filtering: distance to label centroid
+# --------------------------------------------------------------------------
+
+_OUT_DIM = 64
+_OUT_TOPK = 50
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT e.vec_id, e.label, r.range AS pos,
+               -- CAST to DOUBLE first: DuckDB would otherwise run
+               -- FLOAT * INT in float32 and floor a different product
+               -- than Spark's double math
+               CAST(floor(CAST(e.embedding[r.range + 1] AS DOUBLE)
+                          * {_QGRID}) AS BIGINT) AS qval
+        FROM embeddings e, range({_OUT_DIM}) r
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(floor(SUM(qval) / COUNT(*)) AS BIGINT) AS cq
+        FROM q GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT q.vec_id, q.label,
+               CAST(SUM((q.qval - c.cq) * (q.qval - c.cq)) AS BIGINT)
+                   AS dist2_u
+        FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           -- 6-dp via exact integer truncation (ROUND on the double
+           -- ties differently across engines at the last digit)
+           (dist2_u // {_QGRID}) / {_QGRID}.0 AS dist2
+    FROM dist
+    ORDER BY dist2_u DESC, vec_id
+    LIMIT {_OUT_TOPK}
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier filter for corpus curation: squared L2
+    distance of every vector to its LABEL centroid; the top-50
+    farthest vectors are the mislabeled / off-distribution candidates
+    a curation pipeline reviews or drops.
+
+    Float discipline: components floor-quantize to the 1e-6 integer
+    grid PER ROW, the centroid is floor(SUM(bigint)/COUNT) (one
+    deterministic IEEE division of exact integers — the
+    grid_mean_vectors discipline, extensions/similarity.py), and the
+    distance is pure bigint arithmetic — the ranking never touches an
+    order-dependent float.
+
+    Scale: the long-form explode shuffles (label, dim) partial sums
+    map-side; the centroid table is |labels| x dim rows (640 here —
+    broadcastable at any corpus size since labels are bounded), so
+    vectors are never re-shuffled: the distance pass is a broadcast
+    equi-join + per-vector aggregate; top-50 is TakeOrderedAndProject.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        # double literal so the float32 component promotes to DOUBLE
+        # before the multiply (an int literal would keep float32 math
+        # and drift from the oracle's double)
+        F.floor(F.col("val") * F.lit(float(_QGRID))).cast("bigint").alias("qval"),
+    )
+    cent = (
+        q.groupBy("label", "pos")
+        .agg(F.sum("qval").alias("s"), F.count("qval").alias("n"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.col("pos").alias("c_pos"),
+            F.floor(F.col("s") / F.col("n")).cast("bigint").alias("cq"),
+        )
+    )
+    diff = F.col("qval") - F.col("cq")
+    return (
+        q.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("c_label")) & (F.col("pos") == F.col("c_pos")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist2_u"))
+        .select(
+            "vec_id",
+            "label",
+            (F.expr(f"dist2_u div {_QGRID}") / F.lit(float(_QGRID))).alias("dist2"),
+            F.col("dist2_u"),
+        )
+        .orderBy(F.desc("dist2_u"), "vec_id")
+        .limit(_OUT_TOPK)
+        .drop("dist2_u")
+    )
+
+
+@query(
+    "embedding_centroid_confusion",
+    oracle=f"""
+    WITH q AS (
+        SELECT e.vec_id, e.label, r.range AS pos,
+               CAST(floor(CAST(e.embedding[r.range + 1] AS DOUBLE)
+                          * {_QGRID}) AS BIGINT) AS qval
+        FROM embeddings e, range({_OUT_DIM}) r
+    ),
+    cent AS (
+        SELECT label AS c_label, pos,
+               CAST(floor(SUM(qval) / COUNT(*)) AS BIGINT) AS cq
+        FROM q GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT q.vec_id, q.label AS true_label, c.c_label,
+               CAST(SUM((q.qval - c.cq) * (q.qval - c.cq)) AS BIGINT) AS dist2
+        FROM q JOIN cent c ON q.pos = c.pos
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT vec_id, true_label, c_label AS pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+            FROM d)
+        WHERE rn = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n,
+           (COUNT(*) * 1000000
+              // SUM(COUNT(*)) OVER (PARTITION BY true_label))
+             / 1000000.0 AS share
+    FROM pred GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit as a confusion matrix: assign every vector
+    to its NEAREST label centroid (squared L2 on the 1e-6 integer
+    grid) and cross-tabulate predicted vs true label with row-share.
+    Off-diagonal mass localizes label noise to specific class pairs —
+    the aggregate view of what embedding_label_outliers reports
+    per-vector.
+
+    Exactness: same grid discipline as the outlier query (per-row
+    floor-quantize, centroid = floor(SUM/COUNT) of exact integers,
+    pure-bigint distances); the argmin tie-breaks on the smaller
+    label via min(struct(dist2, c_label)) — replayed in the oracle as
+    ROW_NUMBER ordered by (dist2, c_label). The share is integer
+    division on counts.
+
+    Scale: the centroid table is |labels| x dim = 640 rows —
+    broadcast; the all-centroid distance pass expands each (vec, pos)
+    row by |labels| (bounded, 10), aggregates map-side to |vecs| x
+    |labels| partials, and the argmin is a map-side min(struct) — no
+    window over data-sized input; the matrix itself is |labels|^2.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val") * F.lit(float(_QGRID))).cast("bigint").alias("qval"),
+    )
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(F.sum("qval").alias("s"), F.count("qval").alias("cn"))
+        .select(
+            "c_label",
+            F.col("pos").alias("c_pos"),
+            F.floor(F.col("s") / F.col("cn")).cast("bigint").alias("cq"),
+        )
+    )
+    diff = F.col("qval") - F.col("cq")
+    d = (
+        q.join(F.broadcast(cent), F.col("pos") == F.col("c_pos"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist2"))
+    )
+    pred = (
+        d.groupBy("vec_id", F.col("label").alias("true_label"))
+        .agg(F.min(F.struct("dist2", "c_label")).alias("m"))
+        .select("true_label", F.col("m.c_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share",
+            F.expr("n * 1000000 div sum(n) over (partition by true_label)")
+            / F.lit(1000000.0),
+        )
+        .orderBy("true_label", "pred_label")
+    )

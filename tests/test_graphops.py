@@ -1,0 +1,108 @@
+"""Independent (non-oracle) references for the graphops kernels: a
+pure-Python power iteration and Counter-based skew stats on tiny
+fixtures — third-party to BOTH the Spark plan and the DuckDB replay,
+so a shared design bug in the two cannot hide."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter, defaultdict
+
+from env_data_pipeline_spark.plans.graphops import (
+    _PR_ITERS,
+    _PR_MASS,
+    join_key_skew_profile,
+    part_pagerank_copurchase,
+)
+
+BASKETS = [
+    (100, (1, 2, 3)),
+    (200, (1, 2)),
+    (300, (2, 4)),
+    (400, (3, 4, 5)),
+    (500, (2, 3)),
+]
+
+
+def _write_lineitem(spark, tmp_path):
+    rows = [(o, p) for o, parts in BASKETS for p in parts]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _ref_pagerank():
+    edges = set()
+    for _, parts in BASKETS:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg = Counter(s for s, _ in edges)
+    n = len(deg)
+    base_unit = _PR_MASS // n
+    base = (15 * base_unit) // 100
+    rank = {v: base_unit for v in deg}
+    for _ in range(_PR_ITERS):
+        contrib = {v: rank[v] // deg[v] for v in deg}
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += contrib[s]
+        rank = {v: base + (85 * inc[v]) // 100 for v in deg}
+    return deg, rank
+
+
+def test_pagerank_matches_python_power_iteration(spark, tmp_path):
+    _write_lineitem(spark, tmp_path)
+    got = {
+        r["partkey"]: (r["n_neighbors"], r["rank_units"])
+        for r in part_pagerank_copurchase(spark, str(tmp_path)).collect()
+    }
+    deg, rank = _ref_pagerank()
+    assert got == {v: (deg[v], rank[v]) for v in deg}
+
+
+def test_pagerank_hub_outranks_leaf(spark, tmp_path):
+    """Part 2 (4 neighbors, in 3 baskets) must outrank part 5 (2
+    neighbors, 1 basket) — the signal PageRank exists to extract."""
+    _write_lineitem(spark, tmp_path)
+    rows = part_pagerank_copurchase(spark, str(tmp_path)).collect()
+    rank = {r["partkey"]: r["rank_units"] for r in rows}
+    assert rank[2] > rank[5]
+    # output is rank-descending with partkey tie-break
+    units = [(-r["rank_units"], r["partkey"]) for r in rows]
+    assert units == sorted(units)
+
+
+def test_skew_profile_matches_counter(spark, tmp_path):
+    _write_lineitem(spark, tmp_path)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [(i, t0, uid) for i, uid in enumerate([7, 7, 7, 8, 9])]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    od = [(i, ck) for i, ck in enumerate([1, 1, 2, 3])]
+    spark.createDataFrame(od, "o_orderkey long, o_custkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {
+        r["table_name"]: r
+        for r in join_key_skew_profile(spark, str(tmp_path)).collect()
+    }
+    r = rows["events"]
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"], r["hot_key"]) == (
+        5, 3, 3, 7,
+    )
+    assert r["hot_to_mean"] == (3 * 3 * 1000 // 5) / 1000.0
+    # lineitem: part 2 appears in 4 baskets, part 3 in 3
+    li_counts = Counter(p for _, parts in BASKETS for p in parts)
+    r = rows["lineitem"]
+    assert r["max_cnt"] == max(li_counts.values())
+    assert r["hot_key"] == min(
+        k for k, v in li_counts.items() if v == r["max_cnt"]
+    )
+    r = rows["orders"]
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"], r["hot_key"]) == (
+        4, 3, 2, 1,
+    )

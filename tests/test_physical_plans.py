@@ -69,6 +69,13 @@ NESTED_LOOP_OK = {
     "collect_event_id_coordination",
     "idle_rich_customers",  # 1-row positive-balance scalar broadcast into customer
     "events_funnel_conversion",  # three 1-row step counts cross-joined into one row
+    "top_value_partkeys",  # 1-row global HAVING threshold broadcast (Q11)
+    # lexical statistics: the corpus scalars (N docs, avg doc length)
+    # are one-row broadcasts into the token stream by design
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "corpus_boilerplate_scrub",
 }
 
 HEADLINE = [
@@ -606,3 +613,105 @@ def test_pmi_and_boilerplate_broadcast_vocab(spark, sf_dir):
     for name in ("text_pmi_collocations", "corpus_boilerplate_scrub"):
         plan = formatted_plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_embedding_outliers_broadcast_centroids(spark, sf_dir):
+    """The label-centroid table (|labels| x dim rows) must broadcast
+    back onto the long-form vector stream — vectors are never
+    re-shuffled for the distance pass; top-50 is a partial top-k."""
+    plan = formatted_plan(spark, "embedding_label_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cumulative_distinct_users_single_window(spark, sf_dir):
+    """First-seen trick: one user-keyed aggregate then a day-grain
+    running sum — exactly one Window node over the tiny per-day
+    table, never a per-day distinct re-count."""
+    plan = formatted_plan(spark, "events_cumulative_distinct_users", sf_dir)
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 1, true_windows
+
+
+def test_market_basket_has_no_join(spark, sf_dir):
+    """The pair expansion must come from per-order array HOFs — the
+    plan contains NO join operator at all (the oracle's self-join
+    would shuffle the order-part table twice)."""
+    plan = formatted_plan(spark, "market_basket_part_pairs", sf_dir)
+    assert "Join" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_7d_users_no_window(spark, sf_dir):
+    """The WAU rewrite must be pure aggregate algebra: contribution
+    expansion + dedup, NEVER a running COUNT DISTINCT window (which
+    cannot partial-aggregate); the day list joins back as a broadcast
+    semi join."""
+    plan = formatted_plan(spark, "events_rolling_7d_active_users", sf_dir)
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_transition_matrix_single_data_window(spark, sf_dir):
+    """One user-keyed LAG pass over the data; the from-type share
+    window runs over the tiny |types|^2 count table."""
+    plan = formatted_plan(spark, "events_transition_matrix", sf_dir)
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 2, true_windows  # LAG + tiny share window
+
+
+def test_mad_outliers_broadcast_fences(spark, sf_dir):
+    """Median and MAD fence tables (5 rows each) broadcast back onto
+    the order stream; the report is a partial top-k."""
+    plan = formatted_plan(spark, "orders_mad_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_verified_pairs_semi_restricts_corpus(spark, sf_dir):
+    """The exact-Jaccard verify stage must touch ONLY candidate docs:
+    the shingle stream is semi-join-restricted by the broadcast
+    candidate doc set before any pair work shuffles."""
+    plan = formatted_plan(spark, "dedup_lsh_verified_pairs", sf_dir)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_confusion_no_window_argmin(spark, sf_dir):
+    """Nearest-centroid assignment is a map-side min(struct) — no
+    Window node over data-sized input; centroids broadcast."""
+    plan = formatted_plan(spark, "embedding_centroid_confusion", sf_dir)
+    data_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    # the only Window allowed is the |labels|^2-row share window
+    assert len(data_windows) <= 1, data_windows
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_balance_prunes_scan(spark, sf_dir):
+    """The shard audit reads (doc_id, n_chars) ONLY — the text column
+    must not appear in the parquet ReadSchema."""
+    plan = formatted_plan(spark, "corpus_shard_balance", sf_dir)
+    m = re.search(r"ReadSchema: [^\n]*documents[^\n]*", plan) or re.search(
+        r"ReadSchema: [^\n]*", plan
+    )
+    assert m and "text" not in m.group(0), m.group(0) if m else plan[:500]
+
+
+def test_pagerank_broadcast_rank_state(spark, sf_dir):
+    """Each power iteration distributes contributions via a BROADCAST
+    of the |parts|-sized rank/contrib table onto the edge stream —
+    the edge set itself is never re-partitioned per iteration, and no
+    Window node appears anywhere."""
+    plan = formatted_plan(spark, "part_pagerank_copurchase", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_profile_prunes_scans(spark, sf_dir):
+    """The skew audit reads exactly one key column per table — the
+    events leg's ReadSchema must carry user_id only."""
+    plan = formatted_plan(spark, "join_key_skew_profile", sf_dir)
+    m = re.search(r"ReadSchema: [^\n]*user_id[^\n]*", plan)
+    assert m, plan[:800]
+    assert "event_type" not in m.group(0) and "props" not in m.group(0)

@@ -12,17 +12,38 @@ registry.load_all()
 
 DRIVER_SAMPLE_CAP = 50
 
+# Consciously staged past this round's sample window: the round-7
+# window is exactly full (50 never-stamped queries ahead of these),
+# so the graphops pair rides to the FRONT of round 8's window after
+# the r7 greens fold into DRIVER_STAMPED. Both are already verified
+# at sf0.01 AND sf0.1 by scripts/verify_driver_contract.py; only the
+# driver stamp itself is deferred. Any name here must be removed when
+# it gains a stamp — a stale entry fails test_staged_names_are_unstamped.
+STAGED_NEXT_ROUND = {
+    "part_pagerank_copurchase",
+    "join_key_skew_profile",
+}
+
 
 def test_never_stamped_queries_inside_driver_window():
     names = list(registry.QUERIES)
     unstamped = [n for n in names if n not in registry.DRIVER_STAMPED]
-    assert len(unstamped) <= DRIVER_SAMPLE_CAP, (
+    assert len(unstamped) <= DRIVER_SAMPLE_CAP + len(STAGED_NEXT_ROUND), (
         "more never-stamped queries than the driver can sample — "
         "prune DRIVER_STAMPED or stage the rollout across rounds"
     )
     window = set(names[:DRIVER_SAMPLE_CAP])
     outside = [n for n in unstamped if n not in window]
-    assert not outside, f"never-driver-stamped queries outside the sample window: {outside}"
+    assert set(outside) <= STAGED_NEXT_ROUND, (
+        f"never-driver-stamped queries outside the sample window and "
+        f"not consciously staged: {sorted(set(outside) - STAGED_NEXT_ROUND)}"
+    )
+
+
+def test_staged_names_are_unstamped_and_registered():
+    assert STAGED_NEXT_ROUND <= set(registry.QUERIES)
+    stale = STAGED_NEXT_ROUND & registry.DRIVER_STAMPED
+    assert not stale, f"staged queries already stamped — remove: {stale}"
 
 
 def test_load_all_idempotent_and_consistent():
