@@ -761,35 +761,72 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Semantic outlier filtering: distance to label centroid
+# Label-centroid audits: outlier filter + confusion matrix share ONE
+# quantize/centroid definition on both engines (review r7: a grid-
+# discipline fix applied to one but not the other must be impossible)
 # --------------------------------------------------------------------------
 
-_OUT_DIM = 64
 _OUT_TOPK = 50
+
+# shared oracle stage: per-row 1e-6 floor quantization + label
+# centroids. The CAST to DOUBLE matters: DuckDB would otherwise run
+# FLOAT * INT in float32 and floor a different product than Spark's
+# double math.
+_QCENT_CTES = f"""q AS (
+        SELECT e.vec_id, e.label, r.range AS pos,
+               CAST(floor(CAST(e.embedding[r.range + 1] AS DOUBLE)
+                          * {_QGRID}) AS BIGINT) AS qval
+        FROM embeddings e, range({_DIM}) r
+    ),
+    cent AS (
+        SELECT label AS c_label, pos AS c_pos,
+               CAST(floor(SUM(qval) / COUNT(*)) AS BIGINT) AS cq
+        FROM q GROUP BY 1, 2
+    )"""
+
+
+def _quantized_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form (vec_id, label, pos, qval) with per-row floor
+    quantization to the 1e-6 grid — the engine half of _QCENT_CTES."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        # double literal so the float32 component promotes to DOUBLE
+        # before the multiply (an int literal would keep float32 math
+        # and drift from the oracle's double)
+        F.floor(F.col("val") * F.lit(float(_QGRID))).cast("bigint").alias("qval"),
+    )
+
+
+def _label_centroids(q: DataFrame) -> DataFrame:
+    """(c_label, c_pos, cq) label centroids: floor(SUM/COUNT) of the
+    exact integer components (the grid_mean_vectors discipline)."""
+    return (
+        q.groupBy(F.col("label").alias("c_label"), F.col("pos").alias("c_pos"))
+        .agg(F.sum("qval").alias("s"), F.count("qval").alias("cn"))
+        .select(
+            "c_label",
+            "c_pos",
+            F.floor(F.col("s") / F.col("cn")).cast("bigint").alias("cq"),
+        )
+    )
 
 
 @query(
     "embedding_label_outliers",
     oracle=f"""
-    WITH q AS (
-        SELECT e.vec_id, e.label, r.range AS pos,
-               -- CAST to DOUBLE first: DuckDB would otherwise run
-               -- FLOAT * INT in float32 and floor a different product
-               -- than Spark's double math
-               CAST(floor(CAST(e.embedding[r.range + 1] AS DOUBLE)
-                          * {_QGRID}) AS BIGINT) AS qval
-        FROM embeddings e, range({_OUT_DIM}) r
-    ),
-    cent AS (
-        SELECT label, pos,
-               CAST(floor(SUM(qval) / COUNT(*)) AS BIGINT) AS cq
-        FROM q GROUP BY 1, 2
-    ),
+    WITH {_QCENT_CTES},
     dist AS (
         SELECT q.vec_id, q.label,
                CAST(SUM((q.qval - c.cq) * (q.qval - c.cq)) AS BIGINT)
                    AS dist2_u
-        FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+        FROM q JOIN cent c ON q.label = c.c_label AND q.pos = c.c_pos
         GROUP BY 1, 2
     )
     SELECT vec_id, label,
@@ -820,29 +857,8 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are never re-shuffled: the distance pass is a broadcast
     equi-join + per-vector aggregate; top-50 is TakeOrderedAndProject.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        "pos",
-        # double literal so the float32 component promotes to DOUBLE
-        # before the multiply (an int literal would keep float32 math
-        # and drift from the oracle's double)
-        F.floor(F.col("val") * F.lit(float(_QGRID))).cast("bigint").alias("qval"),
-    )
-    cent = (
-        q.groupBy("label", "pos")
-        .agg(F.sum("qval").alias("s"), F.count("qval").alias("n"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.col("pos").alias("c_pos"),
-            F.floor(F.col("s") / F.col("n")).cast("bigint").alias("cq"),
-        )
-    )
+    q = _quantized_components(spark, sf_dir)
+    cent = _label_centroids(q)
     diff = F.col("qval") - F.col("cq")
     return (
         q.join(
@@ -866,21 +882,11 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroid_confusion",
     oracle=f"""
-    WITH q AS (
-        SELECT e.vec_id, e.label, r.range AS pos,
-               CAST(floor(CAST(e.embedding[r.range + 1] AS DOUBLE)
-                          * {_QGRID}) AS BIGINT) AS qval
-        FROM embeddings e, range({_OUT_DIM}) r
-    ),
-    cent AS (
-        SELECT label AS c_label, pos,
-               CAST(floor(SUM(qval) / COUNT(*)) AS BIGINT) AS cq
-        FROM q GROUP BY 1, 2
-    ),
+    WITH {_QCENT_CTES},
     d AS (
         SELECT q.vec_id, q.label AS true_label, c.c_label,
                CAST(SUM((q.qval - c.cq) * (q.qval - c.cq)) AS BIGINT) AS dist2
-        FROM q JOIN cent c ON q.pos = c.pos
+        FROM q JOIN cent c ON q.pos = c.c_pos
         GROUP BY 1, 2, 3
     ),
     pred AS (
@@ -919,24 +925,8 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels| partials, and the argmin is a map-side min(struct) — no
     window over data-sized input; the matrix itself is |labels|^2.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        "label",
-        "pos",
-        F.floor(F.col("val") * F.lit(float(_QGRID))).cast("bigint").alias("qval"),
-    )
-    cent = (
-        q.groupBy(F.col("label").alias("c_label"), "pos")
-        .agg(F.sum("qval").alias("s"), F.count("qval").alias("cn"))
-        .select(
-            "c_label",
-            F.col("pos").alias("c_pos"),
-            F.floor(F.col("s") / F.col("cn")).cast("bigint").alias("cq"),
-        )
-    )
+    q = _quantized_components(spark, sf_dir)
+    cent = _label_centroids(q)
     diff = F.col("qval") - F.col("cq")
     d = (
         q.join(F.broadcast(cent), F.col("pos") == F.col("c_pos"))

@@ -106,3 +106,21 @@ def test_skew_profile_matches_counter(spark, tmp_path):
     assert (r["n_rows"], r["n_keys"], r["max_cnt"], r["hot_key"]) == (
         4, 3, 2, 1,
     )
+
+
+def test_skew_profile_rejects_out_of_range_keys(spark, tmp_path):
+    """The hot_key arithmetic arg-max decode is only monotone for
+    keys in [0, 10^12); the engine must FAIL LOUDLY on a violating
+    leg, never report a decoded-garbage hottest key."""
+    import pytest as _pytest
+
+    _write_lineitem(spark, tmp_path)
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(0, t0, -5), (1, t0, 7)], "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(0, 1)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    with _pytest.raises(Exception, match="precondition"):
+        join_key_skew_profile(spark, str(tmp_path)).collect()

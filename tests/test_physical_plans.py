@@ -691,10 +691,12 @@ def test_shard_balance_prunes_scan(spark, sf_dir):
     """The shard audit reads (doc_id, n_chars) ONLY — the text column
     must not appear in the parquet ReadSchema."""
     plan = formatted_plan(spark, "corpus_shard_balance", sf_dir)
-    m = re.search(r"ReadSchema: [^\n]*documents[^\n]*", plan) or re.search(
-        r"ReadSchema: [^\n]*", plan
-    )
-    assert m and "text" not in m.group(0), m.group(0) if m else plan[:500]
+    # single-table query -> exactly one ReadSchema line, and it must
+    # carry only the two audited columns
+    schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+    assert len(schemas) == 1, schemas
+    assert "doc_id" in schemas[0] and "n_chars" in schemas[0], schemas[0]
+    assert "text" not in schemas[0], schemas[0]
 
 
 def test_pagerank_broadcast_rank_state(spark, sf_dir):

@@ -18,7 +18,8 @@ DRIVER_SAMPLE_CAP = 50
 # the r7 greens fold into DRIVER_STAMPED. Both are already verified
 # at sf0.01 AND sf0.1 by scripts/verify_driver_contract.py; only the
 # driver stamp itself is deferred. Any name here must be removed when
-# it gains a stamp — a stale entry fails test_staged_names_are_unstamped.
+# it gains a stamp — a stale entry fails
+# test_staged_names_are_unstamped_and_registered.
 STAGED_NEXT_ROUND = {
     "part_pagerank_copurchase",
     "join_key_skew_profile",
