@@ -1601,7 +1601,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
     )
-    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    # MERGE hint is load-bearing: left alone, AQE sees a "small" gram
+    # stream at test SF and broadcasts it — a hash table of the ENTIRE
+    # (doc, pos, md5) stream, which is the one structure in this query
+    # that grows with corpus size (measured: the broadcast build
+    # dominated the query's time and its run-to-run variance). The
+    # sort-merge self-join shuffles both sides identically on h, so
+    # the second side is a ReusedExchange — the gram md5 kernel runs
+    # ONCE, and nothing data-sized is ever collected to one node.
+    m = a.hint("merge").join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
     from pyspark.sql.window import Window as W
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")

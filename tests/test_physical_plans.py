@@ -717,3 +717,14 @@ def test_skew_profile_prunes_scans(spark, sf_dir):
     m = re.search(r"ReadSchema: [^\n]*user_id[^\n]*", plan)
     assert m, plan[:800]
     assert "event_type" not in m.group(0) and "props" not in m.group(0)
+
+
+def test_substring_spans_never_broadcasts_grams(spark, sf_dir):
+    """The gram stream is the one data-sized structure in this query;
+    AQE left alone would broadcast it at test SF (measured: the hash
+    table build dominated time and variance, and at 100 TB it's an
+    OOM). The MERGE hint must hold: sort-merge self-join, no
+    broadcast anywhere."""
+    plan = formatted_plan(spark, "dedup_substring_spans", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
