@@ -226,6 +226,85 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_quality_keep",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LSH_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT wk.node, e.d FROM walk wk JOIN edges e ON e.s = wk.reach
+    ),
+    lab AS (
+      SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    scored AS (
+      SELECT lab.doc_id, lab.cluster_id, length(a.text) AS len
+      FROM lab JOIN aug a ON a.doc_id = lab.doc_id
+    ),
+    win AS (
+      SELECT cluster_id, doc_id AS kept_doc_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY len DESC, doc_id) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT s.doc_id, s.cluster_id, w.kept_doc_id,
+           CASE WHEN s.doc_id = w.kept_doc_id THEN 'KEEP' ELSE 'DROP' END
+               AS verdict
+    FROM scored s JOIN win w USING (cluster_id)
+    """,
+)
+def dedup_cluster_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup — the decision rule production
+    pipelines actually ship: within every near-dup CLUSTER keep the
+    LONGEST document (the standard keep-longest heuristic; truncated
+    crawls and stripped near-copies lose to the fullest version), ties
+    to the smallest doc_id. Differs from corpus_dedup_keep, which
+    keeps the smallest-id representative — id order is stable but
+    quality-blind.
+
+    Exactness: the quality key is length(text) — an integer on both
+    engines — and the winner is max(struct(len, -doc_id)), replayed in
+    the oracle as ROW_NUMBER ORDER BY len DESC, doc_id.
+
+    Scale: component labels come from the iterative min-label
+    propagation (extensions/dedup.py::connected_components — one
+    narrow shuffle per pass); the winner table is |clusters| rows and
+    broadcasts back; text never shuffles (only its length does).
+    """
+    labels = D.connected_components(_lsh_pairs(spark, sf_dir))
+    lens = _aug_docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    scored = labels.join(lens, "doc_id")
+    win = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("len"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m")
+        )
+        .select(
+            "cluster_id", (-F.col("m.nid")).cast("bigint").alias("kept_doc_id")
+        )
+    )
+    return scored.join(F.broadcast(win), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "kept_doc_id",
+        F.when(F.col("doc_id") == F.col("kept_doc_id"), F.lit("KEEP"))
+        .otherwise(F.lit("DROP"))
+        .alias("verdict"),
+    )
+
+
+@query(
     "dedup_lsh_verified_pairs",
     oracle=f"""
     WITH {_DUCK_LSH_CTES},

@@ -453,3 +453,77 @@ def corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("KEEP")
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 1000
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT source, u.x AS token
+        FROM documents, unnest(string_split(text, ' ')) AS u(x)
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tokens GROUP BY 1),
+    vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT {_VOCAB_V})
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(v.token) AS BIGINT) AS in_vocab_tokens,
+           ((COUNT(*) - COUNT(v.token)) * 1000 // COUNT(*)) / 1000.0
+               AS oov_rate_milli
+    FROM tokens t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep audit: build the top-V corpus vocabulary by
+    global frequency (ties to the lexicographically smaller token —
+    byte order, identical for ASCII on both engines) and report the
+    out-of-vocabulary token rate per source. The number that decides
+    whether a vocabulary/tokenizer trained on this corpus will shred
+    a given source into UNKs.
+
+    Exactness: counts are integers; the OOV rate is integer milli
+    division. The top-V boundary is deterministic because the sort
+    key (count DESC, token) is total.
+
+    Scale: one map-side-combinable token count, a top-V global sort
+    prefix (TakeOrderedAndProject — V rows, never the full
+    vocabulary), then the V-row vocab broadcasts back onto the token
+    stream; per-source results aggregate map-side. Two passes over
+    the token stream (count, then coverage) — each a scan projection,
+    neither a re-shuffle of text.
+    """
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(words(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("iv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("iv").alias("in_vocab_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "in_vocab_tokens",
+            (
+                F.expr("(n_tokens - in_vocab_tokens) * 1000 div n_tokens")
+                / F.lit(1000.0)
+            ).alias("oov_rate_milli"),
+        )
+        .orderBy("source")
+    )

@@ -728,3 +728,21 @@ def test_substring_spans_never_broadcasts_grams(spark, sf_dir):
     plan = formatted_plan(spark, "dedup_substring_spans", sf_dir)
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+
+
+def test_quality_keep_broadcasts_winners(spark, sf_dir):
+    """The per-cluster winner table (|clusters| rows) broadcasts back
+    onto the labeled docs; document text never shuffles — only its
+    length column does."""
+    plan = formatted_plan(spark, "dedup_cluster_quality_keep", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
+    """The vocabulary is a global top-V sort PREFIX
+    (TakeOrderedAndProject — V rows, never the full token-count
+    table materialized/sorted), and it broadcasts back onto the
+    token stream."""
+    plan = formatted_plan(spark, "text_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
