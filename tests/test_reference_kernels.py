@@ -1,0 +1,193 @@
+"""Pure-Python references for the round-7 analytics kernels on
+seeded random fixtures — independent of BOTH the Spark plan and the
+DuckDB oracle replay, so a shared design bug between the two engines
+cannot hide. Each reference reimplements the QUERY SEMANTICS from the
+docstring, not the code."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+from collections import Counter, defaultdict
+
+from env_data_pipeline_spark.plans import registry
+
+registry.load_all()
+
+_SEED = 7
+
+
+def _mk_events(n_users=40, n_events=600, n_days=20, seed=_SEED):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(n_events):
+        ts = t0 + dt.timedelta(
+            days=rng.randrange(n_days), seconds=rng.randrange(86400)
+        )
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.randrange(n_users),
+                rng.choice(["view", "click", "purchase", "error"]),
+                round(rng.uniform(0, 100), 3),
+                "{}",
+            )
+        )
+    return rows
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+
+def test_rolling_7d_active_users_reference(spark, tmp_path):
+    rows = _mk_events()
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: r["active_users_7d"]
+        for r in registry.QUERIES["events_rolling_7d_active_users"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    active = {(r[1].date(), r[2]) for r in rows}
+    days = sorted({d for d, _ in active})
+    ref = {}
+    for d in days:
+        lo = d - dt.timedelta(days=6)
+        ref[d.strftime("%Y-%m-%d")] = len(
+            {u for (ad, u) in active if lo <= ad <= d}
+        )
+    assert got == ref
+
+
+def test_transition_matrix_reference(spark, tmp_path):
+    rows = _mk_events()
+    _write_events(spark, tmp_path, rows)
+    out = registry.QUERIES["events_transition_matrix"](
+        spark, str(tmp_path)
+    ).collect()
+    per_user = defaultdict(list)
+    for eid, ts, uid, et, _v, _p in rows:
+        per_user[uid].append((ts, eid, et))
+    trans = Counter()
+    for uid, evs in per_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), c in trans.items():
+        totals[a] += c
+    got = {(r["from_type"], r["to_type"]): (r["transitions"], r["share"]) for r in out}
+    ref = {
+        k: (c, (c * 1000000 // totals[k[0]]) / 1000000.0)
+        for k, c in trans.items()
+    }
+    assert got == ref
+
+
+def test_mad_outliers_reference(spark, tmp_path):
+    rng = random.Random(_SEED)
+    t0 = dt.datetime(2024, 1, 1)
+    orders = []
+    for okey in range(400):
+        pri = f"{rng.randrange(1, 4)}-P"
+        # heavy tail so outliers exist
+        price = rng.choice([rng.uniform(10, 100), rng.uniform(5000, 9000)])
+        orders.append((okey, okey % 50, "O", round(price, 4), t0, pri))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    import math
+
+    def units(x):
+        return math.floor(x * 10000 + 0.5)
+
+    by_pri = defaultdict(list)
+    for okey, _c, _s, price, _d, pri in orders:
+        by_pri[pri].append((okey, units(price)))
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    ref_rows = []
+    for pri, items in by_pri.items():
+        med = lower_median([u for _, u in items])
+        mad = lower_median([abs(u - med) for _, u in items])
+        for okey, u in items:
+            ad = abs(u - med)
+            if ad > 5 * mad:
+                ref_rows.append((ad, okey, pri, u, med, mad))
+    ref_rows.sort(key=lambda r: (-r[0], r[1]))
+    ref = [
+        (
+            pri,
+            okey,
+            u / 10000.0,
+            med / 10000.0,
+            mad / 10000.0,
+            ad / 10000.0,
+        )
+        for ad, okey, pri, u, med, mad in ref_rows[:20]
+    ]
+    got = [
+        (
+            r["priority"],
+            r["orderkey"],
+            r["totalprice"],
+            r["median_price"],
+            r["mad_price"],
+            r["abs_dev"],
+        )
+        for r in registry.QUERIES["orders_mad_outliers"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == ref
+
+
+def test_market_basket_reference(spark, tmp_path):
+    rng = random.Random(_SEED)
+    li = []
+    for okey in range(300):
+        parts = rng.sample(range(30), rng.randrange(1, 6))
+        for p in parts:
+            li.append((okey, p))
+    # duplicated lines must not double-count pairs (distinct basket)
+    li += li[:25]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").coalesce(
+        2
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    pairs = Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pairs[(a, b)] += 1
+    ref = sorted(
+        ((c, a, b) for (a, b), c in pairs.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [
+        (r["pair_count"], r["part_a"], r["part_b"])
+        for r in registry.QUERIES["market_basket_part_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == ref
