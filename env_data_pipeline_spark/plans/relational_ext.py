@@ -1851,3 +1851,204 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # headline-bench nominee: the zero-join HOF pair expansion is a plan
 # shape nothing else in the suite times
 BENCH_EXTRA.add("market_basket_part_pairs")
+
+
+@query(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS su
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, su,
+               LAG(su, 1) OVER w AS s1, LAG(su, 2) OVER w AS s2,
+               LAG(su, 3) OVER w AS s3, LAG(su, 4) OVER w AS s4,
+               LAG(su, 5) OVER w AS s5, LAG(su, 6) OVER w AS s6,
+               LAG(su, 7) OVER w AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           su / 10000.0 AS daily_value,
+           ((su * 128
+             + COALESCE(s1, 0) * 64 + COALESCE(s2, 0) * 32
+             + COALESCE(s3, 0) * 16 + COALESCE(s4, 0) * 8
+             + COALESCE(s5, 0) * 4  + COALESCE(s6, 0) * 2
+             + COALESCE(s7, 0))
+            // (128
+             + CASE WHEN s1 IS NULL THEN 0 ELSE 64 END
+             + CASE WHEN s2 IS NULL THEN 0 ELSE 32 END
+             + CASE WHEN s3 IS NULL THEN 0 ELSE 16 END
+             + CASE WHEN s4 IS NULL THEN 0 ELSE 8 END
+             + CASE WHEN s5 IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN s6 IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN s7 IS NULL THEN 0 ELSE 1 END))
+           / 10000.0 AS ewma_value
+    FROM lagged
+    ORDER BY event_type, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event value per
+    type — the trend-smoothing curve of a metrics pipeline — computed
+    WITHOUT a single transcendental: alpha = 1/2 makes the weights
+    exact powers of two, the horizon truncates at 8 observed days
+    (2^-8 < 0.4% residual mass), and the weighted sum runs in
+    round-half-up 1e-4 integer units with the normalizer summing only
+    the weights actually present (series starts are normalized, not
+    biased low). One integer division at the end — bit-identical on
+    both engines, which no float pow()/exp() formulation could
+    guarantee.
+
+    Scale: one (type, day)-grain aggregate (map-side combined), then
+    the LAG window runs over |types| x |days| rows — bounded by
+    calendar length, not event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(_units(F.col("value"))).cast("bigint").alias("su")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("su", k).over(w).alias(f"s{k}") for k in range(1, 8)]
+    lagged = daily.select("event_type", "day", "su", *lags)
+    wt = [128, 64, 32, 16, 8, 4, 2, 1]
+    score = F.col("su") * wt[0]
+    norm = F.lit(wt[0])
+    for k in range(1, 8):
+        score = score + F.coalesce(F.col(f"s{k}"), F.lit(0)) * wt[k]
+        norm = norm + F.when(F.col(f"s{k}").isNull(), 0).otherwise(wt[k])
+    return lagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("su") / 10000.0).alias("daily_value"),
+        (
+            (score.cast("bigint") - score.cast("bigint") % norm) / norm
+            / 10000.0
+        ).alias("ewma_value"),
+    ).orderBy("event_type", "day")
+
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+@query(
+    "events_cms_user_counts",
+    oracle=f"""
+    WITH cells AS (
+        SELECT r.j,
+               ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                                   || CAST(user_id AS VARCHAR)), 1, 12))
+                   ::BIGINT % {_CMS_W} AS b,
+               COUNT(*) AS n
+        FROM events CROSS JOIN range({_CMS_D}) r(j)
+        GROUP BY 1, 2
+    ),
+    pu AS (
+        SELECT user_id, COUNT(*) AS true_count
+        FROM events WHERE user_id % 97 = 0 GROUP BY 1
+    ),
+    probe AS (
+        SELECT pu.user_id, pu.true_count, MIN(c.n) AS cms_estimate
+        FROM pu CROSS JOIN range({_CMS_D}) r(j)
+        JOIN cells c
+          ON c.j = r.j
+         AND c.b = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                                       || CAST(pu.user_id AS VARCHAR)), 1, 12))
+                       ::BIGINT % {_CMS_W}
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+    FROM probe
+    ORDER BY user_id
+    """,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency serving: a d=4 x w=64 CMS of
+    per-user event counts (md5-prefix row hashes — the engine-wide
+    hash convention), probed for the deterministic 1%-ish sample
+    user_id % 97 == 0 and compared against the exact counts. The
+    output carries the CMS guarantee in data: overestimate >= 0
+    always (min over rows can only overcount, never undercount).
+
+    Why it earns a slot next to the KMV sketch: CMS is the MERGEABLE
+    frequency structure — per-partition sketches combine by cell-wise
+    addition (a plain (j, bucket) SUM), so a 100 TB stream's heavy-ish
+    keys can be served from 256 cells without ever materializing the
+    exact per-key table the way text_heavy_hitters does.
+
+    Scale: the build is one map-side-combinable (j, bucket) count —
+    the sketch IS the aggregate state (d*w = 256 cells regardless of
+    corpus); probing broadcasts the 256-cell table onto the probe
+    keys. The exact side exists only for the audit and only for the
+    probe sample.
+    """
+    from env_data_pipeline_spark.extensions import text as TX
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j: int, col):
+        return (
+            TX.md5_prefix_hash(
+                F.concat_ws(":", F.lit(str(j)), col.cast("string"))
+            )
+            % _CMS_W
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("j"),
+                bucket(j, F.col("user_id")).alias("b"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(rows).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pu = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probes = pu.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        bucket(j, F.col("user_id")).alias("b"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.j") == F.col("j")) & (F.col("p.b") == F.col("b")),
+        )
+        .groupBy("user_id", "true_count")
+        .agg(F.min("n").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )

@@ -746,3 +746,20 @@ def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
     plan = formatted_plan(spark, "text_vocab_coverage", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_window_over_day_grain_only(spark, sf_dir):
+    """The EWMA LAG window runs over the (type, day)-grain aggregate —
+    exactly one Window node, after a partial+final day aggregate."""
+    plan = formatted_plan(spark, "events_ewma_daily", sf_dir)
+    true_windows = re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)
+    assert len(true_windows) == 1, true_windows
+
+
+def test_cms_sketch_broadcasts(spark, sf_dir):
+    """The 256-cell CMS table broadcasts onto the probe keys; the
+    build side is a map-side-combinable (j, bucket) aggregate (two
+    HashAggregates around its exchange)."""
+    plan = formatted_plan(spark, "events_cms_user_counts", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2

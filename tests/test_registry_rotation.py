@@ -25,6 +25,8 @@ STAGED_NEXT_ROUND = {
     "join_key_skew_profile",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
+    "text_bm25_search",
+    "text_pmi_collocations",
 }
 
 
