@@ -191,3 +191,77 @@ def test_market_basket_reference(spark, tmp_path):
         ).collect()
     ]
     assert got == ref
+
+
+def test_ewma_reference(spark, tmp_path):
+    rows = _mk_events(n_events=300, n_days=12)
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["event_type"], r["day"]): (r["daily_value"], r["ewma_value"])
+        for r in registry.QUERIES["events_ewma_daily"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+
+    daily = defaultdict(int)
+    for _eid, ts, _u, et, v, _p in rows:
+        daily[(et, ts.date())] += math.floor(v * 10000 + 0.5)
+    ref = {}
+    series = defaultdict(list)
+    for (et, d), su in sorted(daily.items()):
+        series[et].append((d, su))
+    wt = [128, 64, 32, 16, 8, 4, 2, 1]
+    for et, pts in series.items():
+        for i, (d, su) in enumerate(pts):
+            window = pts[max(0, i - 7): i + 1][::-1]  # newest first
+            score = sum(s * wt[k] for k, (_, s) in enumerate(window))
+            norm = sum(wt[k] for k in range(len(window)))
+            ref[(et, d.strftime("%Y-%m-%d"))] = (
+                su / 10000.0,
+                (score // norm) / 10000.0,
+            )
+    assert got == ref
+
+
+def test_cms_merge_equivalence(spark, tmp_path):
+    """The docstring's mergeability claim, pinned: a CMS built on each
+    half of the stream and merged by CELL-WISE ADDITION must equal the
+    sketch built on the whole stream — the property that lets 1000
+    executors sketch independently."""
+    from pyspark.sql import functions as F
+    from env_data_pipeline_spark.extensions import text as TX
+
+    rows = _mk_events(n_events=400)
+    ev = spark.createDataFrame(rows, _EV_SCHEMA).select("event_id", "user_id")
+
+    def sketch(df):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("bigint").alias("j"),
+                    (
+                        TX.md5_prefix_hash(
+                            F.concat_ws(
+                                ":", F.lit(str(j)), F.col("user_id").cast("string")
+                            )
+                        )
+                        % 64
+                    ).alias("b"),
+                )
+                for j in range(4)
+            ]
+        )
+        return (
+            df.select(F.explode(arr).alias("c"))
+            .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    full = {(r["j"], r["b"]): r["n"] for r in sketch(ev).collect()}
+    h1 = sketch(ev.filter(F.col("event_id") % 2 == 0)).collect()
+    h2 = sketch(ev.filter(F.col("event_id") % 2 == 1)).collect()
+    merged = Counter()
+    for r in itertools.chain(h1, h2):
+        merged[(r["j"], r["b"])] += r["n"]
+    assert dict(merged) == full
