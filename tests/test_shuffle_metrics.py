@@ -63,6 +63,22 @@ SHUFFLE_SCALING = [
     # bucket equi-joins ∝ embeddings
     ("similarity_topk_lsh", "embeddings", 1.5),
     ("similarity_topk_ivf", "embeddings", 1.5),
+    # r7: the MERGE-hinted gram self-join shuffles (doc, pos, md5)
+    # twice — linear in documents; the broadcast plan this replaced
+    # moved ~0 shuffle bytes but collected the stream to one node,
+    # so THIS pin is deliberately a lower bound too (see below)
+    ("dedup_substring_spans", "documents", 2.0),
+    # basket build + pair counts: ∝ lineitem (constant pairs/order)
+    ("market_basket_part_pairs", "lineitem", 1.5),
+    # CMS build is map-side combined to 256 cells per partition;
+    # probe side is the key sample — strongly sublinear
+    ("events_cms_user_counts", "events", 1.5),
+    # token-count shuffle carries distinct tokens per partition;
+    # the V-row vocabulary broadcasts back
+    ("text_vocab_coverage", "documents", 1.5),
+    # (label,pos) centroid partials are bounded; per-vector distance
+    # aggregate ∝ embeddings
+    ("embedding_label_outliers", "embeddings", 1.5),
 ]
 
 
@@ -85,3 +101,12 @@ def test_shuffle_grows_no_faster_than_data(spark, name, table_name, slack):
         f"(lo={lo_total}, hi={hi_total}) — the broadcast/bucketed claim "
         "no longer holds"
     )
+
+
+def test_substring_spans_shuffles_not_broadcasts(spark):
+    """Companion to the plan pin: the gram stream must MOVE through
+    exchanges (non-zero shuffle bytes at the low tier) — a zero-byte
+    reading here means the join regressed to broadcasting the stream
+    again (shuffle-free but driver-collected)."""
+    m = _shuffle(spark, "dedup_substring_spans", LO)
+    assert m["write_bytes"] > 0, m
