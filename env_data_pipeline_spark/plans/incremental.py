@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions.sketches import cms_oracle_sql
 from env_data_pipeline_spark.operators import incremental as INC
 from env_data_pipeline_spark.plans.registry import query
 
@@ -355,3 +356,23 @@ def streaming_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     return streaming_agg_refresh(spark, sf_dir)
+
+
+@query(
+    "streaming_cms_sketch_refresh",
+    oracle=cms_oracle_sql(),
+)
+def streaming_cms_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as STANDING STATE: events replayed as 4 real
+    micro-batches, foreachBatch merging each batch's 256-cell sketch
+    into the persistent cell table by cell-wise addition
+    (streaming/incremental_refresh.py::streaming_cms_refresh,
+    primitives in extensions/sketches.py). The final state is probed
+    exactly like the one-shot batch sketch and checked against the
+    SAME oracle — green only if the merge algebra holds across every
+    batch boundary. The streaming face of events_cms_user_counts."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_cms_refresh,
+    )
+
+    return streaming_cms_refresh(spark, sf_dir)

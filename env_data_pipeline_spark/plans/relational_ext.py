@@ -1931,43 +1931,14 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-_CMS_D = 4
-_CMS_W = 64
+# build/probe/merge AND the oracle replay live in extensions/sketches.py —
+# one definition shared with the streaming refresh and the merge test
+from env_data_pipeline_spark.extensions.sketches import cms_oracle_sql as _cms_oracle_sql
 
 
 @query(
     "events_cms_user_counts",
-    oracle=f"""
-    WITH cells AS (
-        SELECT r.j,
-               ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
-                                   || CAST(user_id AS VARCHAR)), 1, 12))
-                   ::BIGINT % {_CMS_W} AS b,
-               COUNT(*) AS n
-        FROM events CROSS JOIN range({_CMS_D}) r(j)
-        GROUP BY 1, 2
-    ),
-    pu AS (
-        SELECT user_id, COUNT(*) AS true_count
-        FROM events WHERE user_id % 97 = 0 GROUP BY 1
-    ),
-    probe AS (
-        SELECT pu.user_id, pu.true_count, MIN(c.n) AS cms_estimate
-        FROM pu CROSS JOIN range({_CMS_D}) r(j)
-        JOIN cells c
-          ON c.j = r.j
-         AND c.b = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
-                                       || CAST(pu.user_id AS VARCHAR)), 1, 12))
-                       ::BIGINT % {_CMS_W}
-        GROUP BY 1, 2
-    )
-    SELECT user_id,
-           CAST(true_count AS BIGINT) AS true_count,
-           CAST(cms_estimate AS BIGINT) AS cms_estimate,
-           CAST(cms_estimate - true_count AS BIGINT) AS overestimate
-    FROM probe
-    ORDER BY user_id
-    """,
+    oracle=_cms_oracle_sql(),
 )
 def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency serving: a d=4 x w=64 CMS of
@@ -1987,68 +1958,17 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch IS the aggregate state (d*w = 256 cells regardless of
     corpus); probing broadcasts the 256-cell table onto the probe
     keys. The exact side exists only for the audit and only for the
-    probe sample.
+    probe sample. Build/probe/merge live in extensions/sketches.py —
+    one definition shared with the streaming refresh and the
+    merge-equivalence test.
     """
-    from env_data_pipeline_spark.extensions import text as TX
+    from env_data_pipeline_spark.extensions import sketches as SK
 
     ev = table(spark, sf_dir, "events").select("user_id")
-
-    def bucket(j: int, col):
-        return (
-            TX.md5_prefix_hash(
-                F.concat_ws(":", F.lit(str(j)), col.cast("string"))
-            )
-            % _CMS_W
-        )
-
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("bigint").alias("j"),
-                bucket(j, F.col("user_id")).alias("b"),
-            )
-            for j in range(_CMS_D)
-        ]
-    )
-    cells = (
-        ev.select(F.explode(rows).alias("c"))
-        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    cells = SK.cms_cells(ev)
     pu = (
         ev.filter(F.col("user_id") % 97 == 0)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
-    probes = pu.select(
-        "user_id",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("bigint").alias("j"),
-                        bucket(j, F.col("user_id")).alias("b"),
-                    )
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("p"),
-    )
-    return (
-        probes.join(
-            F.broadcast(cells),
-            (F.col("p.j") == F.col("j")) & (F.col("p.b") == F.col("b")),
-        )
-        .groupBy("user_id", "true_count")
-        .agg(F.min("n").cast("bigint").alias("cms_estimate"))
-        .select(
-            "user_id",
-            F.col("true_count").cast("bigint").alias("true_count"),
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("true_count"))
-            .cast("bigint")
-            .alias("overestimate"),
-        )
-        .orderBy("user_id")
-    )
+    return SK.cms_probe(cells, pu)

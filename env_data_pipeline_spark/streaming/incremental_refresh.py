@@ -102,3 +102,61 @@ def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance: replay events as BATCH_SHARDS
+    real micro-batches; foreachBatch builds each batch's 256-cell CMS
+    (extensions/sketches.py — the same build the batch query uses) and
+    merges it into the persistent cell state by CELL-WISE ADDITION,
+    the sketch's defining algebra. The final state is probed exactly
+    like the one-shot batch sketch and must hash-equal it — which
+    holds only if the merge is associative across every batch
+    boundary. This is how a 100 TB stream serves approximate
+    frequencies: constant-size state, O(|batch|) work per trigger,
+    never a rescan of history.
+
+    Same at-least-once caveat and same A/B state ping-pong as
+    streaming_agg_refresh above.
+    """
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.extensions import sketches as SK
+
+    work = tempfile.mkdtemp(prefix="stream_cms_refresh_")
+    delta_dir = os.path.join(work, "deltas")
+    ckpt_dir = os.path.join(work, "ckpt")
+    state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
+    os.makedirs(delta_dir)
+    events = table(spark, sf_dir, "events")
+    write_shards(events, delta_dir, BATCH_SHARDS, "event_id")
+
+    live: list[str] = []
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = state_dirs[batch_id % 2]
+        nxt = state_dirs[(batch_id + 1) % 2]
+        batch_cells = SK.cms_cells(batch_df.select("user_id"))
+        if os.path.exists(cur):
+            merged = SK.cms_merge(
+                batch_df.sparkSession.read.parquet(cur), batch_cells
+            )
+        else:
+            merged = batch_cells
+        merged.write.mode("overwrite").parquet(nxt)
+        live.append(nxt)
+
+    replay_foreachbatch(
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _merge_batch, "streaming CMS"
+    )
+
+    cells = spark.read.parquet(live[-1])
+    pu = (
+        events.filter(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    out = SK.cms_probe(cells, pu)
+    rows = out.collect()  # |probe sample| rows; frees the temp dirs
+    result = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

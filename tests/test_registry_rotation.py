@@ -27,6 +27,7 @@ STAGED_NEXT_ROUND = {
     "text_vocab_coverage",
     "text_bm25_search",
     "text_pmi_collocations",
+    "text_tfidf_top_terms",
 }
 
 
