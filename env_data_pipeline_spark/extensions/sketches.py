@@ -62,6 +62,17 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_probe_sample(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """The deterministic audit sample shared by the batch query and
+    the streaming refresh: every 97th key with its EXACT count (the
+    exact side exists only for this audit, only for the sample)."""
+    return (
+        events.filter(F.col(key) % 97 == 0)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+
+
 def cms_probe(cells: DataFrame, probes: DataFrame, key: str = "user_id") -> DataFrame:
     """Estimate = min over rows of the probed cells; emitted next to
     the exact count carried on ``probes`` (columns: key, true_count)

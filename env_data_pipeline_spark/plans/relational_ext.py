@@ -1965,10 +1965,4 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from env_data_pipeline_spark.extensions import sketches as SK
 
     ev = table(spark, sf_dir, "events").select("user_id")
-    cells = SK.cms_cells(ev)
-    pu = (
-        ev.filter(F.col("user_id") % 97 == 0)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-    )
-    return SK.cms_probe(cells, pu)
+    return SK.cms_probe(SK.cms_cells(ev), SK.cms_probe_sample(ev))

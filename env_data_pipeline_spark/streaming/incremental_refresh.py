@@ -13,11 +13,12 @@ Mechanics proven here, not merely claimed:
   Spark cannot overwrite a path it is reading within one job);
 - the final state must equal a full recompute over all rows (the
   DuckDB oracle), which holds only if the merge algebra
-  (operators/incremental.py) is correct across every batch boundary.
+  (operators/incremental.py, extensions/sketches.py) is correct
+  across every batch boundary.
 
-Scale posture: per batch the work is O(|batch| + |groups|) — one
-map-side-combined aggregation of the batch plus a groups-sized merge
-join; base rows are never rescanned. State is |groups| rows
+Scale posture: per batch the work is O(|batch| + |state|) — one
+map-side-combined aggregation of the batch plus a state-sized merge;
+base rows are never rescanned. State is |groups| (or 256 CMS cells)
 regardless of stream length.
 
 Replay idempotence caveat: foreachBatch is at-least-once under crash
@@ -37,6 +38,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,31 +53,39 @@ BATCH_SHARDS = 4
 _KEYS = ["event_type"]
 
 
-def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay events as BATCH_SHARDS micro-batches; foreachBatch
-    merges each batch's count/sum/min/max partial state into the
-    persistent state table. Returns the final state with avg derived
-    at read time."""
-    from env_data_pipeline_spark.catalog import table
-
-    work = tempfile.mkdtemp(prefix="stream_agg_refresh_")
+def _replay_state_refresh(
+    spark: SparkSession,
+    source: DataFrame,
+    build_state: Callable[[DataFrame], DataFrame],
+    merge_states: Callable[[DataFrame, DataFrame], DataFrame],
+    finalize: Callable[[SparkSession, DataFrame], DataFrame],
+    prefix: str,
+) -> DataFrame:
+    """THE replay scaffolding, written once: shard ``source`` into
+    BATCH_SHARDS delta files, drain them as real micro-batches, merge
+    each batch's ``build_state`` into the persistent parquet state via
+    ``merge_states`` (A/B ping-pong — Spark cannot overwrite a path it
+    is reading within one job), then return ``finalize`` of the final
+    state, materialized before the temp dirs are removed. Both
+    standing-aggregate and CMS refreshes are thin bodies over this —
+    a fix to the retry/ping-pong machinery lands in both by
+    construction."""
+    work = tempfile.mkdtemp(prefix=prefix)
     delta_dir = os.path.join(work, "deltas")
     ckpt_dir = os.path.join(work, "ckpt")
     state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
     os.makedirs(delta_dir)
-    # table() normalized ts already; the deltas stream with the
-    # normalized schema, no vintage handling needed
-    write_shards(table(spark, sf_dir, "events"), delta_dir, BATCH_SHARDS, "event_id")
+    write_shards(source, delta_dir, BATCH_SHARDS, "event_id")
 
     live: list[str] = []  # last state dir actually written
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = state_dirs[batch_id % 2]
         nxt = state_dirs[(batch_id + 1) % 2]
-        batch_state = INC.partial_aggs(batch_df, _KEYS, "value")
+        batch_state = build_state(batch_df)
         if os.path.exists(cur):
-            merged = INC.refresh_partial_aggs(
-                batch_df.sparkSession.read.parquet(cur), batch_state, _KEYS
+            merged = merge_states(
+                batch_df.sparkSession.read.parquet(cur), batch_state
             )
         else:
             merged = batch_state
@@ -83,25 +93,47 @@ def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.append(nxt)
 
     replay_foreachbatch(
-        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _merge_batch, "streaming refresh"
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _merge_batch, prefix
     )
 
-    final_dir = live[-1]  # last state dir actually written
-    state = spark.read.parquet(final_dir)
-    out = state.select(
-        "event_type",
-        "n_rows",
-        F.round(F.col("sum_value"), 4).alias("total_value"),
-        F.round(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
-        F.round(F.col("min_value"), 4).alias("min_value"),
-        F.round(F.col("max_value"), 4).alias("max_value"),
-    )
-    # materialize before the temp dirs can be cleaned by the OS; the
-    # result is |groups| rows
+    out = finalize(spark, spark.read.parquet(live[-1]))
+    # materialize before the temp dirs can be cleaned; the result is
+    # state-sized (|groups| / probe-sample rows)
     rows = out.collect()
     result = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as BATCH_SHARDS micro-batches; foreachBatch
+    merges each batch's count/sum/min/max partial state into the
+    persistent state table. Returns the final state with avg derived
+    at read time."""
+    from env_data_pipeline_spark.catalog import table
+
+    # table() normalized ts already; the deltas stream with the
+    # normalized schema, no vintage handling needed
+    events = table(spark, sf_dir, "events")
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return state.select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("sum_value"), 4).alias("total_value"),
+            F.round(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
+            F.round(F.col("min_value"), 4).alias("min_value"),
+            F.round(F.col("max_value"), 4).alias("max_value"),
+        )
+
+    return _replay_state_refresh(
+        spark,
+        events,
+        lambda batch: INC.partial_aggs(batch, _KEYS, "value"),
+        lambda cur, new: INC.refresh_partial_aggs(cur, new, _KEYS),
+        finalize,
+        "stream_agg_refresh_",
+    )
 
 
 def streaming_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,47 +148,21 @@ def streaming_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies: constant-size state, O(|batch|) work per trigger,
     never a rescan of history.
 
-    Same at-least-once caveat and same A/B state ping-pong as
-    streaming_agg_refresh above.
-    """
+    Scaffolding (sharding, ping-pong state, at-least-once caveat) is
+    _replay_state_refresh — shared with streaming_agg_refresh."""
     from env_data_pipeline_spark.catalog import table
     from env_data_pipeline_spark.extensions import sketches as SK
 
-    work = tempfile.mkdtemp(prefix="stream_cms_refresh_")
-    delta_dir = os.path.join(work, "deltas")
-    ckpt_dir = os.path.join(work, "ckpt")
-    state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
-    os.makedirs(delta_dir)
     events = table(spark, sf_dir, "events")
-    write_shards(events, delta_dir, BATCH_SHARDS, "event_id")
 
-    live: list[str] = []
+    def finalize(_spark: SparkSession, cells: DataFrame) -> DataFrame:
+        return SK.cms_probe(cells, SK.cms_probe_sample(events))
 
-    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cur = state_dirs[batch_id % 2]
-        nxt = state_dirs[(batch_id + 1) % 2]
-        batch_cells = SK.cms_cells(batch_df.select("user_id"))
-        if os.path.exists(cur):
-            merged = SK.cms_merge(
-                batch_df.sparkSession.read.parquet(cur), batch_cells
-            )
-        else:
-            merged = batch_cells
-        merged.write.mode("overwrite").parquet(nxt)
-        live.append(nxt)
-
-    replay_foreachbatch(
-        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _merge_batch, "streaming CMS"
+    return _replay_state_refresh(
+        spark,
+        events,
+        lambda batch: SK.cms_cells(batch.select("user_id")),
+        SK.cms_merge,
+        finalize,
+        "stream_cms_refresh_",
     )
-
-    cells = spark.read.parquet(live[-1])
-    pu = (
-        events.filter(F.col("user_id") % 97 == 0)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-    )
-    out = SK.cms_probe(cells, pu)
-    rows = out.collect()  # |probe sample| rows; frees the temp dirs
-    result = spark.createDataFrame(rows, out.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return result

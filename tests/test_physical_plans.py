@@ -730,12 +730,43 @@ def test_substring_spans_never_broadcasts_grams(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
 
 
+def _broadcast_subtrees(spark, name: str, sf_dir: str) -> list[str]:
+    """Indented-subtree texts under each BroadcastExchange of the
+    SIMPLE plan — lets a pin anchor on WHAT is broadcast, not merely
+    that something is."""
+    import contextlib
+    import io
+
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    lines = buf.getvalue().split("\n")
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        sub = []
+        for l2 in lines[i + 1:]:
+            ind2 = len(l2) - len(l2.lstrip(" :+-"))
+            if l2.strip() and ind2 <= indent:
+                break
+            sub.append(l2)
+        subs.append("\n".join(sub))
+    return subs
+
+
 def test_quality_keep_broadcasts_winners(spark, sf_dir):
-    """The per-cluster winner table (|clusters| rows) broadcasts back
-    onto the labeled docs; document text never shuffles — only its
-    length column does."""
-    plan = formatted_plan(spark, "dedup_cluster_quality_keep", sf_dir)
-    assert "BroadcastHashJoin" in plan
+    """The per-cluster WINNER table (|clusters| rows) specifically
+    must be a broadcast side — anchored on its kept_doc_id output so
+    an unrelated broadcast elsewhere in the component pipeline cannot
+    satisfy the pin vacuously."""
+    subs = _broadcast_subtrees(spark, "dedup_cluster_quality_keep", sf_dir)
+    # the winner side is the per-cluster max(struct(len, -id)) aggregate
+    # (a SortAggregate — struct buffers aren't UnsafeRow-mutable; the
+    # kept_doc_id alias itself collapses above the exchange)
+    assert any("max(struct(" in s for s in subs), [s[:120] for s in subs]
 
 
 def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
@@ -757,9 +788,8 @@ def test_ewma_window_over_day_grain_only(spark, sf_dir):
 
 
 def test_cms_sketch_broadcasts(spark, sf_dir):
-    """The 256-cell CMS table broadcasts onto the probe keys; the
-    build side is a map-side-combinable (j, bucket) aggregate (two
-    HashAggregates around its exchange)."""
-    plan = formatted_plan(spark, "events_cms_user_counts", sf_dir)
-    assert "BroadcastHashJoin" in plan
-    assert plan.count("HashAggregate") >= 2
+    """The 256-cell CMS table specifically is the broadcast side —
+    anchored on the broadcast subtree containing the cell AGGREGATE
+    (the build), so a different broadcast can't satisfy the pin."""
+    subs = _broadcast_subtrees(spark, "events_cms_user_counts", sf_dir)
+    assert any("HashAggregate" in s for s in subs), [s[:120] for s in subs]

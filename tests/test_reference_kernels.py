@@ -217,9 +217,13 @@ def test_ewma_reference(spark, tmp_path):
             window = pts[max(0, i - 7): i + 1][::-1]  # newest first
             score = sum(s * wt[k] for k, (_, s) in enumerate(window))
             norm = sum(wt[k] for k in range(len(window)))
+            # TRUNCATING division (toward zero), matching Spark's div
+            # and DuckDB's // — Python's // floors, which diverges for
+            # a negative weighted score
+            q = -((-score) // norm) if score < 0 else score // norm
             ref[(et, d.strftime("%Y-%m-%d"))] = (
                 su / 10000.0,
-                (score // norm) / 10000.0,
+                q / 10000.0,
             )
     assert got == ref
 
@@ -230,37 +234,16 @@ def test_cms_merge_equivalence(spark, tmp_path):
     sketch built on the whole stream — the property that lets 1000
     executors sketch independently."""
     from pyspark.sql import functions as F
-    from env_data_pipeline_spark.extensions import text as TX
+    from env_data_pipeline_spark.extensions import sketches as SK
 
     rows = _mk_events(n_events=400)
     ev = spark.createDataFrame(rows, _EV_SCHEMA).select("event_id", "user_id")
 
-    def sketch(df):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).cast("bigint").alias("j"),
-                    (
-                        TX.md5_prefix_hash(
-                            F.concat_ws(
-                                ":", F.lit(str(j)), F.col("user_id").cast("string")
-                            )
-                        )
-                        % 64
-                    ).alias("b"),
-                )
-                for j in range(4)
-            ]
-        )
-        return (
-            df.select(F.explode(arr).alias("c"))
-            .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    full = {(r["j"], r["b"]): r["n"] for r in sketch(ev).collect()}
-    h1 = sketch(ev.filter(F.col("event_id") % 2 == 0)).collect()
-    h2 = sketch(ev.filter(F.col("event_id") % 2 == 1)).collect()
+    # THE shared build (extensions/sketches.py) — duplicating it here
+    # would let the test keep validating a stale definition
+    full = {(r["j"], r["b"]): r["n"] for r in SK.cms_cells(ev).collect()}
+    h1 = SK.cms_cells(ev.filter(F.col("event_id") % 2 == 0)).collect()
+    h2 = SK.cms_cells(ev.filter(F.col("event_id") % 2 == 1)).collect()
     merged = Counter()
     for r in itertools.chain(h1, h2):
         merged[(r["j"], r["b"])] += r["n"]
