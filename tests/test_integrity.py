@@ -1,0 +1,146 @@
+"""Independent references for the integrity audits: hand-built star
+fixtures with KNOWN orphans/NULLs (the sf tables are clean, so parity
+alone can't prove the detectors fire) and a Counter-based Benford
+reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from env_data_pipeline_spark.plans import registry
+
+# canonicalize registration order before importing a plan module
+# directly, so a partial pytest run can't reorder the rotation window
+registry.load_all()
+
+from env_data_pipeline_spark.plans.integrity import (  # noqa: E402
+    _BENFORD_PERMILLE,
+    orders_benford_digit_profile,
+    referential_integrity_audit,
+)
+
+
+def _write(spark, tmp_path, name: str, rows, schema: str) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def _write_star(spark, tmp_path) -> None:
+    """2 regions; nation 3 points at regionkey 9 (orphan); customer 12
+    points at nation 99 (orphan) and 13 has NULL nationkey; order 1002
+    points at customer 77 (orphan); lineitems: two rows point at order
+    9999 (one orphan key, two orphan rows), one row has NULL partkey,
+    one row points at part 500 (orphan) and supplier 60 (orphan)."""
+    _write(spark, tmp_path, "region", [(0, "r0"), (1, "r1")], "r_regionkey long, r_name string")
+    _write(
+        spark, tmp_path, "nation",
+        [(1, "n1", 0), (2, "n2", 1), (3, "n3", 9)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    _write(
+        spark, tmp_path, "customer",
+        [(10, 1), (11, 2), (12, 99), (13, None)],
+        "c_custkey long, c_nationkey long",
+    )
+    _write(
+        spark, tmp_path, "supplier",
+        [(50, 1), (51, 2)],
+        "s_suppkey long, s_nationkey long",
+    )
+    _write(
+        spark, tmp_path, "part",
+        [(400, "p400"), (401, "p401")],
+        "p_partkey long, p_name string",
+    )
+    _write(
+        spark, tmp_path, "orders",
+        [(1000, 10), (1001, 11), (1002, 77)],
+        "o_orderkey long, o_custkey long",
+    )
+    _write(
+        spark, tmp_path, "lineitem",
+        [
+            (1000, 400, 50),
+            (1000, None, 51),
+            (1001, 500, 60),
+            (9999, 400, 50),
+            (9999, 401, 51),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+
+
+EXPECTED = {
+    # edge -> (n_child_rows, n_null_keys, n_orphan_rows, n_orphan_keys)
+    "lineitem.l_orderkey->orders": (5, 0, 2, 1),
+    "lineitem.l_partkey->part": (5, 1, 1, 1),
+    "lineitem.l_suppkey->supplier": (5, 0, 1, 1),
+    "orders.o_custkey->customer": (3, 0, 1, 1),
+    "customer.c_nationkey->nation": (4, 1, 1, 1),
+    "supplier.s_nationkey->nation": (2, 0, 0, 0),
+    "nation.n_regionkey->region": (3, 0, 1, 1),
+}
+
+
+def test_referential_integrity_detects_orphans_and_nulls(spark, tmp_path):
+    _write_star(spark, tmp_path)
+    got = {
+        r["fk_edge"]: (
+            r["n_child_rows"],
+            r["n_null_keys"],
+            r["n_orphan_rows"],
+            r["n_orphan_keys"],
+        )
+        for r in referential_integrity_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_referential_integrity_clean_star_is_all_zero(spark, sf_dir):
+    rows = referential_integrity_audit(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_null_keys"] == 0, r
+        assert r["n_orphan_rows"] == 0, r
+        assert r["n_orphan_keys"] == 0, r
+        assert r["n_child_rows"] > 0, r
+
+
+def test_benford_profile_matches_counter_reference(spark, tmp_path):
+    prices = [1.5, 19.0, 123.45, 190.0, 2.0, 250.0, 321.0, 0.5, 9000.0, 88.0]
+    _write(
+        spark, tmp_path, "orders",
+        [(i, p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    )
+    counted = Counter(str(int(p))[0] for p in prices if p >= 1.0)
+    total = sum(counted.values())
+    got = {
+        r["digit"]: (r["n_orders"], r["observed_permille"], r["abs_dev_permille"])
+        for r in orders_benford_digit_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n = counted.get(str(d), 0)
+        permille = n * 1000 // total
+        assert got[d] == (n, permille, abs(permille - _BENFORD_PERMILLE[d])), d
+
+
+def test_benford_reference_masses_sum_to_unity_grid():
+    # floor-rounded permille loses at most 9 units; the table must be
+    # the canonical floor(log10(1+1/d)*1000) values
+    assert sum(_BENFORD_PERMILLE.values()) in range(991, 1001)
+    assert _BENFORD_PERMILLE[1] == 301 and _BENFORD_PERMILLE[9] == 45
+
+
+def test_audit_plan_broadcasts_dims_not_facts(spark, sf_dir):
+    """The six dim-sized parents broadcast; the lineitem->orders edge
+    must NOT broadcast the fact-sized orders key set (merge-hinted so
+    AQE can't data-size-broadcast it at test SF)."""
+    df = referential_integrity_audit(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin LeftAnti" in plan

@@ -23,6 +23,8 @@ DRIVER_SAMPLE_CAP = 50
 STAGED_NEXT_ROUND = {
     "part_pagerank_copurchase",
     "join_key_skew_profile",
+    "referential_integrity_audit",
+    "orders_benford_digit_profile",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
     "text_bm25_search",
