@@ -527,3 +527,146 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus drift: per-source total-variation divergence vs the rest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_source_divergence",
+    oracle=f"""
+    WITH {_DUCK_TOKENS.replace("doc_id", "source")},
+    cnt AS (SELECT source, token, COUNT(*) AS cnt_s
+            FROM tokens GROUP BY 1, 2),
+    tok AS (SELECT token, CAST(SUM(cnt_s) AS BIGINT) AS cnt_all
+            FROM cnt GROUP BY 1),
+    st AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS t_s
+           FROM cnt GROUP BY 1),
+    g AS (SELECT CAST(SUM(cnt_all) AS BIGINT) AS t_all FROM tok),
+    grid AS (SELECT s.source, s.t_s, k.token, k.cnt_all
+             FROM st s CROSS JOIN tok k),
+    terms AS (
+        SELECT grid.source, grid.t_s,
+               ABS(COALESCE(c.cnt_s, 0) * ((SELECT t_all FROM g) - grid.t_s)
+                   - (grid.cnt_all - COALESCE(c.cnt_s, 0)) * grid.t_s)
+                   AS term
+        FROM grid LEFT JOIN cnt c
+          ON c.source = grid.source AND c.token = grid.token
+    )
+    SELECT source, MAX(t_s) AS n_tokens,
+           CAST(500 * SUM(term)
+                // (MAX(t_s) * ((SELECT t_all FROM g) - MAX(t_s)))
+                AS BIGINT) AS tv_permille_vs_rest
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: for each document source, the total-
+    variation distance (in permille) between its unigram distribution
+    and the REST of the corpus — the drift alarm a training pipeline
+    fires when a new upstream starts delivering text unlike everything
+    else. TV is the log-free divergence, so the whole computation is
+    exact BIGINT cross-multiplication: per token
+    |cnt_s*(T-T_s) - (cnt_all-cnt_s)*T_s|, summed, then one floor
+    division onto the permille grid. (Bound: terms stay < 2^63 while
+    corpus_tokens^2 * vocab < 9e18 — true by orders of magnitude at
+    every test tier; a petabyte corpus would pre-quantize per-token
+    rates to a fixed grid first, same discipline, one more floor.)
+
+    Scale: one (source, token) shuffle with map-side combine is the
+    only pass over data; everything after is vocabulary-sized. The
+    dense source x vocab grid exists so ABSENT tokens contribute their
+    mass (a source missing a corpus-common word IS drift) — it is
+    |sources| * |vocab| rows, independent of corpus row count, and the
+    per-source totals broadcast onto it.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select("source", F.explode(words(F.col("text"))).alias("token"))
+    cnt = tokens.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tok = cnt.groupBy("token").agg(F.sum("cnt_s").cast("bigint").alias("cnt_all"))
+    st = cnt.groupBy("source").agg(F.sum("cnt_s").cast("bigint").alias("t_s"))
+    g = tok.agg(F.sum("cnt_all").cast("bigint").alias("t_all"))
+    grid = F.broadcast(st).crossJoin(tok).crossJoin(F.broadcast(g))
+    terms = grid.join(cnt, ["source", "token"], "left").select(
+        "source",
+        "t_s",
+        F.abs(
+            F.coalesce(F.col("cnt_s"), F.lit(0)) * (F.col("t_all") - F.col("t_s"))
+            - (F.col("cnt_all") - F.coalesce(F.col("cnt_s"), F.lit(0)))
+            * F.col("t_s")
+        ).alias("term"),
+        "t_all",
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").alias("n_tokens"),
+        F.expr("cast(500 * sum(term) div (max(t_s) * (max(t_all) - max(t_s))) as bigint)")
+            .alias("tv_permille_vs_rest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Positional-index phrase search
+# --------------------------------------------------------------------------
+
+# fixed 2-word phrase; the synthetic pool guarantees hits
+_PHRASE = ("spark", "window")
+
+
+@query(
+    "text_phrase_search",
+    # The PRESENCE filter is deliberately a different algorithm than
+    # the engine (naive padded-substring scan vs positional index) —
+    # agreement cross-validates both. The occurrence COUNT walks token
+    # positions (a replace-length trick would undercount adjacent
+    # occurrences that share their boundary space).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+        WHERE ' ' || text || ' ' LIKE '% {_PHRASE[0]} {_PHRASE[1]} %'
+    )
+    SELECT doc_id, source,
+           CAST(len(list_filter(range(1, len(t)),
+                    i -> t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'))
+                AS BIGINT) AS n_occurrences
+    FROM toks
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{spark window}") via a positional inverted
+    index: explode (token, position), keep the two phrase terms, and
+    self-join on doc & pos+1 — the index-serving plan a search layer
+    runs at scale, where the naive full-text substring scan is
+    unaffordable. The DuckDB oracle's presence filter deliberately IS
+    that naive scan (padded-substring containment), so the gate
+    cross-validates two independent matching algorithms; its per-doc
+    count walks token positions, because a replace-length trick
+    undercounts adjacent occurrences sharing a boundary space.
+
+    Scale: the token stream carries only the TWO phrase terms out of
+    the scan (filter pushed into the projection), so the positional
+    join is phrase-frequency-sized, not corpus-sized; merge-hinted so
+    AQE can't broadcast a term side whose frequency grows with the
+    corpus (memory: AQE hazard).
+    """
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(words(F.col("text"))).alias("pos", "token"),
+    )
+    first = pos.filter(F.col("token") == _PHRASE[0]).select(
+        "doc_id", "source", "pos"
+    )
+    second = pos.filter(F.col("token") == _PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), (F.col("pos") - 1).alias("p2")
+    )
+    hits = first.hint("merge").join(
+        second,
+        (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("p2")),
+    )
+    return hits.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )

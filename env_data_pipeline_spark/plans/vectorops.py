@@ -948,3 +948,174 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_mmr_diverse_topk — diversity-aware retrieval (MMR)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_QUERY_ID = 0
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """Micro-grid cosine between two DOUBLE[] columns — the identical
+    left-to-right list_sum fold the engine's X.cosine performs."""
+    return f"""CAST(floor(1000000 * (
+        list_sum(list_transform(range(len({x})), i -> {x}[i + 1] * {y}[i + 1]))
+        / (sqrt(list_sum(list_transform(range(len({x})), i -> {x}[i + 1] * {x}[i + 1])))
+         * sqrt(list_sum(list_transform(range(len({y})), i -> {y}[i + 1] * {y}[i + 1]))))
+    )) AS BIGINT)"""
+
+
+def _mmr_oracle() -> str:
+    """Unroll the K-1 greedy MMR selections as generated CTEs — the
+    same loop shape the engine runs, so the two cannot drift."""
+    ctes = [
+        """emb AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)""",
+        f"qv AS (SELECT v FROM emb WHERE vec_id = {_MMR_QUERY_ID})",
+        f"""rel AS (
+            SELECT c.vec_id, {_cos_sql("c.v", "q.v")} AS relevance_micro
+            FROM emb c CROSS JOIN qv q WHERE c.vec_id <> {_MMR_QUERY_ID})""",
+        f"""pool AS (SELECT vec_id, relevance_micro FROM rel
+                     ORDER BY relevance_micro DESC, vec_id LIMIT {_MMR_POOL})""",
+        """pv AS (SELECT p.vec_id, e.v FROM pool p JOIN emb e USING (vec_id))""",
+        f"""sims AS (
+            SELECT a.vec_id AS a, b.vec_id AS b, {_cos_sql("a.v", "b.v")} AS sim_units
+            FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)""",
+        """sel1 AS (SELECT vec_id, 1 AS sel_rank, relevance_micro,
+                           7 * relevance_micro AS mmr_score_micro
+                    FROM pool ORDER BY relevance_micro DESC, vec_id LIMIT 1)""",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"""ms{i} AS (SELECT s.a AS vec_id, MAX(s.sim_units) AS maxsim
+                          FROM sims s JOIN {prev} t ON s.b = t.vec_id
+                          GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""pick{i} AS (
+                SELECT p.vec_id, {i} AS sel_rank, p.relevance_micro,
+                       7 * p.relevance_micro - 3 * m.maxsim AS mmr_score_micro
+                FROM pool p JOIN ms{i} m USING (vec_id)
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} t
+                                  WHERE t.vec_id = p.vec_id)
+                ORDER BY mmr_score_micro DESC, p.vec_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"""sel{i} AS (SELECT vec_id, sel_rank, relevance_micro, mmr_score_micro
+                           FROM {prev}
+                           UNION ALL
+                           SELECT vec_id, sel_rank, relevance_micro, mmr_score_micro
+                           FROM pick{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id,
+               relevance_micro, mmr_score_micro
+        FROM sel{_MMR_K}"""
+    )
+
+
+@query("similarity_mmr_diverse_topk", oracle=_mmr_oracle())
+def similarity_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: greedily pick K=5 results
+    that are RELEVANT to the query vector but DISSIMILAR to what's
+    already picked — score = 7*rel - 3*max_sim_to_selected on the
+    exact cosine micro grid (the lambda=0.7 tradeoff cleared of its
+    /10, which preserves the argmax and keeps every comparison pure
+    BIGINT). The dedup-at-serving-time operator every RAG/retrieval
+    stack wants so near-duplicate passages don't crowd the context.
+
+    Determinism: cosines are identical doubles on both engines (per-
+    element float->double products, left-to-right fold, IEEE sqrt and
+    divide — the proven idiom of this module) floored once onto the
+    1e-6 grid; every subsequent step is integer arithmetic with
+    (score DESC, vec_id) tie-breaks, and the oracle unrolls the same
+    greedy loop as generated CTEs.
+
+    Scale: stage 1 is the standard broadcast-query relevance scan +
+    TakeOrderedAndProject into a CONSTANT-size pool (20), exactly like
+    the other top-k paths (at 100 TB the scan side swaps to the IVF/
+    LSH-pruned candidate stream unchanged); the iterative stage only
+    ever touches pool-sized frames — a 20x20 designed nested-loop for
+    pairwise sims, then K-1 rounds of (anti-join, 4-row broadcast,
+    argmax) on <=20 rows. Nothing data-sized enters the loop.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(F.lit(1000000.0) * X.cosine(F.col("embedding"), F.col("qv")))
+            .cast("bigint")
+            .alias("relevance_micro"),
+        )
+    )
+    pool = (
+        rel.orderBy(F.desc("relevance_micro"), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    a = pool.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = pool.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))  # constant 20x20 by design
+        .select(
+            "a",
+            "b",
+            F.floor(F.lit(1000000.0) * X.cosine(F.col("ea"), F.col("eb")))
+            .cast("bigint")
+            .alias("sim_units"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected = (
+        pool.orderBy(F.desc("relevance_micro"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            "relevance_micro",
+            (F.lit(7) * F.col("relevance_micro")).alias("mmr_score_micro"),
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("b"))
+        ms = (
+            sims.join(F.broadcast(sel_ids), "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim_units").alias("maxsim"))
+        )
+        pick = (
+            pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(ms, "vec_id")
+            .select(
+                F.lit(i).alias("sel_rank"),
+                "vec_id",
+                "relevance_micro",
+                (
+                    F.lit(7) * F.col("relevance_micro")
+                    - F.lit(3) * F.col("maxsim")
+                ).alias("mmr_score_micro"),
+            )
+            .orderBy(F.desc("mmr_score_micro"), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        F.col("sel_rank").cast("int"),
+        "vec_id",
+        F.col("relevance_micro").cast("bigint"),
+        F.col("mmr_score_micro").cast("bigint"),
+    )

@@ -15,6 +15,7 @@ registry.load_all()
 
 from env_data_pipeline_spark.plans.integrity import (  # noqa: E402
     _BENFORD_PERMILLE,
+    lineitem_partition_fingerprints,
     orders_benford_digit_profile,
     referential_integrity_audit,
 )
@@ -144,3 +145,59 @@ def test_audit_plan_broadcasts_dims_not_facts(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") >= 6
     assert "SortMergeJoin LeftAnti" in plan
+
+
+def test_fingerprints_pinpoint_a_corrupted_bucket(spark, tmp_path):
+    """Flip one measure in one row of a copy: the count stays equal,
+    and EXACTLY the owning bucket's xor/modsum signatures move."""
+    rows = [(o, 1, 100.0 + o, 2.0) for o in range(200)]
+    schema = (
+        "l_orderkey long, l_linenumber int, l_extendedprice double, "
+        "l_quantity double"
+    )
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(a_dir / "lineitem.parquet")
+    )
+    corrupted = [(o, n, p + (0.01 if o == 77 else 0.0), q) for o, n, p, q in rows]
+    spark.createDataFrame(corrupted, schema).coalesce(1).write.parquet(
+        str(b_dir / "lineitem.parquet")
+    )
+    fp = lambda d: {  # noqa: E731
+        r["bucket"]: (r["n_rows"], r["xor_sig"], r["modsum_sig"])
+        for r in lineitem_partition_fingerprints(spark, str(d)).collect()
+    }
+    fa, fb = fp(a_dir), fp(b_dir)
+    assert set(fa) == set(fb)
+    diff = {b for b in fa if fa[b] != fb[b]}
+    assert diff == {77 % 64}
+    bad = 77 % 64
+    assert fa[bad][0] == fb[bad][0]          # same row count
+    assert fa[bad][1] != fb[bad][1]          # xor moved
+    assert fa[bad][2] != fb[bad][2]          # modsum moved
+
+
+def test_fingerprints_xor_blindspot_covered_by_count_and_modsum(spark, tmp_path):
+    """A row duplicated twice XORs to a no-op — n_rows and modsum must
+    still flag the bucket."""
+    base = [(1, 1, 10.0, 1.0), (65, 1, 20.0, 1.0)]
+    schema = (
+        "l_orderkey long, l_linenumber int, l_extendedprice double, "
+        "l_quantity double"
+    )
+    a_dir, b_dir = tmp_path / "xa", tmp_path / "xb"
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(
+        str(a_dir / "lineitem.parquet")
+    )
+    spark.createDataFrame(base + [(65, 1, 20.0, 1.0), (65, 1, 20.0, 1.0)],
+                          schema).coalesce(1).write.parquet(
+        str(b_dir / "lineitem.parquet")
+    )
+    fp = lambda d: {  # noqa: E731
+        r["bucket"]: (r["n_rows"], r["xor_sig"], r["modsum_sig"])
+        for r in lineitem_partition_fingerprints(spark, str(d)).collect()
+    }
+    fa, fb = fp(a_dir), fp(b_dir)
+    assert fa[1][1] == fb[1][1]              # xor identical: blind spot
+    assert fa[1][0] != fb[1][0]              # count catches it
+    assert fa[1][2] != fb[1][2]              # modsum catches it

@@ -76,6 +76,15 @@ NESTED_LOOP_OK = {
     "text_bm25_search",
     "text_pmi_collocations",
     "corpus_boilerplate_scrub",
+    # per-edge one-row (totals x orphans) combine; everything is 1-row
+    "referential_integrity_audit",
+    # 9-row digit reference x 1-row total
+    "orders_benford_digit_profile",
+    # dense |sources| x |vocab| grid by design (absent tokens carry
+    # drift mass); both sides are vocabulary-scale, not corpus-scale
+    "corpus_source_divergence",
+    # 1-row query broadcast + CONSTANT 20x20 pool pairwise-sim loop
+    "similarity_mmr_diverse_topk",
 }
 
 HEADLINE = [

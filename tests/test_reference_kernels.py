@@ -248,3 +248,98 @@ def test_cms_merge_equivalence(spark, tmp_path):
     for r in itertools.chain(h1, h2):
         merged[(r["j"], r["b"])] += r["n"]
     assert dict(merged) == full
+
+
+# --------------------------------------------------------------------------
+# Triangle participation (graphops)
+# --------------------------------------------------------------------------
+
+
+def test_triangle_participation_reference(spark, tmp_path):
+    """Random baskets -> brute-force triangle enumeration over the
+    co-purchase adjacency, per-node counts and milli clustering."""
+    rng = random.Random(_SEED)
+    rows = []
+    for o in range(60):
+        basket = rng.sample(range(25), rng.randrange(2, 6))
+        rows.extend((o, p) for p in basket)
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    adj = defaultdict(set)
+    baskets = defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    for basket in baskets.values():
+        for a, b in itertools.combinations(sorted(basket), 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = Counter()
+    nodes = sorted(adj)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    expected = {}
+    for v, t in tri.items():
+        d = len(adj[v])
+        expected[v] = (t, d, 2000 * t // (d * (d - 1)))
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+
+    got = [
+        (r["partkey"], (r["n_triangles"], r["n_neighbors"], r["clustering_milli"]))
+        for r in registry.QUERIES["part_triangle_participation"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == top
+
+
+# --------------------------------------------------------------------------
+# Corpus source divergence (textstats)
+# --------------------------------------------------------------------------
+
+
+def test_corpus_source_divergence_reference(spark, tmp_path):
+    rng = random.Random(_SEED)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for d in range(80):
+        src = f"s{rng.randrange(4)}"
+        # source s3 skews hard toward one word: real drift to detect
+        weights = [8, 1, 1, 1, 1, 1] if src == "s3" else [1] * 6
+        text = " ".join(rng.choices(vocab, weights=weights, k=rng.randrange(3, 9)))
+        rows.append((d, text, "en", src, len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    cnt = defaultdict(Counter)
+    for _, text, _, src, _ in rows:
+        cnt[src].update(text.split(" "))
+    total = Counter()
+    for c in cnt.values():
+        total.update(c)
+    t_all = sum(total.values())
+    expected = {}
+    for src, c in cnt.items():
+        t_s = sum(c.values())
+        t_r = t_all - t_s
+        num = sum(
+            abs(c.get(w, 0) * t_r - (total[w] - c.get(w, 0)) * t_s) for w in total
+        )
+        expected[src] = (t_s, 500 * num // (t_s * t_r))
+
+    got = {
+        r["source"]: (r["n_tokens"], r["tv_permille_vs_rest"])
+        for r in registry.QUERIES["corpus_source_divergence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+    # the skewed source must read as the most divergent
+    assert max(expected, key=lambda s: expected[s][1]) == "s3"

@@ -25,6 +25,16 @@ STAGED_NEXT_ROUND = {
     "join_key_skew_profile",
     "referential_integrity_audit",
     "orders_benford_digit_profile",
+    "part_triangle_participation",
+    "corpus_source_divergence",
+    "customer_name_edit1_pairs",
+    "similarity_mmr_diverse_topk",
+    "text_phrase_search",
+    "lineitem_partition_fingerprints",
+    # displaced from the window by similarity_mmr_diverse_topk, whose
+    # home module (vectorops) registers earlier in load_all order;
+    # like everything here it is sf0.01+sf0.1 verified, stamp deferred
+    "excess_shipping_suppliers",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
     "text_bm25_search",

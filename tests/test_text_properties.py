@@ -55,3 +55,27 @@ def test_fingerprints_deterministic(spark, words):
     text = " ".join(words)
     (a_roll, a_bag), (b_roll, b_bag) = _fingerprints(spark, [text, text])
     assert a_roll == b_roll and a_bag == b_bag
+
+
+def test_phrase_search_counts_adjacent_occurrences(spark, tmp_path):
+    """'spark window spark window' back-to-back is TWO occurrences —
+    the case a replace-length oracle would undercount (boundary space
+    shared between adjacent matches)."""
+    from env_data_pipeline_spark.plans.textstats import text_phrase_search
+
+    docs = [
+        (0, "spark window spark window", "en", "s0", 25),
+        (1, "a spark window b", "en", "s0", 16),
+        (2, "window spark", "en", "s0", 12),          # wrong order: no hit
+        (3, "sparkly window", "en", "s0", 14),        # substring decoy: no hit
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in text_phrase_search(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 2, 1: 1}
