@@ -376,3 +376,236 @@ def streaming_cms_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_cms_refresh(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: dV = dA|><|B u A|><|dB u dA|><|dB
+# --------------------------------------------------------------------------
+
+# deterministic two-sided delta: 5% of orders and ~1/13 of lineitems
+# arrive "late"; the stored view was built from everything else
+_JV_A_MOD = 20
+_JV_B_MOD = 13
+
+_JV_REV = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "orders_join_view_incremental_refresh",
+    # FULL RECOMPUTE over the complete join — hash equality proves the
+    # three-term delta decomposition, not merely mirrors it
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_join_rows,
+           CAST(SUM({_JV_REV}) AS BIGINT) AS revenue_units,
+           CAST(MIN({_JV_REV}) AS BIGINT) AS min_line_units,
+           CAST(MAX({_JV_REV}) AS BIGINT) AS max_line_units
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def orders_join_view_incremental_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view, proven by
+    the classic three-term delta algebra: with late arrivals dA
+    (orders) and dB (lineitems),
+        d(A |><| B) = dA |><| B_old  u  A_old |><| dB  u  dA |><| dB,
+    each term reduced to mergeable partial states (count/sum/min/max
+    of half-up 1e-4-unit line revenue — the engine's money grid) and
+    merged onto the stored view state with refresh_partial_aggs. The
+    oracle is a FULL RECOMPUTE over the complete join, so hash
+    equality proves the decomposition misses and double-counts
+    nothing.
+
+    Scale: the stored view state (localCheckpointed here, a table in
+    production) is |groups|-sized; every delta term joins a DELTA side
+    against a base side on the join key — none of the three terms ever
+    rejoins base-with-base, so refresh cost is O(|dA| + |dB| + join
+    fan-out of the deltas), independent of |A |><| B|. The two
+    delta-vs-base joins shuffle only the (already key-partitioned)
+    delta rows against a key-partitioned base scan.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_units"),
+    )
+    a_delta = F.col("o_orderkey") % _JV_A_MOD == 0
+    b_delta = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _JV_B_MOD == 0
+    a_old, da = orders.filter(~a_delta), orders.filter(a_delta)
+    b_old, db = li.filter(~b_delta), li.filter(b_delta)
+
+    def view_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+        # merge-hinted: every term has at least one corpus-proportional
+        # side, so AQE must not data-size-broadcast it at test SF
+        # (memory: AQE hazard). A production refresh with a BOUNDED
+        # delta would broadcast the delta side instead — drop the hint
+        # there; the algebra is join-strategy-agnostic.
+        return a.hint("merge").join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderpriority", "rev_units"
+        )
+
+    # the stored artifact: view state as of the last refresh
+    state_old = INC.partial_aggs(
+        view_rows(a_old, b_old), ["o_orderpriority"], "rev_units"
+    ).localCheckpoint(eager=False)
+    delta_rows = (
+        view_rows(da, b_old)
+        .unionByName(view_rows(a_old, db))
+        .unionByName(view_rows(da, db))
+    )
+    state_new = INC.refresh_partial_aggs(
+        state_old,
+        INC.partial_aggs(delta_rows, ["o_orderpriority"], "rev_units"),
+        ["o_orderpriority"],
+    )
+    return state_new.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_join_rows"),
+        F.col("sum_value").cast("bigint").alias("revenue_units"),
+        F.col("min_value").cast("bigint").alias("min_line_units"),
+        F.col("max_value").cast("bigint").alias("max_line_units"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: derive the CDC stream between two table versions
+# --------------------------------------------------------------------------
+
+# deterministic two-version scenario with precedence insert > delete >
+# update so the classes stay disjoint even when mods coincide
+_SD_INS, _SD_DEL, _SD_UPD = 17, 19, 23
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price_units
+        FROM orders WHERE o_orderkey % {_SD_INS} <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % {_SD_INS} <> 0
+                       AND o_orderkey % {_SD_DEL} <> 0
+                       AND o_orderkey % {_SD_UPD} = 0
+                      THEN 10000 ELSE 0 END AS price_units
+        FROM orders
+        WHERE o_orderkey % {_SD_INS} = 0 OR o_orderkey % {_SD_DEL} <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.price_units AS old_price_units,
+           n.price_units AS new_price_units
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price_units <> n.price_units
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_orderpriority <> n.o_orderpriority
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing: given two versions of a table, derive
+    the CDC stream (insert / delete / update rows, unchanged rows
+    dropped) with one full-outer join on the key and a column-level
+    change predicate — the complement of
+    ``lineitem_partition_fingerprints``: fingerprints find WHICH
+    bucket diverged, the diff derives WHAT to replay. The two versions
+    are deterministic slices of orders (insert/delete/update mods with
+    explicit precedence), so the oracle rebuilds the identical
+    scenario.
+
+    Scale: one key-partitioned full-outer shuffle join; with both
+    snapshots bucketed by key the exchange disappears (the same
+    bucketed-MERGE physical design as documents_upsert_merge). The
+    change predicate runs in the join projection — no second pass. At
+    100 TB you run fingerprints first and diff only the dirty key
+    ranges; the operator is unchanged, just filtered.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_units"),
+    )
+    is_ins = F.col("o_orderkey") % _SD_INS == 0
+    is_del = F.col("o_orderkey") % _SD_DEL == 0
+    is_upd = F.col("o_orderkey") % _SD_UPD == 0
+    old = base.filter(~is_ins)
+    new = base.filter(is_ins | ~is_del).withColumn(
+        "price_units",
+        F.col("price_units")
+        + F.when(~is_ins & ~is_del & is_upd, F.lit(10000)).otherwise(F.lit(0)),
+    )
+    o = old.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("st_o"),
+        F.col("o_orderpriority").alias("pr_o"),
+        F.col("price_units").alias("old_price_units"),
+    )
+    n = new.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("st_n"),
+        F.col("o_orderpriority").alias("pr_n"),
+        F.col("price_units").alias("new_price_units"),
+    )
+    joined = o.join(n, "o_orderkey", "full_outer")
+    changed = (
+        F.col("old_price_units").isNull()
+        | F.col("new_price_units").isNull()
+        | (F.col("old_price_units") != F.col("new_price_units"))
+        | (F.col("st_o") != F.col("st_n"))
+        | (F.col("pr_o") != F.col("pr_n"))
+    )
+    return joined.filter(changed).select(
+        "o_orderkey",
+        F.when(F.col("old_price_units").isNull(), F.lit("insert"))
+        .when(F.col("new_price_units").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "old_price_units",
+        "new_price_units",
+    )
+
+
+@query(
+    "streaming_join_view_refresh",
+    # same FULL-RECOMPUTE oracle as the batch three-term refresh: the
+    # streamed state must land on the identical view
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_join_rows,
+           CAST(SUM({_JV_REV}) AS BIGINT) AS revenue_units,
+           CAST(MIN({_JV_REV}) AS BIGINT) AS min_line_units,
+           CAST(MAX({_JV_REV}) AS BIGINT) AS max_line_units
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the materialized JOIN view: the lineitem fact
+    stream replays as 4 real micro-batches, each batch stream-static
+    joins the orders dimension and merges its partial-aggregate state
+    into the persistent view (streaming/incremental_refresh.py) —
+    final state hash-equals the full-join recompute, proving
+    join-then-aggregate commutes with batching."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_join_view_refresh as run,
+    )
+
+    return run(spark, sf_dir)

@@ -106,7 +106,9 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans = nonnull.join(pkeys, "k", "left_anti")
         row = (
             keyed.agg(
-                F.sum("cnt").alias("n_child_rows"),
+                # coalesce: an EMPTY child table (the ingest-gate case)
+                # must report 0 like the oracle's COUNT(*), not NULL
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child_rows"),
                 F.coalesce(
                     F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
                 ).alias("n_null_keys"),
@@ -238,7 +240,7 @@ _FP_BUCKETS = 64
     """,
 )
 def lineitem_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-entropy digest of the lineitem table: 64 key-range buckets,
+    """Anti-entropy digest of the lineitem table: 64 key-residue buckets,
     each summarized by row count + order-insensitive XOR and mod-sum
     of a per-row content signature (md5-prefix of the business key and
     half-up-integerized measures — the engine-wide hash convention,
@@ -250,8 +252,12 @@ def lineitem_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFra
     together are the standard reconciliation triple.
 
     Scale: one scan, map-side-combined 64-group aggregate, zero joins;
-    signature math is pure Column expressions. Bucketing by key range
-    (not hash) keeps a re-sync range-addressable in the source table.
+    signature math is pure Column expressions. Buckets here are key
+    RESIDUE classes (orderkey % 64) — cheap and uniform, but a dirty
+    bucket is scattered across the key domain; on range-partitioned
+    storage swap the bucket expression to a key-range quotient
+    (orderkey div range_width) to make re-sync range-addressable —
+    a one-line change, the triple is bucketing-agnostic.
     """
     li = table(spark, sf_dir, "lineitem")
     sig = md5_prefix_hash(

@@ -1966,3 +1966,592 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id")
     return SK.cms_probe(SK.cms_cells(ev), SK.cms_probe_sample(ev))
+
+
+# --------------------------------------------------------------------------
+# events_top_trigram_paths: 3-step behavioral sequence mining
+# --------------------------------------------------------------------------
+
+_TRIGRAM_TOPK = 10
+
+
+@query(
+    "events_top_trigram_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           COUNT(*) AS n_paths
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT {_TRIGRAM_TOPK}
+    """,
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths: every consecutive
+    (event, event, event) trigram per user in event-time order,
+    counted corpus-wide — the sequence-mining extension of
+    events_transition_matrix (length-2) that surfaces WORKFLOWS
+    (view>click>purchase vs view>error>view) rather than single hops.
+
+    Determinism: the window order is the unique (ts, event_id) pair,
+    so every LAG is reproducible cross-engine.
+
+    Scale: one per-user window (a single user-keyed exchange — the
+    same shape as the transition matrix), then a map-side-combined
+    count on a |event_types|^3-bounded key space and a
+    TakeOrderedAndProject top-10. Nothing fans out: each event emits
+    exactly one trigram (or none for the first two per user).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type")).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(_TRIGRAM_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# lineitem_winsorized_stats: robust cleaning by exact-rank clamping
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_winsorized_stats",
+    oracle="""
+    WITH u AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS u,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT flag, u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY flag ORDER BY u, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS cnt
+        FROM u
+    ),
+    fences AS (
+        SELECT flag,
+               MAX(CASE WHEN rn = GREATEST(1, cnt // 100) THEN u END) AS p01_units,
+               MAX(CASE WHEN rn = GREATEST(1, (cnt * 99) // 100) THEN u END)
+                   AS p99_units
+        FROM r GROUP BY flag
+    )
+    SELECT r.flag,
+           CAST(MAX(r.cnt) AS BIGINT) AS n_rows,
+           MAX(f.p01_units) AS p01_units,
+           MAX(f.p99_units) AS p99_units,
+           CAST(SUM(CASE WHEN r.u < f.p01_units THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(SUM(CASE WHEN r.u > f.p99_units THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_high,
+           CAST(SUM(r.u) // MAX(r.cnt) AS BIGINT) AS mean_units_raw,
+           CAST(SUM(LEAST(GREATEST(r.u, f.p01_units), f.p99_units))
+                // MAX(r.cnt) AS BIGINT) AS mean_units_winsorized
+    FROM r JOIN fences f USING (flag)
+    GROUP BY r.flag
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per return flag: exact-rank p01/p99
+    fences on half-up 1e-4 price units, values clamped into the fence,
+    raw vs winsorized means side by side plus how many rows each fence
+    clipped — the data-cleaning gate that makes a mean robust without
+    DELETING outliers (the MAD report's complement: that one flags,
+    this one repairs).
+
+    Exactness: fences are order statistics selected by row_number on
+    the unique (units, orderkey, linenumber) sort; every sum/mean is
+    BIGINT with one floor division — nothing float anywhere.
+
+    Scale: exact per-group order statistics accept the in-group sort
+    at report grain (3 flag values, one narrow projection) exactly
+    like orders_mad_outliers; at 100 TB the mergeable-histogram
+    percentiles answer at bin resolution without the sort, and the
+    clamp becomes a broadcast of the 3-row fence table — which is
+    already how this plan applies it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.col("l_returnflag").alias("flag"),
+        _units(F.col("l_extendedprice")).alias("u"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_rn = Window.partitionBy("flag").orderBy("u", "l_orderkey", "l_linenumber")
+    w_p = Window.partitionBy("flag")
+    r = u.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_p)
+    )
+    fences = r.groupBy("flag").agg(
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.lit(1), F.expr("cnt div 100")), F.col("u"))
+        ).alias("p01_units"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(cnt * 99) div 100")),
+                F.col("u"),
+            )
+        ).alias("p99_units"),
+    )
+    joined = r.join(F.broadcast(fences), "flag")
+    clamped = F.least(F.greatest(F.col("u"), F.col("p01_units")), F.col("p99_units"))
+    return joined.groupBy("flag").agg(
+        F.max("cnt").cast("bigint").alias("n_rows"),
+        F.max("p01_units").alias("p01_units"),
+        F.max("p99_units").alias("p99_units"),
+        F.sum(F.when(F.col("u") < F.col("p01_units"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped_low"),
+        F.sum(F.when(F.col("u") > F.col("p99_units"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped_high"),
+        F.expr("cast(sum(u) div max(cnt) as bigint)").alias("mean_units_raw"),
+        F.sum(clamped).alias("_wsum"),
+    ).select(
+        "flag",
+        "n_rows",
+        "p01_units",
+        "p99_units",
+        "n_clamped_low",
+        "n_clamped_high",
+        "mean_units_raw",
+        F.expr("cast(_wsum div n_rows as bigint)").alias("mean_units_winsorized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog_over_time: interval concurrency as a running delta sum
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH closes AS (
+        SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_day
+        FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+               c.close_day + 1 AS after_close
+        FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+    ),
+    opens AS (SELECT open_day AS day, COUNT(*) AS n_opened
+              FROM spans GROUP BY 1),
+    cls AS (SELECT after_close AS day, COUNT(*) AS n_closed
+            FROM spans GROUP BY 1)
+    SELECT day,
+           CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
+           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(SUM(COALESCE(o.n_opened, 0) - COALESCE(c.n_closed, 0))
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM opens o FULL OUTER JOIN cls c USING (day)
+    """,
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: each order is open from its
+    order date through its LAST ship date (inclusive); the backlog on
+    any day is the running sum of (+1 open, -1 the day after close)
+    deltas — the standard interval-concurrency trick that answers
+    "how many in flight?" without materializing order x day rows.
+    Days between deltas carry the previous backlog by construction, so
+    emitting only delta days loses nothing.
+
+    Scale: one per-order close aggregation (key shuffle), two day-
+    grain counts, then a running sum over the DAY GRAIN — a single-
+    partition window over a calendar-bounded (~years x 365) frame, not a
+    data-bounded one; at 100 TB the window input is still just days.
+    Orders with no lineitems have no close and are excluded (inner
+    join), matching the oracle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").cast("date").alias("close_day")
+    )
+    spans = orders.join(
+        closes, orders["o_orderkey"] == closes["l_orderkey"]
+    ).select(
+        F.col("o_orderdate").cast("date").alias("open_day"),
+        F.date_add(F.col("close_day"), 1).alias("after_close"),
+    )
+    opens = spans.groupBy(F.col("open_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    cls = spans.groupBy(F.col("after_close").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    days = opens.join(cls, "day", "full_outer").select(
+        "day",
+        F.coalesce(F.col("n_opened"), F.lit(0)).cast("bigint").alias("n_opened"),
+        F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_seasonality_profile: day-of-week x hour load matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells),
+    mx AS (SELECT dow, MAX(n_events) AS mx FROM cells GROUP BY 1)
+    SELECT c.dow, c.hr,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(c.n_events * 1000 // (SELECT total FROM tot) AS BIGINT)
+               AS share_permille,
+           c.n_events = m.mx AS is_peak_hour_of_dow
+    FROM cells c JOIN mx m USING (dow)
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality matrix: events bucketed by (Monday-based
+    day-of-week, hour-of-day) with each cell's exact permille share of
+    total traffic and a per-dow peak-hour flag — the capacity-planning
+    profile that decides when maintenance windows and batch refreshes
+    run. Day-of-week convention pinned cross-engine: Spark weekday()
+    (0=Mon) == DuckDB isodow()-1.
+
+    Scale: one map-side-combined groupBy onto a <=168-cell key space;
+    the total and per-dow maxima are cell-grain aggregates broadcast
+    back. Cost is one scan regardless of event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("weekday(ts)").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("total"))
+    mx = cells.groupBy("dow").agg(F.max("n_events").alias("mx"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mx), "dow")
+        .select(
+            "dow",
+            "hr",
+            F.col("n_events").cast("bigint"),
+            F.expr("cast(n_events * 1000 div total as bigint)").alias(
+                "share_permille"
+            ),
+            (F.col("n_events") == F.col("mx")).alias("is_peak_hour_of_dow"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_rfm_segments: recency/frequency/monetary quintile scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_units
+        FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(last_day) AS corpus_last FROM per_cust),
+    m AS (
+        SELECT custkey, frequency, monetary_units,
+               datediff('day', last_day, (SELECT corpus_last FROM anchor))
+                   AS recency_days
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary_units,
+               ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_units, custkey) AS m_score
+        FROM m
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_units) // COUNT(*) AS BIGINT)
+               AS avg_monetary_units,
+           CAST(SUM(frequency) // COUNT(*) AS BIGINT) AS avg_frequency
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    anchored to the corpus's last order day so the query is
+    reproducible), frequency (order count) and monetary (half-up 1e-4
+    price units), each quintile-scored 1..5 (5 = best) with ntile over
+    a UNIQUE (metric, custkey) order — ntile's remainder-to-first-
+    buckets rule is the same on both engines, and the unique order
+    makes the bucket assignment deterministic. Output is the <=125-cell
+    RFM matrix with exact integer averages — the marketing/value
+    segmentation every warehouse grows eventually.
+
+    Scale: one order scan into a per-customer aggregate (key shuffle),
+    then three global ntiles over the CUSTOMER grain. A global ntile
+    is a single-partition sort of customer-sized data — at 100 TB swap
+    to percentile-bucket scores from the mergeable histogram state
+    (plans/incremental.py), same 1..5 output contract; this is the
+    exact-answer path, documented as such.
+    """
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_units(F.col("o_totalprice"))).cast("bigint").alias("monetary_units"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("corpus_last"))
+    m = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        "frequency",
+        "monetary_units",
+        F.datediff(F.col("corpus_last"), F.col("last_day")).alias("recency_days"),
+    )
+    scored = m.select(
+        "custkey",
+        "frequency",
+        "monetary_units",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), "custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_units", "custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy(
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("bigint")
+        .alias("rfm_cell")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr("cast(sum(monetary_units) div count(*) as bigint)").alias(
+            "avg_monetary_units"
+        ),
+        F.expr("cast(sum(frequency) div count(*) as bigint)").alias(
+            "avg_frequency"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# part_substitution_candidates: banded same-type price neighbors
+# --------------------------------------------------------------------------
+
+_SUB_TOPK = 3
+
+
+@query(
+    "part_substitution_candidates",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey, p_type, p_brand,
+               CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT) AS u
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS partkey, b.p_partkey AS sub_partkey,
+               a.u AS price_units, b.u AS sub_price_units,
+               abs(a.u - b.u) AS diff_units
+        FROM p a JOIN p b
+          ON a.p_type = b.p_type AND a.p_partkey <> b.p_partkey
+        WHERE abs(a.u - b.u) * 20 <= LEAST(a.u, b.u)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY partkey
+                   ORDER BY diff_units, sub_partkey) AS rnk
+        FROM cand
+    )
+    SELECT partkey, rnk AS sub_rank, sub_partkey,
+           price_units, sub_price_units, diff_units
+    FROM ranked WHERE rnk <= {_SUB_TOPK}
+    """,
+)
+def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitute-product candidates: for every part, the top-3 parts
+    of the SAME type whose price sits within 5% (|pa-pb|*20 <=
+    min(pa,pb), exact integer band on half-up 1e-4 units) — the
+    assortment-gap / out-of-stock fallback join. The per-part top-3 is
+    a WindowGroupLimit.
+
+    Algorithm — exact and LINEAR, because "all pairs within 5%" is
+    inherently quadratic in catalog density (measured: 0.47M band
+    pairs at sf0.01 -> 47M at sf0.1, 100x for 10x parts) while the
+    top-3 answer is linear-sized. Within a type, index the DISTINCT
+    price levels by sort position; a part's true top-3 by
+    (diff, sub_partkey) can only come from its own level (3 smallest
+    OTHER partkeys there — diff 0 beats everything) or the nearest <=3
+    distinct levels on each side (if each nearer level held just one
+    part), and within any level only that level's 3 smallest partkeys
+    can win (equal diff for the whole level -> partkey tiebreak).
+    Equidistant above/below levels tie -> the union of each side's
+    top-3 still contains the winners. So: per-level top-4-by-partkey
+    pool (WindowGroupLimit), probe exploded to level+/-3, equi-join,
+    band filter, rank — <=28 candidates per part instead of every
+    band pair. The oracle deliberately stays the NAIVE quadratic
+    type-join + band filter: two independent algorithms, so the gate
+    proves the level construction loses no pair.
+
+    Scale: two window passes (level index on the distinct-level grain,
+    top-4 pool per level) and one merge-hinted (type, level) equi-join
+    with constant fan-out — shuffle grows with the catalog, never with
+    band density (memory: AQE hazard — no data-sized broadcast).
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        _units(F.col("p_retailprice")).cast("bigint").alias("u"),
+    )
+    wl = Window.partitionBy("p_type").orderBy("u")
+    levels = (
+        p.select("p_type", "u")
+        .distinct()
+        .withColumn("lvl", F.row_number().over(wl))
+    )
+    pl = p.join(levels, ["p_type", "u"])
+    wk = Window.partitionBy("p_type", "lvl").orderBy("p_partkey")
+    pool = (
+        pl.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 4)
+        .select(
+            "p_type",
+            "lvl",
+            F.col("p_partkey").alias("sub_partkey"),
+            F.col("u").alias("sub_price_units"),
+        )
+    )
+    probes = pl.select(
+        F.col("p_partkey").alias("partkey"),
+        "p_type",
+        F.col("u").alias("price_units"),
+        F.explode(
+            F.array(*[F.col("lvl") + F.lit(d) for d in range(-3, 4)])
+        ).alias("lvl"),
+    )
+    cand = (
+        probes.hint("merge")
+        .join(pool, ["p_type", "lvl"])
+        .filter(F.col("partkey") != F.col("sub_partkey"))
+        .withColumn(
+            "diff_units", F.abs(F.col("price_units") - F.col("sub_price_units"))
+        )
+        .filter(
+            F.col("diff_units") * 20
+            <= F.least(F.col("price_units"), F.col("sub_price_units"))
+        )
+    )
+    w = Window.partitionBy("partkey").orderBy("diff_units", "sub_partkey")
+    return (
+        cand.withColumn("sub_rank", F.row_number().over(w))
+        .filter(F.col("sub_rank") <= _SUB_TOPK)
+        .select(
+            "partkey",
+            "sub_rank",
+            "sub_partkey",
+            "price_units",
+            "sub_price_units",
+            "diff_units",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_ship_latency_histogram: order-to-first-ship distribution
+# --------------------------------------------------------------------------
+
+_LAT_BUCKET_DAYS = 7
+
+
+@query(
+    "orders_ship_latency_histogram",
+    oracle=f"""
+    WITH lat AS (
+        SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(MIN(l.l_shipdate) AS DATE)) AS days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    b AS (SELECT days // {_LAT_BUCKET_DAYS} AS bucket FROM lat),
+    h AS (SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM h)
+    SELECT bucket,
+           bucket * {_LAT_BUCKET_DAYS} AS from_days,
+           (bucket + 1) * {_LAT_BUCKET_DAYS} - 1 AS to_days,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_orders * 1000 // (SELECT total FROM t) AS BIGINT)
+               AS share_permille
+    FROM h
+    """,
+)
+def orders_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency distribution in 7-day buckets
+    with exact permille shares — the fulfillment-SLA profile. Latency
+    is whole days between the order date and the order's EARLIEST ship
+    date (integer datediff, non-negative in sane data, so `div` ==
+    floor division on both engines).
+
+    Scale: one per-order min-shipdate aggregate (the only key
+    shuffle), then a map-side-combined count on a handful of buckets;
+    the 1-row total broadcasts back. Mergeable by construction — the
+    same fixed-bucket histogram algebra as plans/incremental.py.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    lat = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        F.datediff(F.col("first_ship"), F.col("o_orderdate").cast("date")).alias(
+            "days"
+        )
+    )
+    h = lat.select(F.expr(f"days div {_LAT_BUCKET_DAYS}").alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    t = h.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        (F.col("bucket") * _LAT_BUCKET_DAYS).alias("from_days"),
+        ((F.col("bucket") + 1) * _LAT_BUCKET_DAYS - 1).alias("to_days"),
+        F.col("n_orders").cast("bigint"),
+        F.expr("cast(n_orders * 1000 div total as bigint)").alias(
+            "share_permille"
+        ),
+    )

@@ -60,6 +60,7 @@ def _replay_state_refresh(
     merge_states: Callable[[DataFrame, DataFrame], DataFrame],
     finalize: Callable[[SparkSession, DataFrame], DataFrame],
     prefix: str,
+    shard_key: str = "event_id",
 ) -> DataFrame:
     """THE replay scaffolding, written once: shard ``source`` into
     BATCH_SHARDS delta files, drain them as real micro-batches, merge
@@ -75,7 +76,7 @@ def _replay_state_refresh(
     ckpt_dir = os.path.join(work, "ckpt")
     state_dirs = [os.path.join(work, "state_a"), os.path.join(work, "state_b")]
     os.makedirs(delta_dir)
-    write_shards(source, delta_dir, BATCH_SHARDS, "event_id")
+    write_shards(source, delta_dir, BATCH_SHARDS, shard_key)
 
     live: list[str] = []  # last state dir actually written
 
@@ -165,4 +166,65 @@ def streaming_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.cms_merge,
         finalize,
         "stream_cms_refresh_",
+    )
+
+
+def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a materialized JOIN view: the lineitem
+    FACT STREAM replays as BATCH_SHARDS real micro-batches, each batch
+    equi-joins the static orders dimension (the classic stream-static
+    enrich), reduces to count/sum/min/max partial states of half-up
+    1e-4-unit line revenue, and merges into the persistent view state.
+    The final state must hash-equal a FULL RECOMPUTE over the complete
+    join (the same oracle as the batch three-term refresh,
+    plans/incremental.py::orders_join_view_incremental_refresh) —
+    which holds only if join-then-partial-aggregate commutes with
+    batching across every boundary.
+
+    Scale posture: per trigger the work is O(|batch| join fan-out +
+    |state|); the dimension is scanned per batch (broadcast in
+    production when it fits, key-partitioned join otherwise) and
+    history is never rescanned. Scaffolding (sharding, ping-pong
+    state, at-least-once caveat) is _replay_state_refresh — shared
+    with the aggregate and CMS refreshes."""
+    from env_data_pipeline_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_units"),
+    )
+    keys = ["o_orderpriority"]
+
+    def build(batch: DataFrame) -> DataFrame:
+        rows = batch.join(
+            orders, batch["l_orderkey"] == orders["o_orderkey"]
+        ).select("o_orderpriority", "rev_units")
+        return INC.partial_aggs(rows, keys, "rev_units")
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return state.select(
+            "o_orderpriority",
+            F.col("n_rows").cast("bigint").alias("n_join_rows"),
+            F.col("sum_value").cast("bigint").alias("revenue_units"),
+            F.col("min_value").cast("bigint").alias("min_line_units"),
+            F.col("max_value").cast("bigint").alias("max_line_units"),
+        )
+
+    return _replay_state_refresh(
+        spark,
+        li,
+        build,
+        lambda cur, new: INC.refresh_partial_aggs(cur, new, keys),
+        finalize,
+        "stream_join_view_refresh_",
+        shard_key="l_orderkey",
     )

@@ -367,3 +367,76 @@ def test_scd2_batch_composition_disjoint_keys(spark):
         )
 
     assert canon(one_shot) == canon(staged)
+
+
+# --------------------------------------------------------------------------
+# join-view maintenance + snapshot diff (round-7 additions)
+# --------------------------------------------------------------------------
+
+
+def test_join_view_delta_terms_partition_the_join(spark, sf_dir):
+    """The three delta terms + old|><|old must partition the full join:
+    term row counts sum exactly to the full-join count (nothing missed,
+    nothing double-counted) and the refreshed state's n_join_rows agree."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.incremental import (
+        _JV_A_MOD,
+        _JV_B_MOD,
+        orders_join_view_incremental_refresh,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a_delta = F.col("o_orderkey") % _JV_A_MOD == 0
+    b_delta = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _JV_B_MOD == 0
+    a_old, da = orders.filter(~a_delta), orders.filter(a_delta)
+    b_old, db = li.filter(~b_delta), li.filter(b_delta)
+
+    def n(a, b):
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).count()
+
+    full = n(orders, li)
+    parts = n(a_old, b_old) + n(da, b_old) + n(a_old, db) + n(da, db)
+    assert parts == full
+
+    refreshed = orders_join_view_incremental_refresh(spark, sf_dir)
+    assert refreshed.agg(F.sum("n_join_rows")).collect()[0][0] == full
+
+
+def test_snapshot_diff_classifies_ops_and_drops_unchanged(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.incremental import (
+        _SD_DEL,
+        _SD_INS,
+        _SD_UPD,
+        orders_snapshot_diff,
+    )
+
+    diff = orders_snapshot_diff(spark, sf_dir)
+    rows = {r["o_orderkey"]: r for r in diff.collect()}
+    keys = [
+        r["o_orderkey"]
+        for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ]
+    for k in keys:
+        ins, dele, upd = k % _SD_INS == 0, k % _SD_DEL == 0, k % _SD_UPD == 0
+        if ins:
+            expect = "insert"
+        elif dele:
+            expect = "delete"
+        elif upd:
+            expect = "update"
+        else:
+            expect = None
+        got = rows.get(k)
+        assert (got["op"] if got else None) == expect, k
+        if expect == "update":
+            assert got["new_price_units"] - got["old_price_units"] == 10000
+        elif expect == "insert":
+            assert got["old_price_units"] is None
+        elif expect == "delete":
+            assert got["new_price_units"] is None

@@ -85,6 +85,14 @@ NESTED_LOOP_OK = {
     "corpus_source_divergence",
     # 1-row query broadcast + CONSTANT 20x20 pool pairwise-sim loop
     "similarity_mmr_diverse_topk",
+    # 1-row traffic total cross-joined into the <=168-cell matrix
+    "events_seasonality_profile",
+    # 1-row corpus-last-day anchor broadcast onto the customer grain
+    "customer_rfm_segments",
+    # 1-row order total cross-joined into the <=dozen-bucket histogram
+    "orders_ship_latency_histogram",
+    # 1-row price-bucket width broadcast onto the part scan
+    "part_substitution_candidates",
 }
 
 HEADLINE = [
@@ -802,3 +810,42 @@ def test_cms_sketch_broadcasts(spark, sf_dir):
     (the build), so a different broadcast can't satisfy the pin."""
     subs = _broadcast_subtrees(spark, "events_cms_user_counts", sf_dir)
     assert any("HashAggregate" in s for s in subs), [s[:120] for s in subs]
+
+
+# --------------------------------------------------------------------------
+# r7c merge-hinted data-sized joins: the hint must hold (no
+# data-sized BroadcastExchange) — companion to SHUFFLE_SCALING
+# --------------------------------------------------------------------------
+
+
+def test_edit1_blocking_join_stays_sort_merge(spark, sf_dir):
+    plan = formatted_plan(spark, "customer_name_edit1_pairs", sf_dir)
+    assert "SortMergeJoin" in plan
+    # the only join is the data-sized blocking-key self-join: ANY
+    # broadcast here is a data-sized broadcast
+    assert "BroadcastExchange" not in plan
+
+
+def test_phrase_search_positional_join_stays_sort_merge(spark, sf_dir):
+    plan = formatted_plan(spark, "text_phrase_search", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_triangle_joins_broadcast_degrees_not_edges(spark, sf_dir):
+    plan = formatted_plan(spark, "part_triangle_participation", sf_dir)
+    # basket edge-build + wedge self-join are merge-hinted SMJ
+    assert plan.count("SortMergeJoin") >= 2
+    # the closure semi-join HASHES against the edge-sized probe — the
+    # wedge relation (outdeg^2-sized) must stream, never sort
+    assert "ShuffledHashJoin LeftSemi" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
+    # remaining broadcasts are the EXPLICIT node-sized deg tables; a
+    # nested-loop or cartesian anywhere is caught by the global audit
+
+
+def test_join_view_delta_terms_stay_sort_merge(spark, sf_dir):
+    plan = formatted_plan(spark, "orders_join_view_incremental_refresh", sf_dir)
+    # all four corpus-proportional join terms pinned to SMJ
+    assert plan.count("SortMergeJoin") >= 4
+    assert "BroadcastExchange" not in plan

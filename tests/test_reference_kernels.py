@@ -343,3 +343,285 @@ def test_corpus_source_divergence_reference(spark, tmp_path):
     assert got == expected
     # the skewed source must read as the most divergent
     assert max(expected, key=lambda s: expected[s][1]) == "s3"
+
+
+# --------------------------------------------------------------------------
+# Trigram paths (relational_ext)
+# --------------------------------------------------------------------------
+
+
+def test_top_trigram_paths_reference(spark, tmp_path):
+    rows = _mk_events(n_users=25, n_events=400)
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    per_user = defaultdict(list)
+    for eid, ts, uid, etype, _, _ in rows:
+        per_user[uid].append((ts, eid, etype))
+    tri = Counter()
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i in range(2, len(evs)):
+            tri[f"{evs[i - 2][2]}>{evs[i - 1][2]}>{evs[i][2]}"] += 1
+    top = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (r["path"], r["n_paths"])
+        for r in registry.QUERIES["events_top_trigram_paths"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == top
+
+
+# --------------------------------------------------------------------------
+# Winsorized stats (relational_ext)
+# --------------------------------------------------------------------------
+
+
+def test_winsorized_stats_reference(spark, tmp_path):
+    rng = random.Random(_SEED)
+    rows = []
+    for ok in range(300):
+        flag = rng.choice(["A", "N", "R"])
+        # heavy right tail so the p99 fence actually clips
+        price = rng.uniform(10, 100) * (100 if rng.random() < 0.03 else 1)
+        rows.append((ok, 1, flag, round(price, 2)))
+    schema = (
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_extendedprice double"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+
+    by_flag = defaultdict(list)
+    for ok, ln, flag, price in rows:
+        by_flag[flag].append((int(price * 10000 + 0.5), ok, ln))
+    expected = {}
+    clipped_somewhere = False
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        units = [v[0] for v in vals]
+        p01 = units[max(1, n // 100) - 1]
+        p99 = units[max(1, n * 99 // 100) - 1]
+        lo = sum(1 for v in units if v < p01)
+        hi = sum(1 for v in units if v > p99)
+        clipped_somewhere |= hi > 0
+        wsum = sum(min(max(v, p01), p99) for v in units)
+        expected[flag] = (
+            n, p01, p99, lo, hi, sum(units) // n, wsum // n,
+        )
+    assert clipped_somewhere  # fixture must exercise the clamp
+
+    got = {
+        r["flag"]: (
+            r["n_rows"], r["p01_units"], r["p99_units"], r["n_clamped_low"],
+            r["n_clamped_high"], r["mean_units_raw"],
+            r["mean_units_winsorized"],
+        )
+        for r in registry.QUERIES["lineitem_winsorized_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Backlog over time (relational_ext)
+# --------------------------------------------------------------------------
+
+
+def test_backlog_reference_counts_open_intervals(spark, tmp_path):
+    """The delta-sum backlog at each emitted day must equal the brute
+    count of orders whose [open, last_ship] interval covers that day."""
+    rng = random.Random(_SEED)
+    d0 = dt.date(2024, 1, 1)
+    orders, lines = [], []
+    for ok in range(120):
+        open_off = rng.randrange(60)
+        orders.append((ok, dt.datetime.combine(d0 + dt.timedelta(days=open_off),
+                                               dt.time())))
+        for ln in range(1, rng.randrange(1, 4) + 1):
+            ship = open_off + rng.randrange(1, 30)
+            lines.append((ok, ln,
+                          dt.datetime.combine(d0 + dt.timedelta(days=ship),
+                                              dt.time())))
+    spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber int, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    close = defaultdict(lambda: None)
+    for ok, _, ship in lines:
+        c = close[ok]
+        close[ok] = ship.date() if c is None or ship.date() > c else c
+    spans = {ok: (od.date(), close[ok]) for ok, od in orders if ok in close}
+
+    got = {
+        r["day"]: (r["n_opened"], r["n_closed"], r["backlog"])
+        for r in registry.QUERIES["orders_backlog_over_time"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for day, (n_o, n_c, backlog) in got.items():
+        brute = sum(1 for o, c in spans.values() if o <= day <= c)
+        assert backlog == brute, day
+        assert n_o == sum(1 for o, _ in spans.values() if o == day)
+        assert n_c == sum(
+            1 for _, c in spans.values() if c + dt.timedelta(days=1) == day
+        )
+    # emitted days must cover every open and every close+1 day
+    expect_days = {o for o, _ in spans.values()} | {
+        c + dt.timedelta(days=1) for _, c in spans.values()
+    }
+    assert set(got) == expect_days
+
+
+# --------------------------------------------------------------------------
+# RFM segments (relational_ext) — ntile semantics pinned
+# --------------------------------------------------------------------------
+
+
+def _ntile5(ordered_keys):
+    """Standard NTILE: equal buckets, remainder to the FIRST buckets."""
+    n = len(ordered_keys)
+    base, rem = divmod(n, 5)
+    out, i = {}, 0
+    for b in range(1, 6):
+        size = base + (1 if b <= rem else 0)
+        for k in ordered_keys[i : i + size]:
+            out[k] = b
+        i += size
+    return out
+
+
+def test_rfm_segments_reference(spark, tmp_path):
+    rng = random.Random(_SEED)
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    ok = 0
+    for cust in range(37):
+        for _ in range(rng.randrange(1, 8)):
+            rows.append(
+                (
+                    ok,
+                    cust,
+                    dt.datetime.combine(
+                        d0 + dt.timedelta(days=rng.randrange(120)), dt.time()
+                    ),
+                    round(rng.uniform(10, 5000), 2),
+                )
+            )
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    per = {}
+    for _, cust, od, price in rows:
+        last, freq, mon = per.get(cust, (dt.date.min, 0, 0))
+        per[cust] = (
+            max(last, od.date()),
+            freq + 1,
+            mon + int(price * 10000 + 0.5),
+        )
+    anchor = max(v[0] for v in per.values())
+    rec = {c: (anchor - v[0]).days for c, v in per.items()}
+    r = _ntile5(sorted(per, key=lambda c: (-rec[c], c)))
+    f = _ntile5(sorted(per, key=lambda c: (per[c][1], c)))
+    m = _ntile5(sorted(per, key=lambda c: (per[c][2], c)))
+    cells = defaultdict(lambda: [0, 0, 0])
+    for c in per:
+        cell = r[c] * 100 + f[c] * 10 + m[c]
+        cells[cell][0] += 1
+        cells[cell][1] += per[c][2]
+        cells[cell][2] += per[c][1]
+    expected = {
+        cell: (n, mon // n, freq // n) for cell, (n, mon, freq) in cells.items()
+    }
+
+    got = {
+        row["rfm_cell"]: (
+            row["n_customers"],
+            row["avg_monetary_units"],
+            row["avg_frequency"],
+        )
+        for row in registry.QUERIES["customer_rfm_segments"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Substitution candidates (relational_ext) — level-neighbor exactness
+# --------------------------------------------------------------------------
+
+
+def _brute_subs(parts):
+    """parts: list of (partkey, type, units). Brute top-3 by
+    (diff, sub_partkey) within 5% band."""
+    out = {}
+    for pk, t, u in parts:
+        cand = [
+            (abs(u - su), sk, su)
+            for sk, st, su in parts
+            if st == t and sk != pk and abs(u - su) * 20 <= min(u, su)
+        ]
+        cand.sort()
+        out[pk] = [(i + 1, sk, u, su, d) for i, (d, sk, su) in enumerate(cand[:3])]
+    return {pk: rows for pk, rows in out.items() if rows}
+
+
+def _run_subs(spark, tmp_path, parts):
+    spark.createDataFrame(
+        [(pk, t, u / 10000.0) for pk, t, u in parts],
+        "p_partkey long, p_type string, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = defaultdict(list)
+    for r in (
+        registry.QUERIES["part_substitution_candidates"](spark, str(tmp_path))
+        .collect()
+    ):
+        got[r["partkey"]].append(
+            (
+                r["sub_rank"],
+                r["sub_partkey"],
+                r["price_units"],
+                r["sub_price_units"],
+                r["diff_units"],
+            )
+        )
+    return {pk: sorted(rows) for pk, rows in got.items()}
+
+
+def test_substitution_heavy_price_ties(spark, tmp_path):
+    """A 9-part equal-price block: the true top-3 are the 3 smallest
+    OTHER partkeys of the block — the case a +/-k positional
+    neighbor scan would break and the level pool must not."""
+    parts = [(pk, "t", 5_000_000) for pk in range(9)]
+    parts += [(100, "t", 5_100_000), (101, "t", 9_999_999)]
+    assert _run_subs(spark, tmp_path, parts) == _brute_subs(parts)
+
+
+def test_substitution_fuzz_vs_bruteforce(spark, tmp_path):
+    rng = random.Random(_SEED)
+    parts = []
+    for pk in range(150):
+        t = rng.choice(["a", "b", "c"])
+        # mix of dense ties and spread values, incl. sparse levels
+        u = rng.choice(
+            [1_000_000, 1_010_000, 1_020_000, 1_030_000, 1_040_000,
+             rng.randrange(900_000, 1_200_000)]
+        )
+        parts.append((pk, t, u))
+    assert _run_subs(spark, tmp_path, parts) == _brute_subs(parts)

@@ -35,6 +35,29 @@ STAGED_NEXT_ROUND = {
     # home module (vectorops) registers earlier in load_all order;
     # like everything here it is sf0.01+sf0.1 verified, stamp deferred
     "excess_shipping_suppliers",
+    # displaced from the window by orders_join_view_incremental_refresh
+    # + orders_snapshot_diff (plans.incremental registers 3rd in
+    # load_all, inside the window); both displaced names were verified
+    # at sf0.01+sf0.1 during r7 — only the driver stamp is deferred
+    "supplier_variety_by_part_attrs",
+    "top_revenue_supplier",
+    # displaced by events_top_trigram_paths + lineitem_winsorized_stats
+    # (relational_ext registers 10th, inside the window); both names
+    # below are sf0.01+sf0.1 verified, stamp deferred to r8
+    "top_value_partkeys",
+    "late_shipment_priority_counts",
+    # displaced by orders_backlog_over_time + events_seasonality_profile
+    # (relational_ext, inside the window); sf0.01+sf0.1 verified in r7
+    "cheapest_supplier_per_part",
+    "discount_revenue_opportunity",
+    # r7c batch 3 — registered past the window boundary themselves
+    "customer_rfm_segments",
+    "part_substitution_candidates",
+    "orders_ship_latency_histogram",
+    "streaming_join_view_refresh",
+    # displaced by streaming_join_view_refresh (plans.incremental
+    # registers 3rd); sf0.01+sf0.1 verified in r7, stamp deferred
+    "events_seasonality_profile",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
     "text_bm25_search",

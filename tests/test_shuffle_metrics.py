@@ -79,6 +79,19 @@ SHUFFLE_SCALING = [
     # (label,pos) centroid partials are bounded; per-vector distance
     # aggregate ∝ embeddings
     ("embedding_label_outliers", "embeddings", 1.5),
+    # r7c merge-hinted data-sized joins (memory discipline: every
+    # .hint('merge') needs a shuffle-bytes bound + plan pin):
+    # deletion-neighborhood keys ∝ names x avg_len
+    ("customer_name_edit1_pairs", "customer", 1.5),
+    # edges ∝ lineitem (constant basket size); wedges ∝ edges x
+    # oriented out-degree, which orientation keeps near-constant
+    ("part_triangle_participation", "lineitem", 2.0),
+    # only the two phrase terms leave the scan — ∝ documents
+    ("text_phrase_search", "documents", 1.5),
+    # three delta terms, each one shuffle of key-partitioned slices
+    ("orders_join_view_incremental_refresh", "lineitem", 1.5),
+    # one full-outer key shuffle of the two snapshots
+    ("orders_snapshot_diff", "orders", 1.5),
 ]
 
 
