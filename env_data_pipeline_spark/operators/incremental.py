@@ -362,3 +362,57 @@ def refresh_partial_aggs(base_state: DataFrame, delta_state: DataFrame, keys: li
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shared join-view definition (batch three-term refresh AND streaming
+# refresh land on THIS one view — one projection, one finalize, one
+# oracle, so the pairing cannot drift; same single-module discipline
+# as extensions/sketches.py)
+# --------------------------------------------------------------------------
+
+JV_REV_SQL = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+)
+
+JV_KEYS = ["o_orderpriority"]
+
+
+def jv_oracle() -> str:
+    """FULL RECOMPUTE over the complete join — the oracle both the
+    batch and the streaming refresh must hash-equal."""
+    return f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_join_rows,
+           CAST(SUM({JV_REV_SQL}) AS BIGINT) AS revenue_units,
+           CAST(MIN({JV_REV_SQL}) AS BIGINT) AS min_line_units,
+           CAST(MAX({JV_REV_SQL}) AS BIGINT) AS max_line_units
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """
+
+
+def jv_lineitem(li: DataFrame) -> DataFrame:
+    """The lineitem projection of the view: join key, delta-derivation
+    key, and line revenue on the half-up 1e-4 money grid."""
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_units"),
+    )
+
+
+def jv_finalize(state: DataFrame) -> DataFrame:
+    """Read the mergeable partial state out as the published view."""
+    return state.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_join_rows"),
+        F.col("sum_value").cast("bigint").alias("revenue_units"),
+        F.col("min_value").cast("bigint").alias("min_line_units"),
+        F.col("max_value").cast("bigint").alias("max_line_units"),
+    )

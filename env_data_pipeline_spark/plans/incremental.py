@@ -387,22 +387,14 @@ def streaming_cms_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JV_A_MOD = 20
 _JV_B_MOD = 13
 
-_JV_REV = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
-
 
 @query(
     "orders_join_view_incremental_refresh",
     # FULL RECOMPUTE over the complete join — hash equality proves the
-    # three-term delta decomposition, not merely mirrors it
-    oracle=f"""
-    SELECT o.o_orderpriority,
-           COUNT(*) AS n_join_rows,
-           CAST(SUM({_JV_REV}) AS BIGINT) AS revenue_units,
-           CAST(MIN({_JV_REV}) AS BIGINT) AS min_line_units,
-           CAST(MAX({_JV_REV}) AS BIGINT) AS max_line_units
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY 1
-    """,
+    # three-term delta decomposition, not merely mirrors it. One
+    # shared definition (operators/incremental.py) serves this, the
+    # streaming refresh, and the oracle.
+    oracle=INC.jv_oracle(),
 )
 def orders_join_view_incremental_refresh(
     spark: SparkSession, sf_dir: str
@@ -429,16 +421,7 @@ def orders_join_view_incremental_refresh(
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.floor(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("rev_units"),
-    )
+    li = INC.jv_lineitem(table(spark, sf_dir, "lineitem"))
     a_delta = F.col("o_orderkey") % _JV_A_MOD == 0
     b_delta = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % _JV_B_MOD == 0
     a_old, da = orders.filter(~a_delta), orders.filter(a_delta)
@@ -456,7 +439,7 @@ def orders_join_view_incremental_refresh(
 
     # the stored artifact: view state as of the last refresh
     state_old = INC.partial_aggs(
-        view_rows(a_old, b_old), ["o_orderpriority"], "rev_units"
+        view_rows(a_old, b_old), INC.JV_KEYS, "rev_units"
     ).localCheckpoint(eager=False)
     delta_rows = (
         view_rows(da, b_old)
@@ -465,16 +448,10 @@ def orders_join_view_incremental_refresh(
     )
     state_new = INC.refresh_partial_aggs(
         state_old,
-        INC.partial_aggs(delta_rows, ["o_orderpriority"], "rev_units"),
-        ["o_orderpriority"],
+        INC.partial_aggs(delta_rows, INC.JV_KEYS, "rev_units"),
+        INC.JV_KEYS,
     )
-    return state_new.select(
-        "o_orderpriority",
-        F.col("n_rows").cast("bigint").alias("n_join_rows"),
-        F.col("sum_value").cast("bigint").alias("revenue_units"),
-        F.col("min_value").cast("bigint").alias("min_line_units"),
-        F.col("max_value").cast("bigint").alias("max_line_units"),
-    )
+    return INC.jv_finalize(state_new)
 
 
 # --------------------------------------------------------------------------
@@ -512,9 +489,9 @@ _SD_INS, _SD_DEL, _SD_UPD = 17, 19, 23
            n.price_units AS new_price_units
     FROM old o FULL OUTER JOIN new n USING (o_orderkey)
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-       OR o.price_units <> n.price_units
-       OR o.o_orderstatus <> n.o_orderstatus
-       OR o.o_orderpriority <> n.o_orderpriority
+       OR o.price_units IS DISTINCT FROM n.price_units
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
     """,
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,30 +529,35 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_units")
         + F.when(~is_ins & ~is_del & is_upd, F.lit(10000)).otherwise(F.lit(0)),
     )
+    # classify on ROW PRESENCE markers, exactly like the oracle's
+    # key-nullity test — classifying on a value column's nullity would
+    # silently diverge the day a snapshot carries a legitimate NULL
     o = old.select(
         F.col("o_orderkey"),
+        F.lit(True).alias("in_old"),
         F.col("o_orderstatus").alias("st_o"),
         F.col("o_orderpriority").alias("pr_o"),
         F.col("price_units").alias("old_price_units"),
     )
     n = new.select(
         F.col("o_orderkey"),
+        F.lit(True).alias("in_new"),
         F.col("o_orderstatus").alias("st_n"),
         F.col("o_orderpriority").alias("pr_n"),
         F.col("price_units").alias("new_price_units"),
     )
     joined = o.join(n, "o_orderkey", "full_outer")
     changed = (
-        F.col("old_price_units").isNull()
-        | F.col("new_price_units").isNull()
-        | (F.col("old_price_units") != F.col("new_price_units"))
-        | (F.col("st_o") != F.col("st_n"))
-        | (F.col("pr_o") != F.col("pr_n"))
+        F.col("in_old").isNull()
+        | F.col("in_new").isNull()
+        | ~F.col("old_price_units").eqNullSafe(F.col("new_price_units"))
+        | ~F.col("st_o").eqNullSafe(F.col("st_n"))
+        | ~F.col("pr_o").eqNullSafe(F.col("pr_n"))
     )
     return joined.filter(changed).select(
         "o_orderkey",
-        F.when(F.col("old_price_units").isNull(), F.lit("insert"))
-        .when(F.col("new_price_units").isNull(), F.lit("delete"))
+        F.when(F.col("in_old").isNull(), F.lit("insert"))
+        .when(F.col("in_new").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))
         .alias("op"),
         "old_price_units",
@@ -585,17 +567,9 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_join_view_refresh",
-    # same FULL-RECOMPUTE oracle as the batch three-term refresh: the
-    # streamed state must land on the identical view
-    oracle=f"""
-    SELECT o.o_orderpriority,
-           COUNT(*) AS n_join_rows,
-           CAST(SUM({_JV_REV}) AS BIGINT) AS revenue_units,
-           CAST(MIN({_JV_REV}) AS BIGINT) AS min_line_units,
-           CAST(MAX({_JV_REV}) AS BIGINT) AS max_line_units
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY 1
-    """,
+    # THE SAME shared full-recompute oracle as the batch three-term
+    # refresh: the streamed state must land on the identical view
+    oracle=INC.jv_oracle(),
 )
 def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of the materialized JOIN view: the lineitem fact

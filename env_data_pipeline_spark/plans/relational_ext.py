@@ -2443,7 +2443,10 @@ def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lvl", F.row_number().over(wl))
     )
-    pl = p.join(levels, ["p_type", "u"])
+    # merge-hinted: the distinct-level table is data-dependent (it can
+    # approach catalog size when prices rarely repeat), so it must not
+    # be AQE-broadcast either
+    pl = p.hint("merge").join(levels, ["p_type", "u"])
     wk = Window.partitionBy("p_type", "lvl").orderBy("p_partkey")
     pool = (
         pl.withColumn("rk", F.row_number().over(wk))

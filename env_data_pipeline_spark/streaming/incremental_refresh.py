@@ -192,38 +192,25 @@ def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.floor(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("rev_units"),
-    )
-    keys = ["o_orderpriority"]
+    # shared view definition (operators/incremental.py) — the batch
+    # three-term refresh, this stream, and the oracle use ONE
+    # projection/finalize, so the pairing cannot drift
+    li = INC.jv_lineitem(table(spark, sf_dir, "lineitem"))
 
     def build(batch: DataFrame) -> DataFrame:
         rows = batch.join(
             orders, batch["l_orderkey"] == orders["o_orderkey"]
         ).select("o_orderpriority", "rev_units")
-        return INC.partial_aggs(rows, keys, "rev_units")
+        return INC.partial_aggs(rows, INC.JV_KEYS, "rev_units")
 
     def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
-        return state.select(
-            "o_orderpriority",
-            F.col("n_rows").cast("bigint").alias("n_join_rows"),
-            F.col("sum_value").cast("bigint").alias("revenue_units"),
-            F.col("min_value").cast("bigint").alias("min_line_units"),
-            F.col("max_value").cast("bigint").alias("max_line_units"),
-        )
+        return INC.jv_finalize(state)
 
     return _replay_state_refresh(
         spark,
         li,
         build,
-        lambda cur, new: INC.refresh_partial_aggs(cur, new, keys),
+        lambda cur, new: INC.refresh_partial_aggs(cur, new, INC.JV_KEYS),
         finalize,
         "stream_join_view_refresh_",
         shard_key="l_orderkey",

@@ -91,8 +91,6 @@ NESTED_LOOP_OK = {
     "customer_rfm_segments",
     # 1-row order total cross-joined into the <=dozen-bucket histogram
     "orders_ship_latency_histogram",
-    # 1-row price-bucket width broadcast onto the part scan
-    "part_substitution_candidates",
 }
 
 HEADLINE = [
@@ -842,6 +840,14 @@ def test_triangle_joins_broadcast_degrees_not_edges(spark, sf_dir):
     assert "SortMergeJoin LeftSemi" not in plan
     # remaining broadcasts are the EXPLICIT node-sized deg tables; a
     # nested-loop or cartesian anywhere is caught by the global audit
+
+
+def test_substitution_level_join_stays_sort_merge(spark, sf_dir):
+    plan = formatted_plan(spark, "part_substitution_candidates", sf_dir)
+    # the catalog-proportional (type, level) probe|><|pool join is
+    # merge-hinted; any broadcast here would be a data-sized broadcast
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_join_view_delta_terms_stay_sort_merge(spark, sf_dir):

@@ -54,9 +54,9 @@ STAGED_NEXT_ROUND = {
     "customer_rfm_segments",
     "part_substitution_candidates",
     "orders_ship_latency_histogram",
-    "streaming_join_view_refresh",
-    # displaced by streaming_join_view_refresh (plans.incremental
-    # registers 3rd); sf0.01+sf0.1 verified in r7, stamp deferred
+    # displaced by streaming_join_view_refresh (which itself registers
+    # at position 11, INSIDE the window — it will be driver-stamped);
+    # sf0.01+sf0.1 verified in r7, stamp deferred
     "events_seasonality_profile",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",

@@ -92,6 +92,9 @@ SHUFFLE_SCALING = [
     ("orders_join_view_incremental_refresh", "lineitem", 1.5),
     # one full-outer key shuffle of the two snapshots
     ("orders_snapshot_diff", "orders", 1.5),
+    # level-neighbor construction: probe explodes x7, pool caps at 4
+    # per level — shuffle stays linear in the part catalog
+    ("part_substitution_candidates", "part", 1.5),
 ]
 
 
