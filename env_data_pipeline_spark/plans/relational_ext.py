@@ -2558,3 +2558,98 @@ def orders_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             "share_permille"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# events_multitouch_attribution: linear credit splitting
+# --------------------------------------------------------------------------
+
+_MT_WINDOW_MIN = 10  # same lookback as events_interval_attribution
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS conv_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.conv_id, e.event_id AS touch_id, e.event_type AS touch_type,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY e.ts, e.event_id) AS touch_rank,
+             COUNT(*) OVER (PARTITION BY p.conv_id) AS n_touches
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL {_MT_WINDOW_MIN} MINUTE
+       AND e.ts < p.ts
+       AND e.event_type IN ('view', 'click')
+    ),
+    credited AS (
+      SELECT touch_type,
+             CASE WHEN touch_rank = 1
+                  THEN 1000 - (n_touches - 1) * (1000 // n_touches)
+                  ELSE 1000 // n_touches END AS credit_milli
+      FROM touches
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_total
+    FROM credited GROUP BY 1
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 10
+    minutes before a purchase shares that conversion's 1000 milli-
+    credits equally — integer floor shares with the REMAINDER going to
+    the earliest touch, so each conversion distributes exactly 1000
+    and every quantity stays BIGINT (the rational-credit problem made
+    exact). Reported per touch channel: touch count and total credit.
+    The single-winner complement of events_asof_last_touch and the
+    credit-splitting extension of events_interval_attribution.
+
+    Invariant (pinned in tests): sum(credit_milli_total) == 1000 x
+    the number of converted purchases with >=1 touch.
+
+    Scale: the touch join is EQUI on user_id with the window predicate
+    inside each matched group (the interval-attribution shape); the
+    per-conversion rank/count windows partition by conversion id —
+    bounded fan-in per conversion — and the final aggregate is a
+    |channels|-sized map-side-combined groupBy.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+    )
+    touches = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_MT_WINDOW_MIN} MINUTES"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    )
+    w_rank = Window.partitionBy("conv_id").orderBy("t_ts", "touch_id")
+    w_all = Window.partitionBy("conv_id")
+    credited = (
+        touches.withColumn("touch_rank", F.row_number().over(w_rank))
+        .withColumn("n_touches", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "credit_milli",
+            F.when(
+                F.col("touch_rank") == 1,
+                F.lit(1000)
+                - (F.col("n_touches") - 1) * F.expr("1000 div n_touches"),
+            ).otherwise(F.expr("1000 div n_touches")),
+        )
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit_milli").cast("bigint").alias("credit_milli_total"),
+    )

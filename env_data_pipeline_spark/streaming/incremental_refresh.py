@@ -215,3 +215,87 @@ def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_join_view_refresh_",
         shard_key="l_orderkey",
     )
+
+
+def streaming_backlog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the order-backlog time series: order
+    open/close interval DELTAS (+1 at open day, -1 the day after last
+    ship) are themselves mergeable state — per-day delta counts merge
+    by addition across micro-batches, and the backlog is derived at
+    read time as the running sum over the calendar-bounded day grain
+    (the same read-time-derivation rule as avg over partial aggs). The
+    lineitem stream replays as BATCH_SHARDS micro-batches; each batch
+    recomputes ONLY its own orders' close days... which is exactly the
+    subtlety this query exists to prove wrong-or-right: a naive
+    per-batch MAX(l_shipdate) is NOT mergeable by addition — two
+    batches carrying the same order would each emit a close delta. So
+    the state is (order -> open_day, close_day) maintained by a
+    mergeable MAX on close_day, and the day-grain deltas + running sum
+    are derived at read time from that standing state. Final output
+    must hash-equal the one-shot batch query's oracle.
+
+    Scale posture: per trigger O(|batch| + |orders-touched|) — the
+    per-order state is key-sized and merges by MAX; nothing rescans
+    history. The read-time day-grain derivation is calendar-bounded.
+    """
+    from env_data_pipeline_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_day")
+    )
+
+    def build(batch: DataFrame) -> DataFrame:
+        # per-batch partial state: one row per order seen in the batch
+        return batch.groupBy("l_orderkey").agg(
+            F.max("ship_day").alias("close_day")
+        )
+
+    def merge(cur: DataFrame, new: DataFrame) -> DataFrame:
+        # mergeable MAX algebra on the per-order close day
+        return (
+            cur.unionByName(new)
+            .groupBy("l_orderkey")
+            .agg(F.max("close_day").alias("close_day"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        spans = orders.join(
+            state, orders["o_orderkey"] == state["l_orderkey"]
+        ).select(
+            "open_day", F.date_add(F.col("close_day"), 1).alias("after_close")
+        )
+        opens = spans.groupBy(F.col("open_day").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_opened")
+        )
+        cls = spans.groupBy(F.col("after_close").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_closed")
+        )
+        days = opens.join(cls, "day", "full_outer").select(
+            "day",
+            F.coalesce(F.col("n_opened"), F.lit(0)).cast("bigint").alias("n_opened"),
+            F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
+        )
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        return days.withColumn(
+            "backlog",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+        )
+
+    return _replay_state_refresh(
+        spark,
+        li,
+        build,
+        merge,
+        finalize,
+        "stream_backlog_refresh_",
+        # shard by LINE NUMBER, not order key: an order's lines then
+        # SPAN batches, so the cross-batch MAX merge is genuinely
+        # exercised (orderkey-sharding would confine each order to one
+        # batch and the merge would be vacuously correct)
+        shard_key="l_linenumber",
+    )

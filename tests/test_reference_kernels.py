@@ -625,3 +625,43 @@ def test_substitution_fuzz_vs_bruteforce(spark, tmp_path):
         )
         parts.append((pk, t, u))
     assert _run_subs(spark, tmp_path, parts) == _brute_subs(parts)
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (relational_ext) — credit conservation
+# --------------------------------------------------------------------------
+
+
+def test_multitouch_credit_is_conserved(spark, sf_dir):
+    """Every converted purchase with >=1 touch distributes EXACTLY
+    1000 milli-credits, so the channel totals must sum to 1000 x that
+    purchase count — the invariant integer floor shares + remainder-
+    to-first exist to protect."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+
+    out = registry.QUERIES["events_multitouch_attribution"](spark, sf_dir)
+    total_credit = out.agg(F.sum("credit_milli_total")).collect()[0][0]
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
+    )
+    converted = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("t_ts") < F.col("p_ts")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert converted > 0, "fixture must convert"
+    assert total_credit == 1000 * converted

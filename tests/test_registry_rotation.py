@@ -58,6 +58,10 @@ STAGED_NEXT_ROUND = {
     # at position 11, INSIDE the window — it will be driver-stamped);
     # sf0.01+sf0.1 verified in r7, stamp deferred
     "events_seasonality_profile",
+    # displaced by streaming_backlog_refresh (also inside the window)
+    # and its own late registration; both tiers verified in r7
+    "orders_backlog_over_time",
+    "events_multitouch_attribution",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
     "text_bm25_search",
