@@ -2653,3 +2653,135 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.sum("credit_milli").cast("bigint").alias("credit_milli_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_new_vs_returning_weekly: acquisition vs retention split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_new_vs_returning_weekly",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               isoyear(ts) AS iso_year, week(ts) AS iso_week,
+               isoyear(ts) * 100 + week(ts) AS wkey
+        FROM events
+    ),
+    first_seen AS (SELECT user_id, MIN(wkey) AS first_wkey
+                   FROM wk GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, iso_year, iso_week, wkey FROM wk)
+    SELECT a.iso_year, a.iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users,
+           CAST(SUM(CASE WHEN a.wkey = f.first_wkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_users,
+           CAST(SUM(CASE WHEN a.wkey = f.first_wkey THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_returning_users
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_new_vs_returning_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly acquisition-vs-retention split: per ISO week, active
+    users partitioned into NEW (their first-ever active week) and
+    RETURNING — the growth-accounting view a product team reads next
+    to WAU. ISO week semantics verified identical cross-engine
+    (Spark yearofweek/weekofyear == DuckDB isoyear/week, including the
+    2021-01-01 -> 2020-W53 boundary).
+
+    Scale: the first-seen trick again (events_cumulative_distinct_
+    users) — one user-keyed MIN aggregate instead of any week x user
+    window; the distinct (user, week) activity table shuffles once on
+    user for the first-seen join, and weeks are calendar-bounded.
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr("extract(yearofweek from ts)").cast("int").alias("iso_year"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+    ).withColumn("wkey", F.col("iso_year") * 100 + F.col("iso_week"))
+    first_seen = wk.groupBy("user_id").agg(F.min("wkey").alias("first_wkey"))
+    active = wk.select("user_id", "iso_year", "iso_week", "wkey").distinct()
+    joined = active.join(first_seen, "user_id")
+    is_new = (F.col("wkey") == F.col("first_wkey")).cast("int")
+    return joined.groupBy("iso_year", "iso_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+        F.sum(is_new).cast("bigint").alias("n_new_users"),
+        F.sum(1 - is_new).cast("bigint").alias("n_returning_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_revenue_concentration: Pareto / top-decile share
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_units
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev_units,
+               ROW_NUMBER() OVER (ORDER BY rev_units DESC, o_custkey) AS rn,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(rev_units) OVER () AS BIGINT) AS total
+        FROM per_cust
+    ),
+    deciles AS (
+        SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile,
+               rev_units, total
+        FROM ranked
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_units) AS BIGINT) AS rev_units,
+           CAST(SUM(rev_units) * 1000 // MAX(total) AS BIGINT)
+               AS share_permille
+    FROM deciles GROUP BY 1
+    """,
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: customers ranked by lifetime revenue
+    (half-up 1e-4 units) and cut into 10 rank deciles — decile 1 is
+    the top 10% of customers — with each decile's exact permille share
+    of total revenue. The 80/20 audit behind every account-tiering
+    decision; read decile 1's share_permille directly.
+
+    Exactness: deciles by the deterministic ((rn-1)*10) div n rule on
+    a unique (revenue DESC, custkey) order; shares are BIGINT floor
+    permille.
+
+    Scale: one per-customer aggregate (key shuffle), then a global
+    rank over the CUSTOMER grain — the same exact-answer/report-grain
+    tradeoff as customer_rfm_segments, with the same documented
+    histogram-bucket swap at 100 TB.
+    """
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_units(F.col("o_totalprice"))).cast("bigint").alias("rev_units")
+    )
+    w_rank = Window.orderBy(F.desc("rev_units"), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = (
+        per_cust.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("total", F.sum("rev_units").over(w_all).cast("bigint"))
+    )
+    deciles = ranked.select(
+        (F.expr("((rn - 1) * 10) div n") + 1).cast("bigint").alias("decile"),
+        "rev_units",
+        "total",
+    )
+    return deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_units").cast("bigint").alias("rev_units"),
+        F.expr("cast(sum(rev_units) * 1000 div max(total) as bigint)").alias(
+            "share_permille"
+        ),
+    )

@@ -665,3 +665,50 @@ def test_multitouch_credit_is_conserved(spark, sf_dir):
     )
     assert converted > 0, "fixture must convert"
     assert total_credit == 1000 * converted
+
+
+# --------------------------------------------------------------------------
+# Weekly growth accounting + Pareto concentration — invariants
+# --------------------------------------------------------------------------
+
+
+def test_new_vs_returning_partitions_active(spark, sf_dir):
+    """new + returning must equal active in EVERY week, and total new
+    across all weeks must equal the distinct-user count (each user is
+    new exactly once)."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+
+    out = registry.QUERIES["events_new_vs_returning_weekly"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["n_new_users"] + r["n_returning_users"] == r["n_active_users"], r
+    total_new = sum(r["n_new_users"] for r in rows)
+    n_users = (
+        table(spark, sf_dir, "events").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()[0]["n"]
+    )
+    assert total_new == n_users
+
+
+def test_revenue_concentration_invariants(spark, sf_dir):
+    """Ten deciles of near-equal size; shares sum to 1000 minus floor
+    loss (<10); decile 1 (top spenders) holds the largest share."""
+    out = {
+        r["decile"]: (r["n_customers"], r["rev_units"], r["share_permille"])
+        for r in registry.QUERIES["customer_revenue_concentration"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(out) == set(range(1, 11))
+    sizes = [out[d][0] for d in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1
+    share_sum = sum(out[d][2] for d in range(1, 11))
+    assert 990 < share_sum <= 1000
+    assert out[1][2] == max(out[d][2] for d in range(1, 11))
+    # revenue is rank-ordered: each decile's total >= the next one's
+    revs = [out[d][1] for d in range(1, 11)]
+    assert all(revs[i] >= revs[i + 1] for i in range(9))

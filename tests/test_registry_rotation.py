@@ -62,6 +62,9 @@ STAGED_NEXT_ROUND = {
     # and its own late registration; both tiers verified in r7
     "orders_backlog_over_time",
     "events_multitouch_attribution",
+    # final r7c pair — registered past the window boundary themselves
+    "events_new_vs_returning_weekly",
+    "customer_revenue_concentration",
     "corpus_boilerplate_scrub",
     "text_vocab_coverage",
     "text_bm25_search",
