@@ -416,3 +416,62 @@ def jv_finalize(state: DataFrame) -> DataFrame:
         F.col("min_value").cast("bigint").alias("min_line_units"),
         F.col("max_value").cast("bigint").alias("max_line_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shared backlog-series definition (batch query AND streaming MAX-state
+# refresh land on THIS one series — one derivation, one oracle)
+# --------------------------------------------------------------------------
+
+
+def backlog_oracle() -> str:
+    """FULL RECOMPUTE of the open-order backlog time series — the
+    oracle both the batch query and the streaming refresh must
+    hash-equal."""
+    return """
+    WITH closes AS (
+        SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_day
+        FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+               c.close_day + 1 AS after_close
+        FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+    ),
+    opens AS (SELECT open_day AS day, COUNT(*) AS n_opened
+              FROM spans GROUP BY 1),
+    cls AS (SELECT after_close AS day, COUNT(*) AS n_closed
+            FROM spans GROUP BY 1)
+    SELECT day,
+           CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
+           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(SUM(COALESCE(o.n_opened, 0) - COALESCE(c.n_closed, 0))
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM opens o FULL OUTER JOIN cls c USING (day)
+    """
+
+
+def backlog_series(spans: DataFrame) -> DataFrame:
+    """Derive the day-grain delta counts and running backlog from the
+    per-order interval spans (open_day, after_close). The running sum
+    is over the CALENDAR-bounded day grain, not a data-bounded one."""
+    from pyspark.sql.window import Window
+
+    opens = spans.groupBy(F.col("open_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    cls = spans.groupBy(F.col("after_close").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    days = opens.join(cls, "day", "full_outer").select(
+        "day",
+        F.coalesce(F.col("n_opened"), F.lit(0)).cast("bigint").alias("n_opened"),
+        F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+    )

@@ -587,31 +587,9 @@ def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_backlog_refresh",
-    # same oracle as the one-shot batch backlog query: the streamed
-    # per-order MAX state must serve the identical time series
-    oracle="""
-    WITH closes AS (
-        SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_day
-        FROM lineitem GROUP BY 1
-    ),
-    spans AS (
-        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
-               c.close_day + 1 AS after_close
-        FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
-    ),
-    opens AS (SELECT open_day AS day, COUNT(*) AS n_opened
-              FROM spans GROUP BY 1),
-    cls AS (SELECT after_close AS day, COUNT(*) AS n_closed
-            FROM spans GROUP BY 1)
-    SELECT day,
-           CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
-           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
-           CAST(SUM(COALESCE(o.n_opened, 0) - COALESCE(c.n_closed, 0))
-                OVER (ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS backlog
-    FROM opens o FULL OUTER JOIN cls c USING (day)
-    """,
+    # THE SAME shared oracle as the one-shot batch backlog query: the
+    # streamed per-order MAX state must serve the identical series
+    oracle=INC.backlog_oracle(),
 )
 def streaming_backlog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of orders_backlog_over_time: the lineitem stream

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.operators import incremental as INC
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 # round-half-up 1e-4 fixed-point units for a money expression
@@ -2148,29 +2149,9 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_backlog_over_time",
-    oracle="""
-    WITH closes AS (
-        SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_day
-        FROM lineitem GROUP BY 1
-    ),
-    spans AS (
-        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
-               c.close_day + 1 AS after_close
-        FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
-    ),
-    opens AS (SELECT open_day AS day, COUNT(*) AS n_opened
-              FROM spans GROUP BY 1),
-    cls AS (SELECT after_close AS day, COUNT(*) AS n_closed
-            FROM spans GROUP BY 1)
-    SELECT day,
-           CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
-           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
-           CAST(SUM(COALESCE(o.n_opened, 0) - COALESCE(c.n_closed, 0))
-                OVER (ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS backlog
-    FROM opens o FULL OUTER JOIN cls c USING (day)
-    """,
+    # shared definition (operators/incremental.py): one oracle + one
+    # series derivation serve this query and the streaming refresh
+    oracle=INC.backlog_oracle(),
 )
 def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order backlog time series: each order is open from its
@@ -2199,22 +2180,7 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("open_day"),
         F.date_add(F.col("close_day"), 1).alias("after_close"),
     )
-    opens = spans.groupBy(F.col("open_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_opened")
-    )
-    cls = spans.groupBy(F.col("after_close").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_closed")
-    )
-    days = opens.join(cls, "day", "full_outer").select(
-        "day",
-        F.coalesce(F.col("n_opened"), F.lit(0)).cast("bigint").alias("n_opened"),
-        F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return days.withColumn(
-        "backlog",
-        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
-    )
+    return INC.backlog_series(spans)
 
 
 # --------------------------------------------------------------------------
@@ -2778,10 +2744,24 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         "rev_units",
         "total",
     )
-    return deciles.groupBy("decile").agg(
+    agg = deciles.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev_units").cast("bigint").alias("rev_units"),
-        F.expr("cast(sum(rev_units) * 1000 div max(total) as bigint)").alias(
-            "share_permille"
-        ),
+        F.max("total").alias("total"),
+    )
+    # widen BEFORE the multiply: rev_units*1000 exceeds int64 at
+    # sf ~20-30 ($1e12 revenue in 1e-4 units); the oracle's SUM is
+    # HUGEINT, so the engine widens to decimal(38,0) in lockstep.
+    # Floor division done EXACTLY as (x - x % total) / total — decimal
+    # `div` wraps through long, and a plain decimal divide rounds at
+    # scale 6, which could straddle an integer boundary
+    num = F.col("rev_units").cast("decimal(38,0)") * F.lit(1000).cast(
+        "decimal(38,0)"
+    )
+    tot = F.col("total").cast("decimal(38,0)")
+    return agg.select(
+        "decile",
+        "n_customers",
+        "rev_units",
+        ((num - num % tot) / tot).cast("bigint").alias("share_permille"),
     )

@@ -234,9 +234,11 @@ def streaming_backlog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are derived at read time from that standing state. Final output
     must hash-equal the one-shot batch query's oracle.
 
-    Scale posture: per trigger O(|batch| + |orders-touched|) — the
-    per-order state is key-sized and merges by MAX; nothing rescans
-    history. The read-time day-grain derivation is calendar-bounded.
+    Scale posture: per trigger O(|batch| + |state|) — like the sibling
+    refreshes, the full per-order state table is read, merged by MAX,
+    and rewritten each trigger (a table format with MERGE would touch
+    only the batch's keys); history rows are never rescanned. The
+    read-time day-grain derivation is calendar-bounded.
     """
     from env_data_pipeline_spark.catalog import table
 
@@ -262,29 +264,14 @@ def streaming_backlog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
-        from pyspark.sql.window import Window
-
         spans = orders.join(
             state, orders["o_orderkey"] == state["l_orderkey"]
         ).select(
             "open_day", F.date_add(F.col("close_day"), 1).alias("after_close")
         )
-        opens = spans.groupBy(F.col("open_day").alias("day")).agg(
-            F.count(F.lit(1)).alias("n_opened")
-        )
-        cls = spans.groupBy(F.col("after_close").alias("day")).agg(
-            F.count(F.lit(1)).alias("n_closed")
-        )
-        days = opens.join(cls, "day", "full_outer").select(
-            "day",
-            F.coalesce(F.col("n_opened"), F.lit(0)).cast("bigint").alias("n_opened"),
-            F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
-        )
-        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-        return days.withColumn(
-            "backlog",
-            F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
-        )
+        # shared series derivation (operators/incremental.py) — the
+        # batch query and this refresh publish ONE definition
+        return INC.backlog_series(spans)
 
     return _replay_state_refresh(
         spark,
