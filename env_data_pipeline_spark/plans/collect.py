@@ -988,7 +988,14 @@ _HEALTH_TABLES = ("requests", "weather_current", "weather_forecast",
 def source_health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7: /health & /containers/status (orchestrator.py:1031-1084) —
     batch-engine analog: per source table, row count + UP/DOWN. Each
-    count is a metadata-cheap column-less scan; the union is 6 rows."""
+    count is a metadata-cheap column-less scan; the union is 6 rows.
+
+    Scope: this is deliberately the STATIC analog only. The reference's
+    live HTTP probe loop (aiohttp GET per container with a 10 s timeout,
+    orchestrator.py:1031-1084) checks service liveness, which has no
+    counterpart in a batch/streaming analytics engine — the engine-side
+    notion of "a source is up" is "its table exists and has rows",
+    which is exactly what this query reports."""
     ensure_fixtures(spark, sf_dir, _ALL_FIXTURES)
     dfs = [
         spark.table(t).agg(

@@ -124,11 +124,36 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "streaming_stream_stream_join",
         # --- stamped by the round-6 driver window (CORRECTNESS_r06) ---
         "streaming_stream_stream_left_join",
-        # streaming_stateful_session_expiry deliberately NOT stamped:
-        # its r6 stamp attested the gap-evidence-OR-timeout emission
-        # rule; r7 redefined finality to the watermark-gated
-        # session-window rule (ADVICE r6 batching-invariance fix), so
-        # the r7 window must re-sample the redefined query
+        # --- stamped by the round-7 driver window (CORRECTNESS_r07,
+        # 50/50 green incl. streaming_stateful_session_expiry under its
+        # r7 watermark-gated session-window finality definition) ---
+        "dedup_cluster_quality_keep", "dedup_lsh_verified_pairs",
+        "dedup_substring_spans", "decontaminate_execute",
+        "corpus_shard_balance", "embedding_label_outliers",
+        "embedding_centroid_confusion", "similarity_mmr_diverse_topk",
+        "streaming_cms_sketch_refresh",
+        "orders_join_view_incremental_refresh", "orders_snapshot_diff",
+        "streaming_join_view_refresh", "streaming_backlog_refresh",
+        "streaming_stream_stream_semi_join",
+        "streaming_stream_stream_full_outer_join",
+        "streaming_stateful_session_expiry", "shipping_priority_topk",
+        "returned_items_top_customers", "customer_order_distribution",
+        "promo_revenue_share", "large_volume_orders",
+        "disjunctive_brand_revenue", "sole_failed_supplier_lines",
+        "idle_rich_customers", "nation_pair_volume",
+        "market_share_by_year", "product_profit_by_nation",
+        "orders_cube_status_priority", "customer_order_navigation",
+        "priority_distinct_profile", "events_funnel_conversion",
+        "events_weekly_cohort_retention", "revenue_grouping_sets",
+        "events_ohlc_6h", "monthly_revenue_growth",
+        "lineitem_stat_aggregates", "orders_column_profile",
+        "events_error_bursts", "nation_revenue_share",
+        "events_time_weighted_value", "events_kmv_distinct_estimate",
+        "events_cumulative_distinct_users", "market_basket_part_pairs",
+        "events_rolling_7d_active_users", "events_transition_matrix",
+        "orders_mad_outliers", "events_ewma_daily",
+        "events_cms_user_counts", "events_top_trigram_paths",
+        "lineitem_winsorized_stats",
     }
 )
 

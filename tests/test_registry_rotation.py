@@ -12,65 +12,14 @@ registry.load_all()
 
 DRIVER_SAMPLE_CAP = 50
 
-# Consciously staged past this round's sample window: the round-7
-# window is exactly full (50 never-stamped queries ahead of these),
-# so the graphops pair rides to the FRONT of round 8's window after
-# the r7 greens fold into DRIVER_STAMPED. Both are already verified
-# at sf0.01 AND sf0.1 by scripts/verify_driver_contract.py; only the
-# driver stamp itself is deferred. Any name here must be removed when
-# it gains a stamp — a stale entry fails
+# Consciously staged past this round's sample window. After the r8
+# fold of all 50 CORRECTNESS_r07 greens into DRIVER_STAMPED, the 29
+# remaining never-stamped queries all fit inside the 50-slot window,
+# so nothing needs staging. New queries added during r8 beyond the
+# window's free capacity (50 - 29 carryover = 21) must be listed here
+# — a stale (already-stamped) entry fails
 # test_staged_names_are_unstamped_and_registered.
-STAGED_NEXT_ROUND = {
-    "part_pagerank_copurchase",
-    "join_key_skew_profile",
-    "referential_integrity_audit",
-    "orders_benford_digit_profile",
-    "part_triangle_participation",
-    "corpus_source_divergence",
-    "customer_name_edit1_pairs",
-    "similarity_mmr_diverse_topk",
-    "text_phrase_search",
-    "lineitem_partition_fingerprints",
-    # displaced from the window by similarity_mmr_diverse_topk, whose
-    # home module (vectorops) registers earlier in load_all order;
-    # like everything here it is sf0.01+sf0.1 verified, stamp deferred
-    "excess_shipping_suppliers",
-    # displaced from the window by orders_join_view_incremental_refresh
-    # + orders_snapshot_diff (plans.incremental registers 3rd in
-    # load_all, inside the window); both displaced names were verified
-    # at sf0.01+sf0.1 during r7 — only the driver stamp is deferred
-    "supplier_variety_by_part_attrs",
-    "top_revenue_supplier",
-    # displaced by events_top_trigram_paths + lineitem_winsorized_stats
-    # (relational_ext registers 10th, inside the window); both names
-    # below are sf0.01+sf0.1 verified, stamp deferred to r8
-    "top_value_partkeys",
-    "late_shipment_priority_counts",
-    # displaced by orders_backlog_over_time + events_seasonality_profile
-    # (relational_ext, inside the window); sf0.01+sf0.1 verified in r7
-    "cheapest_supplier_per_part",
-    "discount_revenue_opportunity",
-    # r7c batch 3 — registered past the window boundary themselves
-    "customer_rfm_segments",
-    "part_substitution_candidates",
-    "orders_ship_latency_histogram",
-    # displaced by streaming_join_view_refresh (which itself registers
-    # at position 11, INSIDE the window — it will be driver-stamped);
-    # sf0.01+sf0.1 verified in r7, stamp deferred
-    "events_seasonality_profile",
-    # displaced by streaming_backlog_refresh (also inside the window)
-    # and its own late registration; both tiers verified in r7
-    "orders_backlog_over_time",
-    "events_multitouch_attribution",
-    # final r7c pair — registered past the window boundary themselves
-    "events_new_vs_returning_weekly",
-    "customer_revenue_concentration",
-    "corpus_boilerplate_scrub",
-    "text_vocab_coverage",
-    "text_bm25_search",
-    "text_pmi_collocations",
-    "text_tfidf_top_terms",
-}
+STAGED_NEXT_ROUND: set[str] = set()
 
 
 def test_never_stamped_queries_inside_driver_window():
