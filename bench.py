@@ -53,12 +53,28 @@ _SCALE_TABLES = ("lineitem", "events", "documents", "embeddings")
 
 
 _N_RUNS = 5  # timed runs per query; reported time is the MEDIAN
+# Adaptive noise control (VERDICT r7 item 4): a day's noisy query is
+# not predictable (r7 flagged events_sessionized_stats/collect_
+# aggregated at 0.47-0.48; the next clean run flagged dedup_substring_
+# spans at 0.95 instead), so instead of per-query run overrides, any
+# query whose (max-min)/median exceeds _NOISY_SPREAD keeps accruing
+# timed runs — two at a time, up to _MAX_RUNS — and reports the median
+# of everything collected. An 11-run median stays readable as a
+# regression signal under spread the 5-run median cannot absorb.
+_NOISY_SPREAD = 0.5
+_MAX_RUNS = 11
 
 
 def _time_tier(
     spark, names: list[str], sf_dir: str
-) -> tuple[dict[str, float], dict[str, float], dict[str, dict[str, int]]]:
-    """Returns (median timings, relative spread, shuffle bytes per query).
+) -> tuple[
+    dict[str, float],
+    dict[str, float],
+    dict[str, dict[str, int]],
+    dict[str, int],
+]:
+    """Returns (median timings, relative spread, shuffle bytes,
+    runs-used per query).
 
     Per query: one untimed warm-up (whole-stage-codegen compilation,
     broadcast build, parquet footers, fixture snapshot on a cold
@@ -74,6 +90,7 @@ def _time_tier(
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     shuffles: dict[str, dict[str, int]] = {}
+    n_runs_used: dict[str, int] = {}
     for name in names:
         registry.QUERIES[name](spark, sf_dir).count()
         # drop the previous query's garbage (broadcast blocks, shuffle
@@ -102,13 +119,29 @@ def _time_tier(
             "read_bytes": meter["read_bytes"],
             "write_bytes": meter["write_bytes"],
         }
-        runs.sort()
-        med = runs[len(runs) // 2]
+
+        def _stats(rs: list[float]) -> tuple[float, float]:
+            rs = sorted(rs)
+            med = rs[len(rs) // 2]
+            return med, ((rs[-1] - rs[0]) / med if med else 0.0)
+
+        med, spread = _stats(runs)
+        # adaptive top-up: a noisy query earns more runs so its MEDIAN
+        # stays regression-readable even when the range does not shrink
+        while spread > _NOISY_SPREAD and len(runs) < _MAX_RUNS:
+            spark.sparkContext._jvm.System.gc()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = registry.QUERIES[name](spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+                assert n >= 0
+            med, spread = _stats(runs)
         timings[name] = round(med, 4)
         # relative spread: (max-min)/median — >0.5 flags a timing too
-        # noisy to read as a regression
-        spreads[name] = round((runs[-1] - runs[0]) / med, 2) if med else 0.0
-    return timings, spreads, shuffles
+        # noisy to read as a regression (median then rests on extra runs)
+        spreads[name] = round(spread, 2)
+        n_runs_used[name] = len(runs)
+    return timings, spreads, shuffles, n_runs_used
 
 
 def _dump_plans(spark, names: list[str], sf_dir: str) -> None:
@@ -175,7 +208,7 @@ def main() -> None:
         if n not in names and n in registry.BENCH_EXTRA:
             names.append(n)
 
-    timings, spreads, shuffles = _time_tier(spark, names, sf_dir)
+    timings, spreads, shuffles, n_runs_used = _time_tier(spark, names, sf_dir)
     total = round(sum(timings.values()), 4)
 
     # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
@@ -190,6 +223,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": _N_RUNS,
+        "n_runs": n_runs_used,
         "rel_spread": spreads,
         "shuffle_bytes": shuffles,
         "queries": timings,
@@ -197,7 +231,7 @@ def main() -> None:
 
     if os.path.isdir(lo_dir) and os.path.abspath(lo_dir) != os.path.abspath(sf_dir):
         lo_sf = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
-        lo_timings, _, lo_shuffles = _time_tier(spark, names, lo_dir)
+        lo_timings, _, lo_shuffles, _lo_runs = _time_tier(spark, names, lo_dir)
         result["tiers"] = {sf: timings, lo_sf: lo_timings}
         result["data_ratio"] = _row_ratios(spark, sf_dir, lo_dir)
         result["scaling"] = {

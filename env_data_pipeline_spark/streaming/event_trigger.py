@@ -62,11 +62,18 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # final StreamingQueryProgress per drained sink (observability +
-# bounded-state assertions in tests): keyed by sink name
+# bounded-state assertions in tests): keyed by sink name. ALL_ holds
+# every micro-batch's progress — state EVICTION can land in any batch
+# (full-outer joins evict in the data batch, outer/semi in the flush
+# batch), so numRowsRemoved must be summed across the run, while
+# numRowsTotal is read from the LAST progress (post-eviction state).
 LAST_QUERY_PROGRESS: dict[str, dict] = {}
+ALL_QUERY_PROGRESS: dict[str, list[dict]] = {}
 
 
 def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
+    import json
+
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")
@@ -75,13 +82,14 @@ def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFram
         .start()
     )
     q.processAllAvailable()
-    lp = q.lastProgress
-    if lp is not None:
-        if not isinstance(lp, dict):  # older API returns an object
-            import json
 
-            lp = json.loads(lp.json)
-        LAST_QUERY_PROGRESS[name] = lp
+    def _as_dict(p):
+        return p if isinstance(p, dict) else json.loads(p.json)
+
+    history = [_as_dict(p) for p in (q.recentProgress or []) if p is not None]
+    if history:
+        ALL_QUERY_PROGRESS[name] = history
+        LAST_QUERY_PROGRESS[name] = history[-1]
     q.stop()
     q.awaitTermination(60)
     return spark.table(name)

@@ -55,6 +55,8 @@ NESTED_LOOP_OK = {
     "similarity_ivf_kmeans",  # Lloyd assignment: corpus x K=8 broadcast centroids
     "similarity_topk_ivf_trained",  # same corpus x K broadcast assignment shape
     "similarity_topk_ivfpq",  # coarse assignment + probe: corpus x K broadcast
+    "similarity_topk_ivf_served",  # serving stages of _trained, artifact-fed
+    "similarity_topk_ivfpq_served",  # serving stages of _ivfpq, artifact-fed
     "corpus_membership_dedup",  # 1-row Bloom bitmap broadcast against the delta
     "similarity_recall_at_k",  # brute-force ground truth by design
     "collect_quality_summary",  # rides the collect join tree
@@ -91,6 +93,8 @@ NESTED_LOOP_OK = {
     "customer_rfm_segments",
     # 1-row order total cross-joined into the <=dozen-bucket histogram
     "orders_ship_latency_histogram",
+    # three 1-row global aggregates cross-joined into the summary row
+    "part_triangle_count_sampled",
 }
 
 HEADLINE = [

@@ -268,6 +268,51 @@ def test_streaming_pq_code_refresh_equals_batch(spark, sf_dir):
     )
 
 
+def test_served_equals_trained(spark, sf_dir):
+    """The persisted-artifact serving queries must return EXACTLY the
+    rows of their inline train+serve siblings — training is
+    deterministic, so a divergence means the artifact cache returned a
+    stale/foreign index or the serving stages drifted."""
+    from env_data_pipeline_spark.plans.vectorops import (
+        similarity_topk_ivf_served,
+        similarity_topk_ivf_trained,
+        similarity_topk_ivfpq,
+        similarity_topk_ivfpq_served,
+    )
+
+    for served_fn, trained_fn in [
+        (similarity_topk_ivf_served, similarity_topk_ivf_trained),
+        (similarity_topk_ivfpq_served, similarity_topk_ivfpq),
+    ]:
+        served = sorted(map(tuple, served_fn(spark, sf_dir).collect()))
+        trained = sorted(map(tuple, trained_fn(spark, sf_dir).collect()))
+        assert served == trained, served_fn.__name__
+
+
+def test_served_artifact_is_persisted_and_reused(spark, sf_dir):
+    """Second invocation must consume the parquet artifact, not
+    retrain: the artifact dir exists after the first call and its
+    mtime is unchanged by the second."""
+    import os
+
+    from env_data_pipeline_spark.plans import vectorops as V
+
+    V.similarity_topk_ivf_served(spark, sf_dir).collect()
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
+    h = hashlib.md5(key.encode()).hexdigest()[:16]
+    d = os.path.join(
+        tempfile.gettempdir(), "edps_index_artifacts", h, "ivf_centroids"
+    )
+    assert os.path.exists(d)
+    before = os.path.getmtime(d)
+    V.similarity_topk_ivf_served(spark, sf_dir).collect()
+    assert os.path.getmtime(d) == before
+
+
 # --------------------------------------------------------------------------
 # similarity_mmr_diverse_topk — pure-Python greedy MMR reference
 # --------------------------------------------------------------------------
