@@ -135,9 +135,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures (4 bands x 4 rows) and self-join on band
-    buckets -> candidate near-dup pairs with shared-band counts."""
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH index layout. The symmetric
+    self-join (lsh_candidate_pairs) and the asymmetric delta-vs-corpus
+    probe (plans/extensions.py::dedup_delta_vs_corpus) both consume
+    this ONE definition, so their bucket populations cannot drift."""
     band_keys = [
         F.md5(
             F.concat_ws(
@@ -149,9 +151,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     stack_args: list[Column] = []
     for band, key in enumerate(band_keys):
         stack_args += [F.lit(band), key]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.stack(F.lit(N_BANDS), *stack_args).alias("band", "band_key")
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures (4 bands x 4 rows) and self-join on band
+    buckets -> candidate near-dup pairs with shared-band counts."""
+    bands = band_table(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -83,10 +83,9 @@ _DUCK_BANDS = "\n      UNION ALL\n".join(
 )
 
 
-# Full MinHash-LSH candidate-pair pipeline as a reusable CTE chain:
-# dedup_minhash_lsh selects from it directly; dedup_clusters extends
-# it with a recursive connected-components walk.
-_DUCK_LSH_CTES = f"""aug AS ({_DUCK_AUG}),
+# Shingle -> signature -> band CTE prefix shared by the symmetric
+# pair pipeline below AND the asymmetric delta-vs-corpus probe.
+_DUCK_SIG_BAND_CTES = f"""aug AS ({_DUCK_AUG}),
     w AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -106,7 +105,12 @@ _DUCK_LSH_CTES = f"""aug AS ({_DUCK_AUG}),
     ),
     bands AS (
 {_DUCK_BANDS}
-    ),
+    )"""
+
+# Full MinHash-LSH candidate-pair pipeline as a reusable CTE chain:
+# dedup_minhash_lsh selects from it directly; dedup_clusters extends
+# it with a recursive connected-components walk.
+_DUCK_LSH_CTES = f"""{_DUCK_SIG_BAND_CTES},
     lsh_pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(DISTINCT a.band) AS shared_bands
@@ -395,6 +399,154 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.lit(1000000.0)).alias("jaccard"),
             (i0 * 2 >= union).alias("verified"),
         )
+    )
+
+
+# delta split for the incremental ingest gate: ~10% of the augmented
+# corpus plays the role of "today's crawl batch"
+_DELTA_MOD = 10
+_DELTA_REM = 7
+
+
+@query(
+    "dedup_delta_vs_corpus",
+    oracle=f"""
+    WITH {_DUCK_SIG_BAND_CTES},
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+      FROM bands d
+      JOIN bands c ON d.band = c.band AND d.band_key = c.band_key
+      WHERE d.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+        AND c.doc_id % {_DELTA_MOD} <> {_DELTA_REM}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.delta_id, p.corpus_id, COUNT(*) AS i
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.delta_id
+      JOIN sh b ON b.doc_id = p.corpus_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.delta_id, p.corpus_id,
+             COALESCE(i.i, 0) AS i,
+             sa.n + sb.n - COALESCE(i.i, 0) AS u,
+             COALESCE(i.i, 0) * 1000000
+               // (sa.n + sb.n - COALESCE(i.i, 0)) AS j_u
+      FROM cand p
+      JOIN sizes sa ON sa.doc_id = p.delta_id
+      JOIN sizes sb ON sb.doc_id = p.corpus_id
+      LEFT JOIN inter i
+        ON i.delta_id = p.delta_id AND i.corpus_id = p.corpus_id
+    ),
+    ranked AS (
+      SELECT delta_id, corpus_id, j_u,
+             COUNT(*) OVER (PARTITION BY delta_id) AS n_candidates,
+             MAX(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END)
+               OVER (PARTITION BY delta_id) AS dup,
+             ROW_NUMBER() OVER (PARTITION BY delta_id
+                                ORDER BY j_u DESC, corpus_id) AS rn
+      FROM scored
+    ),
+    delta AS (SELECT doc_id FROM aug
+              WHERE doc_id % {_DELTA_MOD} = {_DELTA_REM})
+    SELECT d.doc_id AS delta_id,
+           CAST(COALESCE(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+           r.corpus_id AS best_match_doc,
+           r.j_u / 1000000.0 AS best_jaccard,
+           COALESCE(r.dup, 0) = 0 AS admitted
+    FROM delta d
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.delta_id = d.doc_id
+    """,
+)
+def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the gate a production corpus runs on
+    every new crawl batch: probe the day's DELTA (doc_id % 10 == 7
+    plays that role) against the standing CORPUS LSH index, exact-
+    verify only the collisions, and ADMIT a delta doc iff no corpus
+    doc matches at Jaccard >= 0.5. One row per delta doc: candidate
+    count, best match, quantized best Jaccard, verdict — zero-
+    candidate docs kept via left join with admitted = true.
+
+    Differs from the batch pipelines (dedup_minhash_lsh & friends):
+    those dedup a corpus against ITSELF (symmetric self-join); this is
+    the asymmetric delta-probe shape where the corpus side is a stored
+    index (extensions/dedup.py::band_table — one shared definition) and
+    only the delta's bands and collision shingles move.
+
+    Scale: the delta band table is ingest-batch-sized and BROADCASTS
+    onto the corpus index — the corpus never self-joins and never
+    re-shuffles; exact verification touches only colliding docs'
+    shingles (semi-join-restricted before any shuffle). Quadratic
+    nothing, same discipline as dedup_lsh_verified_pairs."""
+    aug = _aug_docs(spark, sf_dir)
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    bands = D.band_table(
+        D.minhash_signatures(D.shingles(aug, distinct=False))
+    )
+    delta_bands = bands.filter(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "band", "band_key"
+    )
+    corpus_bands = bands.filter(~is_delta)
+    cand = (
+        corpus_bands.join(F.broadcast(delta_bands), ["band", "band_key"])
+        .select("delta_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh = D.shingles(aug, distinct=True)
+    cand_docs = (
+        cand.select(F.col("delta_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("corpus_id").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh_c.select(F.col("doc_id").alias("delta_id"), "shingle").join(
+        F.broadcast(cand), "delta_id"
+    )
+    inter = (
+        a_sh.join(
+            sh_c.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("delta_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))
+    scored = (
+        cand.join(F.broadcast(sa), "delta_id")
+        .join(F.broadcast(sb), "corpus_id")
+        .join(F.broadcast(inter), ["delta_id", "corpus_id"], "left")
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.expr(
+                "coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))"
+            ).alias("j_u"),
+            (
+                F.coalesce(F.col("i"), F.lit(0)) * 2
+                >= F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+            ).cast("int").alias("verified"),
+        )
+    )
+    best = scored.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(
+            F.struct(F.col("j_u"), (-F.col("corpus_id")).alias("nid"))
+        ).alias("m"),
+        F.max("verified").alias("dup"),
+    )
+    delta_docs = aug.filter(is_delta).select(F.col("doc_id").alias("delta_id"))
+    return delta_docs.join(F.broadcast(best), "delta_id", "left").select(
+        "delta_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0))
+        .cast("bigint")
+        .alias("n_candidates"),
+        (-F.col("m.nid")).cast("bigint").alias("best_match_doc"),
+        (F.col("m.j_u") / F.lit(1000000.0)).alias("best_jaccard"),
+        (F.coalesce(F.col("dup"), F.lit(0)) == 0).alias("admitted"),
     )
 
 

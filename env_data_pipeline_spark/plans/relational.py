@@ -408,6 +408,77 @@ BENCH_EXTRA.add("events_asof_last_touch")
 
 
 @query(
+    "orders_pit_prior_features",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS prior_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS prior_totalprice,
+             arg_max(o_orderpriority, o_orderkey) AS prior_priority
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT b.o_orderkey, b.o_custkey,
+           o.prior_orderkey,
+           ROUND(o.prior_totalprice, 4) AS prior_totalprice,
+           o.prior_priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(b.o_orderdate AS DATE)) AS days_since_prior
+    FROM orders b
+    ASOF LEFT JOIN o
+      ON b.o_custkey = o.o_custkey AND b.o_orderdate > o.o_orderdate
+    """,
+)
+def orders_pit_prior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join (the feature-store staple): for each
+    order, the same customer's most recent STRICTLY-PRIOR order —
+    key, value, priority, and recency in days. "As of the moment this
+    order was placed, what did this customer last do" is the leakage-
+    safe way to build training features from history: a plain
+    latest-per-customer join would leak future orders into past rows.
+    First orders carry NULL features (~10% of rows), exercising the
+    no-history path.
+
+    Runs the merge-pattern asof_join (operators/asof.py: one shuffle
+    on custkey, in-partition sort, running last-non-null — no range
+    cross-join, holds at 100 TB). Same-date ties resolve to the max
+    orderkey on both engines (the window's _tie sort here, arg_max
+    pre-aggregation in the oracle). The oracle is DuckDB's native
+    ASOF JOIN — an independent algorithm, so parity proves the as-of
+    semantics, not just the arithmetic."""
+    from env_data_pipeline_spark.operators.asof import asof_join
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    prior = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    res = asof_join(
+        base,
+        prior,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"],
+        tiebreak="o_orderkey",
+        strict=True,
+    )
+    return res.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("_match.o_orderkey").alias("prior_orderkey"),
+        F.round("_match.o_totalprice", 4).alias("prior_totalprice"),
+        F.col("_match.o_orderpriority").alias("prior_priority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date("_match.o_orderdate")
+        ).alias("days_since_prior"),
+    )
+
+
+@query(
     "events_interval_attribution",
     oracle="""
     WITH p AS (

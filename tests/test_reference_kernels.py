@@ -720,3 +720,106 @@ def test_revenue_concentration_invariants(spark, sf_dir):
     for d in range(1, 10):
         if out[d][0] == out[d + 1][0]:
             assert out[d][1] >= out[d + 1][1], d
+
+
+# --------------------------------------------------------------------------
+# orders_pit_prior_features — pure-Python point-in-time reference
+# --------------------------------------------------------------------------
+
+
+def test_pit_prior_features_reference(spark, tmp_path):
+    """Random orders fixture (with deliberate same-customer same-date
+    ties): every row of the PIT feature join must equal a brute-force
+    Python scan — strictly-prior max-date, max-orderkey tiebreak,
+    NULL features for a customer's first order."""
+    rng = random.Random(11)
+    t0 = dt.datetime(2023, 1, 1)
+    rows = []
+    for okey in range(300):
+        cust = rng.randrange(25)
+        # coarse date grid so same-(cust, date) ties actually occur
+        date = t0 + dt.timedelta(days=rng.randrange(40))
+        rows.append(
+            (okey, cust, rng.choice("OFP"), round(rng.uniform(1e3, 5e5), 2),
+             date, rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    def ref_prior(okey, cust, date):
+        prior = [r for r in rows if r[1] == cust and r[4] < date]
+        if not prior:
+            return (None, None, None, None)
+        best_date = max(r[4] for r in prior)
+        best = max(r for r in prior if r[4] == best_date)  # max orderkey
+        return (
+            best[0],
+            round(best[3], 4),
+            best[5],
+            (date.date() - best_date.date()).days,
+        )
+
+    got = {
+        r["o_orderkey"]: (
+            r["prior_orderkey"],
+            r["prior_totalprice"],
+            r["prior_priority"],
+            r["days_since_prior"],
+        )
+        for r in registry.QUERIES["orders_pit_prior_features"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 300
+    for okey, cust, _st, _tp, date, _pr in rows:
+        assert got[okey] == ref_prior(okey, cust, date), okey
+
+
+# --------------------------------------------------------------------------
+# dedup_delta_vs_corpus — planted-copy detector
+# --------------------------------------------------------------------------
+
+
+def test_delta_dedup_rejects_planted_copy(spark, tmp_path):
+    """A delta doc (id % 10 == 7) that copies a corpus doc must be
+    REJECTED with the copied doc as best match at Jaccard 1.0; a delta
+    doc with unique text must be ADMITTED with zero candidates.
+    Doc ids avoid % 50 in {0, 25} so the fixture's augmentation layer
+    stays empty."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch quietly from the river bank at dawn"
+    )
+    uniq = (
+        "completely different content about distributed query engines "
+        "shuffling partitions across a thousand executor machines"
+    )
+    docs = [
+        (3, base, "web"),
+        (7, base, "web"),     # delta copy of corpus doc 3 -> reject
+        (17, uniq, "web"),    # unique delta -> admit
+        (11, "short filler text one two three four five six", "web"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["delta_id"]: r
+        for r in registry.QUERIES["dedup_delta_vs_corpus"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {7, 17}
+    assert not out[7]["admitted"]
+    assert out[7]["best_match_doc"] == 3
+    assert out[7]["best_jaccard"] == 1.0
+    assert out[17]["admitted"]
+    assert out[17]["n_candidates"] == 0
+    assert out[17]["best_match_doc"] is None
