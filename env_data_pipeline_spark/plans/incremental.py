@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
-from env_data_pipeline_spark.extensions.sketches import cms_oracle_sql
+from env_data_pipeline_spark.extensions.sketches import cms_oracle_sql, hll_oracle_sql
 from env_data_pipeline_spark.operators import incremental as INC
 from env_data_pipeline_spark.plans.registry import query
 
@@ -376,6 +376,28 @@ def streaming_cms_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_cms_refresh(spark, sf_dir)
+
+
+@query(
+    "streaming_hll_sketch_refresh",
+    oracle=hll_oracle_sql(),
+)
+def streaming_hll_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers as STANDING STATE: events replayed as 4
+    real micro-batches, foreachBatch merging each batch's per-type
+    register table into the persistent state by register-wise MAX
+    (streaming/incremental_refresh.py::streaming_hll_refresh,
+    primitives in extensions/sketches.py). Finalized through the same
+    report as events_hll_distinct_by_type and checked against the
+    SAME oracle — green only if the max-merge algebra holds across
+    every batch boundary. The streaming face of the batch HLL query,
+    and the third merge algebra (after ADD and partial-agg) the
+    replay scaffolding now exercises."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_hll_refresh,
+    )
+
+    return streaming_hll_refresh(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

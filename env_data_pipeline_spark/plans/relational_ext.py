@@ -1969,6 +1969,40 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_probe(SK.cms_cells(ev), SK.cms_probe_sample(ev))
 
 
+from env_data_pipeline_spark.extensions.sketches import hll_oracle_sql as _hll_oracle_sql
+
+
+@query(
+    "events_hll_distinct_by_type",
+    oracle=_hll_oracle_sql(),
+)
+def events_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event type plus an ALL
+    row whose registers are the MAX-MERGE of the per-type sketches —
+    mergeability shown in data, not just claimed: max is associative,
+    so merging group sketches equals building one sketch over the
+    union. Completes the sketch family's merge algebras (CMS adds,
+    KMV truncates, Bloom ORs, HLL maxes); KMV already serves a single
+    global distinct count, HLL adds the group-sliced, mergeable form
+    a 100 TB rollup needs (per-partition sketches -> any ad-hoc
+    group-by over them without rescanning).
+
+    Integer-exact estimator (RAW HLL, alpha = 709/1000, rank from
+    length(bin(w)) — see extensions/sketches.py): the DuckDB oracle
+    replays the estimate bit for bit; the exact distinct count rides
+    along as the audit column. No small-range correction — the known
+    raw-HLL small-n bias is bounded by the tolerance test in
+    tests/test_reference_kernels.py.
+
+    Scale: the sketch build is one map-side-combinable (type, idx)
+    MAX — state is |types| * 64 rows regardless of stream length; the
+    exact countDistinct exists only for the audit column."""
+    from env_data_pipeline_spark.extensions import sketches as SK
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return SK.hll_report(spark, ev)
+
+
 # --------------------------------------------------------------------------
 # events_top_trigram_paths: 3-step behavioral sequence mining
 # --------------------------------------------------------------------------

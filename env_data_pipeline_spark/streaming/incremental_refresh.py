@@ -169,6 +169,43 @@ def streaming_cms_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance: replay events as
+    BATCH_SHARDS real micro-batches; foreachBatch builds each batch's
+    per-type register table (extensions/sketches.py — the same build
+    the batch query uses) and merges it into the persistent register
+    state by register-wise MAX, the sketch's defining algebra. The
+    final state finalizes through the SAME report path as the batch
+    query and must hash-equal it — which holds only if the max-merge
+    is associative across every batch boundary. Alongside the CMS
+    (ADD-merge) refresh this completes the streaming sketch-algebra
+    matrix; state is |types| * 64 rows forever.
+
+    Scaffolding (sharding, ping-pong state, at-least-once caveat) is
+    _replay_state_refresh — shared with the agg/CMS/join-view
+    refreshes."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.extensions import sketches as SK
+
+    events = table(spark, sf_dir, "events")
+
+    def finalize(fspark: SparkSession, regs: DataFrame) -> DataFrame:
+        return SK.hll_report_from_registers(
+            fspark, regs, events.select("event_type", "user_id")
+        )
+
+    return _replay_state_refresh(
+        spark,
+        events,
+        lambda batch: SK.hll_registers(
+            batch.select("event_type", "user_id"), "user_id", "event_type"
+        ),
+        SK.hll_merge,
+        finalize,
+        "stream_hll_refresh_",
+    )
+
+
 def streaming_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of a materialized JOIN view: the lineitem
     FACT STREAM replays as BATCH_SHARDS real micro-batches, each batch

@@ -823,3 +823,95 @@ def test_delta_dedup_rejects_planted_copy(spark, tmp_path):
     assert out[17]["admitted"]
     assert out[17]["n_candidates"] == 0
     assert out[17]["best_match_doc"] is None
+
+
+# --------------------------------------------------------------------------
+# events_hll_distinct_by_type — pure-Python HLL replica + accuracy
+# --------------------------------------------------------------------------
+
+
+def test_hll_matches_python_replica_and_accuracy(spark, tmp_path):
+    """Fixture with three orders of magnitude of per-type cardinality
+    (12 / 400 / 9000 distinct users). The engine's HLL report must
+    EXACTLY equal a pure-Python replica of the md5 register pipeline
+    (third implementation, independent of Spark and DuckDB), and the
+    estimates must land within 25% of truth — raw HLL's ~13% 1-sigma
+    at m=64, with the precomputed linear-counting table covering the
+    small-range regime."""
+    import hashlib
+
+    from env_data_pipeline_spark.extensions import sketches as SK
+
+    spec = {"tiny": 12, "mid": 400, "big": 9000}
+    rows = []
+    eid = 0
+    for etype, n_users in spec.items():
+        for u in range(n_users):
+            # distinct user spaces per type via offset
+            uid = u + {"tiny": 0, "mid": 10_000, "big": 100_000}[etype]
+            rows.append((eid, dt.datetime(2024, 5, 1), uid, etype, 1.0, "{}"))
+            eid += 1
+            if u % 3 == 0:  # repeats must not move the sketch
+                rows.append(
+                    (eid, dt.datetime(2024, 5, 2), uid, etype, 2.0, "{}")
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    def py_hll(uids):
+        regs = {}
+        for uid in uids:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+            idx = h % SK.HLL_M
+            w = (h >> 6) & ((1 << SK.HLL_WBITS) - 1)
+            rank = (
+                SK.HLL_WBITS + 1 if w == 0
+                else SK.HLL_WBITS + 1 - w.bit_length()
+            )
+            regs[idx] = max(regs.get(idx, 0), rank)
+        n_hit = len(regs)
+        s = sum(1 << (SK.HLL_WBITS + 1 - m) for m in regs.values()) + (
+            SK.HLL_M - n_hit
+        ) * (1 << (SK.HLL_WBITS + 1))
+        raw = SK.HLL_EST_NUM // (SK.HLL_ALPHA_DEN * s)
+        if raw <= SK.HLL_LC_THRESHOLD and n_hit < SK.HLL_M:
+            return n_hit, SK.HLL_LC[SK.HLL_M - n_hit - 1]
+        return n_hit, raw
+
+    got = {
+        r["event_type"]: (
+            r["n_registers_hit"], r["hll_estimate"], r["true_distinct"]
+        )
+        for r in registry.QUERIES["events_hll_distinct_by_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    by_type = defaultdict(set)
+    for _e, _t, uid, etype, _v, _p in rows:
+        by_type[etype].add(uid)
+    all_uids = set().union(*by_type.values())
+    for etype, uids in {**by_type, "ALL": all_uids}.items():
+        n_hit, est = py_hll(uids)
+        assert got[etype] == (n_hit, est, len(uids)), etype
+        assert abs(est - len(uids)) / len(uids) <= 0.25, (etype, est)
+
+
+def test_hll_streaming_refresh_equals_batch(spark, sf_dir):
+    """Max-merge across micro-batch boundaries must reproduce the
+    one-shot sketch exactly."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_hll_refresh,
+    )
+
+    streamed = sorted(
+        map(tuple, streaming_hll_refresh(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            registry.QUERIES["events_hll_distinct_by_type"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    assert streamed == batch
