@@ -1861,3 +1861,86 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_words") >= 12)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_words")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_canonical_text: normalization-exact dedup
+# --------------------------------------------------------------------------
+
+# canonical-copy plant: every 40th doc (rem 13) re-enters the corpus
+# upper-cased, punctuated and re-spaced — byte-distinct, canonically
+# identical. Offset disjoint from _aug_docs' exact/near offsets.
+CANON_COPY_OFFSET = 9_000_000
+_CANON_MOD = 40
+_CANON_REM = 13
+
+
+@query(
+    "dedup_canonical_text",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    aug AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {CANON_COPY_OFFSET},
+             '  ' || upper(text) || ' !!!'
+      FROM base WHERE doc_id % {_CANON_MOD} = {_CANON_REM}
+    ),
+    canon AS (
+      SELECT doc_id, md5(text) AS raw_hash,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash
+      FROM aug
+    )
+    SELECT canon_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS representative_doc_id,
+           CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+    FROM canon GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup — the cheap tier between byte-exact
+    and fuzzy: two documents are duplicates iff they agree after
+    casefolding, punctuation stripping and whitespace collapse. Real
+    corpora are full of these (re-encoded quotes, trailing banners,
+    case-mangled mirrors); byte-exact dedup misses all of them and
+    MinHash spends a full signature on what one regex pass settles.
+    The planted upper-cased/punctuated variants here are byte-distinct
+    (dedup_exact finds nothing) but canonically identical —
+    n_raw_variants = 2 in every group is that fact, in data.
+
+    Regex parity: the canonical key uses only '[^a-z0-9 ]' and ' +',
+    whose semantics are identical in Java regex (Spark, global by
+    default) and RE2 (DuckDB, 'g' flag) — no shorthand classes, no
+    unicode properties, the cross-engine-safe subset.
+
+    Scale: one map-side regex pass per doc, then the dedup_exact
+    shape — shuffle the 16-byte canonical digest, never the text."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % _CANON_MOD == _CANON_REM).select(
+        (F.col("doc_id") + CANON_COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    aug = docs.unionByName(variants)
+    canon = aug.select(
+        "doc_id",
+        F.md5("text").alias("raw_hash"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("canon_hash"),
+    )
+    return (
+        canon.groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative_doc_id"),
+            F.countDistinct("raw_hash").cast("bigint").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -2799,3 +2799,95 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         "rev_units",
         ((num - num % tot) / tot).cast("bigint").alias("share_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_rapid_repeat_pairs: bucketized interval SELF-join
+# --------------------------------------------------------------------------
+
+_RR_WINDOW_S = 300  # pair horizon: next event within 5 minutes
+_RR_WINDOW_US = _RR_WINDOW_S * 1_000_000
+
+
+@query(
+    "events_rapid_repeat_pairs",
+    oracle=f"""
+    SELECT x.event_id AS first_event_id,
+           y.event_id AS next_event_id,
+           x.user_id,
+           x.event_type AS first_type,
+           y.event_type AS next_type,
+           (epoch_us(y.ts) - epoch_us(x.ts)) // 1000000 AS gap_s
+    FROM events x JOIN events y
+      ON x.user_id = y.user_id
+     AND (y.ts > x.ts OR (y.ts = x.ts AND y.event_id > x.event_id))
+     AND epoch_us(y.ts) - epoch_us(x.ts) <= {_RR_WINDOW_US}
+    """,
+)
+def events_rapid_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-user event pairs within a 5-minute horizon (burst /
+    rapid re-engagement detection) — the BUCKETIZED interval self-join
+    events_interval_attribution's docstring promises for pathological
+    per-user volumes, implemented: time is chunked into horizon-sized
+    buckets, the later side probes its own bucket and the previous one
+    (a pair within the horizon can only straddle adjacent buckets), so
+    the join is EQUI on (user_id, bucket) and each qualifying pair
+    matches exactly once — bucket_y == bucket_x matches via y's own-
+    bucket probe, bucket_y == bucket_x + 1 via the b-1 probe. The
+    within-bucket time/id predicate orders pairs (earlier ts, then
+    smaller event_id) so ties are deterministic.
+
+    Scale: never a per-user cross product over the full stream — the
+    shuffle key is (user, 5-minute bucket), so a hot user's quadratic
+    blowup is bounded per bucket, not per history. Both sides are the
+    fact stream (the probe side 2x via the bucket explode): the join
+    is merge-hinted so AQE cannot data-size-broadcast either side
+    (memory: AQE hazard). The oracle is the plain range self-join —
+    an independent algorithm, so parity proves the bucketization
+    covers exactly the horizon.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.unix_micros("ts")).alias("us"),
+    )
+    x = ev.select(
+        F.col("event_id").alias("first_event_id"),
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("us").alias("x_us"),
+        F.expr(f"us div {_RR_WINDOW_US}").alias("bucket"),
+    )
+    y = ev.select(
+        F.col("event_id").alias("next_event_id"),
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.col("us").alias("y_us"),
+        F.explode(
+            F.array(
+                F.expr(f"us div {_RR_WINDOW_US}"),
+                F.expr(f"us div {_RR_WINDOW_US} - 1"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        x.hint("merge")
+        .join(y, ["user_id", "bucket"])
+        .filter(
+            (
+                (F.col("y_us") > F.col("x_us"))
+                | (
+                    (F.col("y_us") == F.col("x_us"))
+                    & (F.col("next_event_id") > F.col("first_event_id"))
+                )
+            )
+            & (F.col("y_us") - F.col("x_us") <= _RR_WINDOW_US)
+        )
+        .select(
+            "first_event_id",
+            "next_event_id",
+            "user_id",
+            "first_type",
+            "next_type",
+            F.expr(f"(y_us - x_us) div 1000000").alias("gap_s"),
+        )
+    )

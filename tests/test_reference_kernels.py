@@ -915,3 +915,73 @@ def test_hll_streaming_refresh_equals_batch(spark, sf_dir):
         )
     )
     assert streamed == batch
+
+
+# --------------------------------------------------------------------------
+# events_rapid_repeat_pairs — bucket-boundary edge cases
+# --------------------------------------------------------------------------
+
+
+def test_rapid_repeat_bucket_boundary_semantics(spark, tmp_path):
+    """The cases the bucketization exists for: a pair straddling the
+    5-minute bucket boundary is found, a gap of exactly the horizon is
+    included, one microsecond past is excluded, same-timestamp pairs
+    order by event_id, and cross-user pairs never match."""
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def ev(eid, sec, uid, us=0):
+        return (
+            eid,
+            t0 + dt.timedelta(seconds=sec, microseconds=us),
+            uid, "view", 1.0, "{}",
+        )
+
+    # bucket width = 300 s; t0 is bucket-aligned (epoch % 300 checked
+    # irrelevant: only RELATIVE straddling matters for coverage)
+    rows = [
+        ev(1, 299, 1), ev(2, 301, 1),      # straddles a bucket edge, gap 2
+        ev(3, 1000, 2), ev(4, 1300, 2),    # gap exactly 300 -> included
+        ev(5, 2000, 3), ev(6, 2300, 3, 1), # gap 300.000001 -> excluded
+        ev(7, 3000, 4), ev(8, 3000, 4),    # same ts -> ordered by id
+        ev(9, 4000, 5), ev(10, 4001, 6),   # different users -> no pair
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["first_event_id"], r["next_event_id"], r["gap_s"])
+        for r in registry.QUERIES["events_rapid_repeat_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(1, 2, 2), (3, 4, 300), (7, 8, 0)}, got
+
+
+# --------------------------------------------------------------------------
+# dedup_canonical_text — normalization semantics
+# --------------------------------------------------------------------------
+
+
+def test_canonical_dedup_groups_variants_not_strangers(spark, tmp_path):
+    """Case/punctuation/whitespace variants group; distinct texts and
+    genuinely different words never do. Fixture ids avoid the query's
+    own plant (% 40 == 13) so the groups below are exactly the planted
+    ones."""
+    docs = [
+        (1, "Hello, World!  How are you?", "web"),
+        (2, "hello world how are you", "web"),
+        (3, "HELLO   world; how ARE you...", "web"),
+        (4, "a completely different document", "web"),
+        (5, "hello world how are you today", "web"),  # extra word -> no
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = registry.QUERIES["dedup_canonical_text"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    (g,) = rows
+    assert g["n_docs"] == 3
+    assert g["representative_doc_id"] == 1
+    assert g["n_raw_variants"] == 3
