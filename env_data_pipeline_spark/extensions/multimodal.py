@@ -163,3 +163,70 @@ def extract_features(assets: DataFrame, codec=None) -> DataFrame:
     Pass ``codec`` to swap in a real decoder (see make_decode_batch)."""
     kernel = decode_batch if codec is None else make_decode_batch(codec)
     return assets.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash-style fingerprint (pHash stand-in)
+# --------------------------------------------------------------------------
+
+PHASH_SLICES = 16  # 16 positional blocks -> 16 hex nibbles = 64 bits
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def make_phash_batch(hasher=None):
+    """Perceptual-fingerprint kernel with an INJECTABLE hasher, same
+    seam discipline as make_decode_batch: a real pHash (DCT over a
+    decoded thumbnail) plugs in as ``callable(payload: bytes) -> str``
+    once media libs exist; the default is the deterministic positional
+    stand-in — payload sliced into 16 equal byte blocks, first md5 hex
+    char (4 bits) per block. Like real pHash, a LOCAL byte edit
+    perturbs only the nibble(s) of the touched block, so near-
+    duplicates sit at small nibble-Hamming distance while unrelated
+    payloads land near 15/16. Nested so cloudpickle ships it by
+    value."""
+    hasher_fn = hasher
+
+    def phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd
+
+        def block_hash(payload: bytes) -> str:
+            n = len(payload)
+            nibbles = []
+            for i in range(PHASH_SLICES):
+                lo = (i * n) // PHASH_SLICES
+                hi = ((i + 1) * n) // PHASH_SLICES
+                nibbles.append(
+                    hashlib.md5(payload[lo:hi]).hexdigest()[0]
+                )
+            return "".join(nibbles)
+
+        ph = hasher_fn if hasher_fn is not None else block_hash
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": pdf["payload"].map(ph),
+                }
+            )
+
+    return phash_batch
+
+
+phash_batch = make_phash_batch()
+
+
+def phash_fingerprints(assets: DataFrame, hasher=None) -> DataFrame:
+    """Binary payloads -> 16-nibble fingerprints, one Arrow batch at a
+    time."""
+    kernel = phash_batch if hasher is None else make_phash_batch(hasher)
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, schema=PHASH_SCHEMA
+    )

@@ -1944,3 +1944,145 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_near_dups: perceptual-hash banding over binary payloads
+# --------------------------------------------------------------------------
+
+PHASH_COPY_OFFSET = 7_000_000
+_PHASH_MOD = 35
+_PHASH_REM = 11
+_PHASH_HAM_MAX = 3  # nibble-Hamming threshold for is_near_dup
+
+# per-slice nibble: first md5 hex char of the i-th positional block —
+# on ASCII payloads byte slicing equals substr character slicing, so
+# DuckDB replays the Arrow kernel's bytes math exactly
+_PHASH_NIBBLES_SQL = " || ".join(
+    f"substr(md5(substr(text, (({i} * length(text)) // 16) + 1, "
+    f"((({i} + 1) * length(text)) // 16) - (({i} * length(text)) // 16))), 1, 1)"
+    for i in range(16)
+)
+_PHASH_HAM_SQL = " + ".join(
+    f"(CASE WHEN substring(fa, {i + 1}, 1) <> substring(fb, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(16)
+)
+
+
+@query(
+    "multimodal_phash_near_dups",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_COPY_OFFSET},
+             'X' || substr(text, 2)
+      FROM documents WHERE doc_id % {_PHASH_MOD} = {_PHASH_REM}
+    ),
+    fp AS (
+      SELECT asset_id, {_PHASH_NIBBLES_SQL} AS phash FROM base
+    ),
+    bands AS (
+      SELECT asset_id, r.range AS band,
+             substr(phash, CAST(r.range * 4 + 1 AS INT), 4) AS band_key
+      FROM fp CROSS JOIN range(4) r
+    ),
+    pairs AS (
+      SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+             COUNT(DISTINCT a.band) AS shared_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.asset_id < b.asset_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.asset_a, p.asset_b, p.shared_bands,
+             ({_PHASH_HAM_SQL}) AS hamming_nibbles
+      FROM pairs p
+      JOIN (SELECT asset_id, phash AS fa FROM fp) x ON x.asset_id = p.asset_a
+      JOIN (SELECT asset_id, phash AS fb FROM fp) y ON y.asset_id = p.asset_b
+    )
+    SELECT asset_a, asset_b,
+           CAST(shared_bands AS BIGINT) AS shared_bands,
+           CAST(hamming_nibbles AS BIGINT) AS hamming_nibbles,
+           hamming_nibbles <= {_PHASH_HAM_MAX} AS is_near_dup
+    FROM scored
+    """,
+)
+def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 near-duplicate detection for MEDIA payloads: a perceptual-
+    hash-style 64-bit fingerprint computed from payload BYTES in the
+    Arrow mapInPandas kernel (extensions/multimodal.py::
+    phash_fingerprints — injectable hasher, real pHash plugs in when
+    media libs exist), banded 4 x 16 bits, band-collision candidates
+    exact-verified by nibble-Hamming distance. The planted variants
+    (one leading byte flipped, id % 35 == 11) surface as
+    shared_bands = 3, hamming = 1 pairs; random band collisions stay
+    as is_near_dup = false evidence, the dedup_lsh_verified_pairs
+    discipline.
+
+    Cross-engine exactness: payloads are ASCII here, so the oracle
+    replays the byte-block math with substr + md5 character slicing —
+    bit-identical nibbles, no tolerance anywhere.
+
+    Scale: fingerprints are 16 bytes per asset (the only thing that
+    shuffles); the band self-join is merge-hinted (both sides are
+    asset-sized — AQE must not data-size-broadcast one); Hamming
+    verification touches only collision pairs. Same banding shape as
+    SimHash over text, but the kernel consumes binary payloads through
+    the Arrow batch path — the multimodal half of the story."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % _PHASH_MOD == _PHASH_REM).select(
+        (F.col("doc_id") + PHASH_COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("X"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    assets = (
+        docs.unionByName(variants)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    fp = M.phash_fingerprints(assets).localCheckpoint(eager=False)
+    bands = fp.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("phash", i * 4 + 1, 4).alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"), "band", "band_key"
+    )
+    pairs = (
+        a.hint("merge")
+        .join(b, ["band", "band_key"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(F.countDistinct("band").alias("shared_bands"))
+    )
+    fa = fp.select(F.col("asset_id").alias("asset_a"), F.col("phash").alias("fa"))
+    fb = fp.select(F.col("asset_id").alias("asset_b"), F.col("phash").alias("fb"))
+    ham = F.expr(_PHASH_HAM_SQL)
+    return (
+        pairs.join(F.broadcast(fa), "asset_a")
+        .join(F.broadcast(fb), "asset_b")
+        .select(
+            "asset_a",
+            "asset_b",
+            F.col("shared_bands").cast("bigint"),
+            ham.cast("bigint").alias("hamming_nibbles"),
+            (ham <= _PHASH_HAM_MAX).alias("is_near_dup"),
+        )
+    )

@@ -2891,3 +2891,117 @@ def events_rapid_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(y_us - x_us) div 1000000").alias("gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# customer_ltv_cohort_curve: first-order cohorts x account age
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_ltv_cohort_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS units
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, MIN(midx) AS cohort_idx FROM o GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_idx, COUNT(*) AS n_cohort_customers
+      FROM first GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort_idx, o.midx - f.cohort_idx AS age_month,
+             COUNT(DISTINCT o.o_custkey) AS n_active_customers,
+             SUM(o.units) AS rev_units
+      FROM o JOIN first f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_idx, age_month, n_active_customers, rev_units,
+             SUM(rev_units) OVER (PARTITION BY cohort_idx
+                                  ORDER BY age_month) AS cum_units
+      FROM cells
+    )
+    SELECT CAST(c.cohort_idx // 12 AS VARCHAR) || '-'
+             || lpad(CAST(c.cohort_idx % 12 + 1 AS VARCHAR), 2, '0')
+             AS cohort_month,
+           CAST(c.age_month AS BIGINT) AS age_month,
+           CAST(s.n_cohort_customers AS BIGINT) AS n_cohort_customers,
+           CAST(c.n_active_customers AS BIGINT) AS n_active_customers,
+           c.rev_units / 10000.0 AS revenue,
+           (c.cum_units // s.n_cohort_customers) / 10000.0
+             AS cum_ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort_idx)
+    ORDER BY cohort_month, age_month
+    """,
+)
+def customer_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-accounting rollup
+    every subscription/commerce warehouse serves: customers cohorted
+    by FIRST-order month, revenue accumulated along account age in
+    months, normalized to cumulative LTV per cohort customer. The
+    month axis is the integer index year*12 + month on both engines
+    (months_between would be fractional in Spark and calendar-boundary
+    counting in DuckDB — the integer index sidesteps both), and money
+    rides the engine's half-up 1e-4-unit grid with cum-LTV as a single
+    integer division per cell.
+
+    Scale: one shuffle keyed by custkey derives first-order months;
+    the (cohort, age) cell grid is |months|^2-bounded regardless of
+    order volume; the cumulative window runs over that tiny grid, not
+    over orders. The cohort-size table is |months| rows and broadcasts
+    into the final normalization."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("midx"),
+        F.expr("CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)").alias(
+            "units"
+        ),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    sizes = first.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("n_cohort_customers")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("age_month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.sum("units").alias("rev_units"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_idx")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum_units", F.sum("rev_units").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_idx")
+        .select(
+            F.concat(
+                (F.col("cohort_idx") / 12).cast("bigint").cast("string"),
+                F.lit("-"),
+                F.lpad((F.col("cohort_idx") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("age_month").cast("bigint"),
+            F.col("n_cohort_customers").cast("bigint"),
+            F.col("n_active_customers").cast("bigint"),
+            (F.col("rev_units") / 10000.0).alias("revenue"),
+            # the 10000.0 literal must stay Python-side: inside a SQL
+            # expr Spark parses it as DECIMAL(6,1) and the division
+            # result would be DECIMAL, not the DOUBLE the oracle emits
+            (F.expr("cum_units div n_cohort_customers") / 10000.0).alias(
+                "cum_ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "age_month")
+    )

@@ -985,3 +985,104 @@ def test_canonical_dedup_groups_variants_not_strangers(spark, tmp_path):
     assert g["n_docs"] == 3
     assert g["representative_doc_id"] == 1
     assert g["n_raw_variants"] == 3
+
+
+# --------------------------------------------------------------------------
+# customer_ltv_cohort_curve — pure-Python cohort accounting
+# --------------------------------------------------------------------------
+
+
+def test_ltv_cohort_curve_reference(spark, tmp_path):
+    """Random orders fixture: every (cohort, age) cell of the LTV curve
+    must equal a brute-force Python cohort accounting — first-order
+    month cohorts, month-index age, half-up 1e-4-unit money, floor
+    per-customer cumulative LTV."""
+    import math
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2022, 1, 1)
+    rows = []
+    for okey in range(400):
+        cust = rng.randrange(30)
+        date = t0 + dt.timedelta(days=rng.randrange(700))
+        rows.append((okey, cust, "O", round(rng.uniform(10, 9e5), 2), date,
+                     "3-MEDIUM"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    midx = lambda d: d.year * 12 + d.month
+    units = lambda p: math.floor(p * 10000 + 0.5)
+    first = {}
+    for _o, cust, _s, _p, date, _pr in rows:
+        first[cust] = min(first.get(cust, 10**9), midx(date))
+    sizes = Counter(first.values())
+    cells = defaultdict(lambda: [set(), 0])
+    for _o, cust, _s, price, date, _pr in rows:
+        key = (first[cust], midx(date) - first[cust])
+        cells[key][0].add(cust)
+        cells[key][1] += units(price)
+    got = {
+        (r["cohort_month"], r["age_month"]): (
+            r["n_cohort_customers"], r["n_active_customers"],
+            r["revenue"], r["cum_ltv_per_customer"],
+        )
+        for r in registry.QUERIES["customer_ltv_cohort_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == len(cells)
+    for (cidx, age), (active, rev_u) in sorted(cells.items()):
+        cum_u = sum(
+            v[1] for (c2, a2), v in cells.items() if c2 == cidx and a2 <= age
+        )
+        label = f"{cidx // 12}-{cidx % 12 + 1:02d}"
+        assert got[(label, age)] == (
+            sizes[cidx],
+            len(active),
+            rev_u / 10000.0,
+            (cum_u // sizes[cidx]) / 10000.0,
+        ), (label, age)
+
+
+# --------------------------------------------------------------------------
+# phash kernel — injectable-hasher seam + locality property
+# --------------------------------------------------------------------------
+
+
+def test_phash_hasher_swap_and_locality(spark):
+    """The injectable-hasher seam works (a fake hasher flows through
+    the Arrow kernel verbatim), and the default block hash has the
+    pHash locality property: a single-byte edit moves only its block's
+    nibble (Hamming 1), while unrelated payloads differ almost
+    everywhere."""
+    from env_data_pipeline_spark.extensions import multimodal as M
+
+    base = ("w%03d " % 7) * 64  # 320 ASCII bytes
+    edited = "X" + base[1:]
+    other = "something else entirely " * 13
+    assets = spark.createDataFrame(
+        [(1, bytearray(base.encode())), (2, bytearray(edited.encode())),
+         (3, bytearray(other.encode()))],
+        "asset_id long, payload binary",
+    )
+    fps = {
+        r["asset_id"]: r["phash"]
+        for r in M.phash_fingerprints(assets).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert len(fps[1]) == 16
+    assert ham(fps[1], fps[2]) == 1
+    assert ham(fps[1], fps[3]) >= 10
+
+    fake = {
+        r["asset_id"]: r["phash"]
+        for r in M.phash_fingerprints(
+            assets, hasher=lambda payload: "f" * 16
+        ).collect()
+    }
+    assert fake == {1: "f" * 16, 2: "f" * 16, 3: "f" * 16}
