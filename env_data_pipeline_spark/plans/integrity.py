@@ -285,3 +285,91 @@ def lineitem_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("sig") % 1000000007).cast("bigint").alias("modsum_sig"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# user_deletion_impact_audit: GDPR-style erasure cascade accounting
+# --------------------------------------------------------------------------
+
+_DEL_MOD = 97  # deterministic deletion-request cohort: key % 97 == 0
+
+
+@query(
+    "user_deletion_impact_audit",
+    oracle=f"""
+    WITH aff_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey % {_DEL_MOD} = 0
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows_total,
+           (SELECT COUNT(*) FROM customer
+             WHERE c_custkey % {_DEL_MOD} = 0) AS n_rows_affected
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events WHERE user_id % {_DEL_MOD} = 0)
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey % {_DEL_MOD} = 0)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE EXISTS (SELECT 1 FROM aff_orders a
+                           WHERE a.o_orderkey = l.l_orderkey))
+    ORDER BY table_name
+    """,
+)
+def user_deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request blast radius — the audit a data-governance
+    pipeline runs BEFORE executing a right-to-be-forgotten batch: for
+    a deterministic requester cohort (key % 97 == 0, the engine's
+    probe-sample convention), how many rows in each table are
+    affected, including the transitive cascade customer -> orders ->
+    lineitem that has no direct user key. Four rows: table, total,
+    affected.
+
+    Scale: the direct legs are metadata-cheap filtered counts (the
+    predicate pushes to the scan); the cascade leg is a LEFT-SEMI join
+    of lineitem against the affected-order keys — the shape an actual
+    deletion job would use to locate rows, so the audit measures the
+    real plan. Nothing collects; each leg is one aggregate."""
+    affected = {
+        "customer": table(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") % _DEL_MOD == 0).alias("hit")
+        ),
+        "events": table(spark, sf_dir, "events").select(
+            (F.col("user_id") % _DEL_MOD == 0).alias("hit")
+        ),
+        "orders": table(spark, sf_dir, "orders").select(
+            (F.col("o_custkey") % _DEL_MOD == 0).alias("hit")
+        ),
+    }
+    legs = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_total"),
+            F.sum(F.col("hit").cast("bigint")).alias("n_rows_affected"),
+        )
+        for name, df in affected.items()
+    ]
+    aff_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % _DEL_MOD == 0)
+        .select("o_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li_hit = li.join(
+        F.broadcast(aff_orders),
+        li["l_orderkey"] == aff_orders["o_orderkey"],
+        "left",
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_total"),
+        F.count("o_orderkey").alias("n_rows_affected"),
+    )
+    out = legs[0]
+    for leg in legs[1:] + [li_hit]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_name")

@@ -201,3 +201,47 @@ def test_fingerprints_xor_blindspot_covered_by_count_and_modsum(spark, tmp_path)
     assert fa[1][1] == fb[1][1]              # xor identical: blind spot
     assert fa[1][0] != fb[1][0]              # count catches it
     assert fa[1][2] != fb[1][2]              # modsum catches it
+
+
+def test_deletion_impact_cascade_reference(spark, tmp_path):
+    """Tiny fixture with known cascade: the lineitem leg must count
+    rows whose ORDER belongs to a deletion-cohort customer (custkey %
+    97 == 0), not rows with any direct key match."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(0, "Customer#0", 0, 1.0, "BUILDING"), (5, "Customer#5", 1, 2.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 0, "O", 5.0, t0, "1-URGENT"), (11, 5, "O", 6.0, t0, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        # 3 lines on the affected order 10, 1 on unaffected order 11
+        [(10, 1, 1.0), (10, 2, 1.0), (10, 3, 1.0), (11, 1, 1.0)],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, t0, 0, "view", 1.0, "{}"), (2, t0, 3, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["table_name"]: (r["n_rows_total"], r["n_rows_affected"])
+        for r in QUERIES["user_deletion_impact_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "customer": (2, 1),
+        "events": (2, 1),
+        "orders": (2, 1),
+        "lineitem": (4, 3),
+    }, got
