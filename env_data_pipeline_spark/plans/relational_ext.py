@@ -3005,3 +3005,82 @@ def customer_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_month")
     )
+
+
+# --------------------------------------------------------------------------
+# events_daily_value_percentiles: exact discontinuous percentiles/day
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_value_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(ts AS DATE) AS d, value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+      FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM r GROUP BY d
+    ORDER BY day
+    """,
+)
+def events_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day value percentiles (p50/p90/p99) — the EXACT
+    complement of the mergeable-histogram percentile serving
+    (events_percentiles_from_histogram): discontinuous percentiles
+    defined as the value at rank ceil(q*n) under the deterministic
+    (value, event_id) order, so both engines pick the same row and the
+    DOUBLE passes through untouched — no interpolation, no float
+    arithmetic, no tolerance. The ceil is the integer identity
+    ceil(a*n/b) = (a*n + b - 1) div b.
+
+    Scale: one shuffle keyed by day; the rank runs inside each day
+    partition (a day of events sorts in memory per partition at any
+    realistic volume — and the histogram path exists precisely for
+    when it does not). percentile_approx/t-digest would be the sketch
+    answer; this is the audit-grade exact one."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "value", "event_id"
+    )
+    w = Window.partitionBy("d").orderBy("value", "event_id")
+    r = ev.select(
+        "d",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("d")).alias("n"),
+    )
+    return (
+        r.groupBy("d")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("value")
+                )
+            ).alias("p90"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(99 * n + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p99"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "p50",
+            "p90",
+            "p99",
+        )
+        .orderBy("day")
+    )

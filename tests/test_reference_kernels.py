@@ -1086,3 +1086,34 @@ def test_phash_hasher_swap_and_locality(spark):
         ).collect()
     }
     assert fake == {1: "f" * 16, 2: "f" * 16, 3: "f" * 16}
+
+
+def test_daily_percentiles_reference(spark, tmp_path):
+    """Exact-percentile definition pinned against a Python sort:
+    value at rank ceil(q*n) under (value, event_id) order, per day."""
+    import math
+
+    rng = random.Random(31)
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    for eid in range(500):
+        ts = t0 + dt.timedelta(days=rng.randrange(4), seconds=rng.randrange(86400))
+        rows.append((eid, ts, rng.randrange(9), "view", round(rng.uniform(0, 100), 3), "{}"))
+    _write_events(spark, tmp_path, rows)
+    by_day = defaultdict(list)
+    for eid, ts, _u, _t, v, _p in rows:
+        by_day[ts.strftime("%Y-%m-%d")].append((v, eid))
+    got = {
+        r["day"]: (r["n_events"], r["p50"], r["p90"], r["p99"])
+        for r in registry.QUERIES["events_daily_value_percentiles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(by_day)
+    for day, vals in by_day.items():
+        vals.sort()
+        n = len(vals)
+        pick = lambda q_num, q_den: vals[
+            (q_num * n + q_den - 1) // q_den - 1
+        ][0]
+        assert got[day] == (n, pick(1, 2), pick(9, 10), pick(99, 100)), day
