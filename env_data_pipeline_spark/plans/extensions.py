@@ -1254,7 +1254,10 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small-query-set tool it is documented to be, but is not a headline
 BENCH_EXTRA.update(
     {"dedup_minhash_lsh", "similarity_topk_lsh", "similarity_topk_ivf",
-     "text_quality_profile", "dedup_substring_spans"}
+     "text_quality_profile", "dedup_substring_spans",
+     # r8 operator classes: incremental delta-probe dedup and the
+     # Arrow-binary-kernel banding near-dup path
+     "dedup_delta_vs_corpus", "multimodal_phash_near_dups"}
 )
 
 

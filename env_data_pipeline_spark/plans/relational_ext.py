@@ -1852,6 +1852,8 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # headline-bench nominee: the zero-join HOF pair expansion is a plan
 # shape nothing else in the suite times
 BENCH_EXTRA.add("market_basket_part_pairs")
+# r8: the bucketized interval self-join class
+BENCH_EXTRA.add("events_rapid_repeat_pairs")
 
 
 @query(
@@ -3083,4 +3085,130 @@ def events_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             "p99",
         )
         .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_user_lifecycle_weekly: full growth-accounting state machine
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_user_lifecycle_weekly",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+               AS widx
+      FROM events
+    ),
+    gmax AS (SELECT MAX(widx) AS mw FROM act),
+    seq AS (
+      SELECT user_id, widx,
+             LAG(widx) OVER (PARTITION BY user_id ORDER BY widx) AS lagw,
+             LEAD(widx) OVER (PARTITION BY user_id ORDER BY widx) AS leadw
+      FROM act
+    ),
+    states AS (
+      SELECT widx,
+             SUM(CASE WHEN lagw IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN lagw = widx - 1 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN lagw IS NOT NULL AND lagw < widx - 1
+                      THEN 1 ELSE 0 END) AS n_resurrected
+      FROM seq GROUP BY 1
+    ),
+    churn AS (
+      SELECT widx + 1 AS widx, COUNT(*) AS n_churned
+      FROM seq, gmax
+      WHERE (leadw IS NULL AND widx < gmax.mw) OR leadw > widx + 1
+      GROUP BY 1
+    )
+    SELECT strftime(DATE '1970-01-05' + INTERVAL (w.widx * 7) DAY,
+                    '%Y-%m-%d') AS week_start,
+           CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(s.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(s.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM (SELECT widx FROM states UNION SELECT widx FROM churn) w
+    LEFT JOIN states s ON s.widx = w.widx
+    LEFT JOIN churn c ON c.widx = w.widx
+    ORDER BY week_start
+    """,
+)
+def events_user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full growth-accounting state machine per week: NEW (first
+    active week ever), RETAINED (also active the week before),
+    RESURRECTED (returning after a gap), CHURNED (active the previous
+    week, absent this one — attributed to the week of absence, and
+    only for weeks the data can actually see: nobody churns past the
+    corpus's last week). Extends events_new_vs_returning_weekly, which
+    collapses retained+resurrected into "returning" and cannot see
+    churn at all. Weeks are the LINEAR index days-since-1970-01-05
+    (a Monday) div 7 — consecutive across year boundaries, where ISO
+    year*100+week keys are not, and week-1 arithmetic is the whole
+    query.
+
+    Scale: one distinct (user, week) pass, one user-keyed window for
+    lag/lead (the same single shuffle the sessionizers pay), calendar-
+    bounded aggregates after that. The global max week is a 1-row
+    broadcast (NESTED_LOOP_OK)."""
+    act = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("datediff(to_date(ts), DATE'1970-01-05') div 7").alias(
+                "widx"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("widx")
+    seq = act.select(
+        "user_id",
+        "widx",
+        F.lag("widx").over(w).alias("lagw"),
+        F.lead("widx").over(w).alias("leadw"),
+    ).localCheckpoint(eager=False)
+    states = seq.groupBy("widx").agg(
+        F.sum(F.when(F.col("lagw").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("lagw") == F.col("widx") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("lagw").isNotNull()
+                & (F.col("lagw") < F.col("widx") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    gmax = act.agg(F.max("widx").alias("mw"))
+    churn = (
+        seq.crossJoin(F.broadcast(gmax))
+        .filter(
+            (F.col("leadw").isNull() & (F.col("widx") < F.col("mw")))
+            | (F.col("leadw") > F.col("widx") + 1)
+        )
+        .groupBy((F.col("widx") + 1).alias("widx"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    weeks = states.select("widx").unionByName(churn.select("widx")).distinct()
+    return (
+        weeks.join(states, "widx", "left")
+        .join(churn, "widx", "left")
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE'1970-01-05', CAST(widx * 7 AS INT))"),
+                "yyyy-MM-dd",
+            ).alias("week_start"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .orderBy("week_start")
     )

@@ -95,6 +95,8 @@ NESTED_LOOP_OK = {
     "orders_ship_latency_histogram",
     # three 1-row global aggregates cross-joined into the summary row
     "part_triangle_count_sampled",
+    # 1-row global max-week broadcast gates churn attribution
+    "events_user_lifecycle_weekly",
 }
 
 HEADLINE = [

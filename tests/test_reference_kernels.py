@@ -1117,3 +1117,51 @@ def test_daily_percentiles_reference(spark, tmp_path):
             (q_num * n + q_den - 1) // q_den - 1
         ][0]
         assert got[day] == (n, pick(1, 2), pick(9, 10), pick(99, 100)), day
+
+
+def test_lifecycle_weekly_reference(spark, tmp_path):
+    """Sparse random activity: every weekly lifecycle cell must equal
+    a brute-force Python state machine (new / retained / resurrected /
+    churned-at-week-of-absence, no churn past the last observed
+    week)."""
+    rng = random.Random(41)
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    for uid in range(30):
+        for wk in sorted(rng.sample(range(12), rng.randrange(1, 8))):
+            rows.append(
+                (eid, t0 + dt.timedelta(weeks=wk, days=rng.randrange(7)),
+                 uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    active = defaultdict(set)
+    for _e, ts, uid, _t, _v, _p in rows:
+        active[uid].add((ts.date() - dt.date(1970, 1, 5)).days // 7)
+    gmax = max(w for s in active.values() for w in s)
+    ref = defaultdict(lambda: [0, 0, 0, 0])  # new, ret, res, churn
+    for uid, weeks in active.items():
+        ws = sorted(weeks)
+        for i, wk in enumerate(ws):
+            if i == 0:
+                ref[wk][0] += 1
+            elif ws[i - 1] == wk - 1:
+                ref[wk][1] += 1
+            else:
+                ref[wk][2] += 1
+            nxt = ws[i + 1] if i + 1 < len(ws) else None
+            if (nxt is None and wk < gmax) or (nxt is not None and nxt > wk + 1):
+                ref[wk + 1][3] += 1
+    got = {
+        r["week_start"]: (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        )
+        for r in registry.QUERIES["events_user_lifecycle_weekly"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    label = lambda w: (
+        dt.date(1970, 1, 5) + dt.timedelta(weeks=w)
+    ).strftime("%Y-%m-%d")
+    assert got == {label(w): tuple(v) for w, v in ref.items()}
