@@ -2089,3 +2089,117 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ham <= _PHASH_HAM_MAX).alias("is_near_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup_index_refresh: sequential ingest-gate admission
+# --------------------------------------------------------------------------
+
+def _dedup_index_oracle() -> str:
+    """Unrolled replay of the 4-batch sequential admission: the global
+    verified-pair relation (same LSH candidates + exact-Jaccard >= 0.5
+    as every dedup oracle here), then admission step by step — batch k
+    rejects a doc iff a verified neighbor is admitted in batches < k
+    or precedes it (smaller doc_id) in batch k."""
+    # Each admission step as hash-joinable set algebra (an OR mixing a
+    # correlated predicate with an IN-subquery forces DuckDB into
+    # row-at-a-time evaluation — measured 452 s vs ~1 s for this
+    # form). rej = within-batch earlier-id neighbors UNION verified
+    # neighbors admitted in earlier batches; adm = batch minus rej.
+    steps = []
+    for k in range(4):
+        within = f"""
+      SELECT DISTINCT s.b AS doc_id
+      FROM sym s
+      JOIN docs x ON x.doc_id = s.a AND x.batch = {k}
+      JOIN docs d ON d.doc_id = s.b AND d.batch = {k}
+      WHERE x.doc_id < d.doc_id"""
+        if k == 0:
+            rej_body = within
+        else:
+            prior = " UNION ALL ".join(
+                f"SELECT doc_id FROM adm{j}" for j in range(k)
+            )
+            rej_body = f"""{within}
+      UNION
+      SELECT DISTINCT s.b AS doc_id
+      FROM sym s
+      JOIN ({prior}) p ON p.doc_id = s.a
+      JOIN docs d ON d.doc_id = s.b AND d.batch = {k}"""
+        steps.append(f"""rej{k} AS ({rej_body}
+    ),
+    adm{k} AS (
+      SELECT doc_id FROM docs WHERE batch = {k}
+        AND doc_id NOT IN (SELECT doc_id FROM rej{k})
+    )""")
+    all_adm = " UNION ALL ".join(f"SELECT doc_id FROM adm{j}" for j in range(4))
+    return f"""
+    WITH {_DUCK_SIG_BAND_CTES},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shm GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN shm x ON x.doc_id = c.doc_a
+      JOIN shm y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      WHERE COALESCE(i.i, 0) * 2 >= sa.n + sb.n - COALESCE(i.i, 0)
+    ),
+    sym AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM ver
+    ),
+    docs AS MATERIALIZED (SELECT doc_id, doc_id % 4 AS batch FROM aug),
+    {",".join(steps)},
+    admitted AS MATERIALIZED ({all_adm}),
+    conflicts AS (
+      SELECT s.b AS doc_id, COUNT(*) AS n_conflicts
+      FROM sym s
+      JOIN docs x ON x.doc_id = s.a
+      JOIN docs d ON d.doc_id = s.b
+      LEFT JOIN admitted p ON p.doc_id = s.a
+      WHERE (x.batch = d.batch AND x.doc_id < d.doc_id)
+         OR (x.batch < d.batch AND p.doc_id IS NOT NULL)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(d.batch AS BIGINT) AS batch_id,
+           (a.doc_id IS NOT NULL) AS admitted,
+           CAST(COALESCE(c.n_conflicts, 0) AS BIGINT) AS n_conflicts
+    FROM docs d
+    LEFT JOIN admitted a ON a.doc_id = d.doc_id
+    LEFT JOIN conflicts c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("streaming_dedup_index_refresh", oracle=_dedup_index_oracle())
+def streaming_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of dedup_delta_vs_corpus: documents arrive
+    as 4 real micro-batches; each batch probes the persistent
+    admitted-docs index (band table + shingle store), rejected docs
+    never enter it, admitted docs extend it for every later batch —
+    sequential ingest-gate semantics proven against an oracle that
+    unrolls all four admission steps over the global verified-pair
+    relation (streaming/incremental_refresh.py::
+    streaming_dedup_index_refresh has the full rule statement and the
+    scale posture)."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_dedup_index_refresh as _run,
+    )
+
+    return _run(spark, _aug_docs(spark, sf_dir))

@@ -323,3 +323,137 @@ def streaming_backlog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch and the merge would be vacuously correct)
         shard_key="l_linenumber",
     )
+
+
+def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Streaming INGEST-GATE dedup with a standing index: documents
+    replay as BATCH_SHARDS micro-batches (shard = doc_id %
+    BATCH_SHARDS, arrival order = shard order); each batch probes the
+    persistent ADMITTED-DOCS index (band table + shingle store — the
+    two tables a production near-dup index actually persists), and a
+    doc is REJECTED iff it exact-verifies (Jaccard >= 0.5) against an
+    admitted doc from an earlier batch OR a smaller-doc_id doc in its
+    OWN batch (first-occurrence-wins within a batch, non-recursive by
+    design: if the earlier twin was itself rejected against the index,
+    the newcomer is transitively a duplicate of the same corpus
+    content). Admitted docs append their bands and shingles to the
+    index; decisions accumulate per batch. Returns one row per doc:
+    (doc_id, batch_id, admitted, n_conflicts).
+
+    The batch-mode sibling (plans/extensions.py::dedup_delta_vs_corpus)
+    is one probe against a static corpus; this is the loop that KEEPS
+    the corpus deduped as batches arrive. The oracle unrolls all
+    BATCH_SHARDS admission steps as CTEs over the global verified-pair
+    relation — green only if the sequential index semantics hold at
+    every batch boundary.
+
+    Scale: per batch the probe is the delta-vs-index band equi-join
+    (batch bands broadcastable), verification touches only colliding
+    docs' shingles, and the index grows only by admitted rows — the
+    corpus is never rescanned and never self-joined."""
+    from env_data_pipeline_spark.extensions import dedup as D
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_index_")
+    delta_dir = os.path.join(work, "deltas")
+    ckpt_dir = os.path.join(work, "ckpt")
+    decisions_dir = os.path.join(work, "decisions")
+    band_dirs = [os.path.join(work, "bands_a"), os.path.join(work, "bands_b")]
+    sh_dirs = [os.path.join(work, "sh_a"), os.path.join(work, "sh_b")]
+    os.makedirs(delta_dir)
+    write_shards(docs.select("doc_id", "text"), delta_dir, BATCH_SHARDS, "doc_id")
+
+    live: list[tuple[str, str]] = []
+
+    def _apply(batch_docs: DataFrame, batch_id: int) -> None:
+        sp = batch_docs.sparkSession
+        cur = batch_id % 2
+        nxt = (batch_id + 1) % 2
+        sigs = D.minhash_signatures(D.shingles(batch_docs, distinct=False))
+        bands_b = D.band_table(sigs)
+        sh_b = D.shingles(batch_docs, distinct=True)
+        if os.path.exists(band_dirs[cur]):
+            idx_bands = sp.read.parquet(band_dirs[cur])
+            idx_sh = sp.read.parquet(sh_dirs[cur])
+        else:
+            idx_bands = bands_b.limit(0)
+            idx_sh = sh_b.limit(0)
+        probe = bands_b.select(
+            F.col("doc_id").alias("d"), "band", "band_key"
+        )
+        cand_idx = (
+            idx_bands.join(F.broadcast(probe), ["band", "band_key"])
+            .select("d", F.col("doc_id").alias("a"))
+            .distinct()
+        )
+        cand_in = (
+            probe.hint("merge")
+            .join(
+                bands_b.select(F.col("doc_id").alias("a"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .filter(F.col("a") < F.col("d"))
+            .select("d", "a")
+            .distinct()
+        )
+        cand = cand_idx.unionByName(cand_in).distinct().localCheckpoint(
+            eager=True
+        )
+        a_sh = idx_sh.unionByName(sh_b)
+        d_sizes = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+        a_sizes = a_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+        inter = (
+            sh_b.select(F.col("doc_id").alias("d"), "shingle")
+            .join(F.broadcast(cand), "d")
+            .join(
+                a_sh.select(F.col("doc_id").alias("a"), "shingle"),
+                ["a", "shingle"],
+            )
+            .groupBy("d", "a")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        verified = (
+            cand.join(F.broadcast(d_sizes.withColumnRenamed("doc_id", "d")), "d")
+            .join(F.broadcast(a_sizes.withColumnRenamed("doc_id", "a")), "a")
+            .join(F.broadcast(inter), ["d", "a"], "left")
+            .filter(
+                F.coalesce(F.col("i"), F.lit(0)) * 2
+                >= F.col("nd") + F.col("na") - F.coalesce(F.col("i"), F.lit(0))
+            )
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_conflicts"))
+        )
+        decisions = (
+            batch_docs.select("doc_id")
+            .join(
+                F.broadcast(verified.withColumnRenamed("d", "doc_id")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                F.col("n_conflicts").isNull().alias("admitted"),
+                F.coalesce(F.col("n_conflicts"), F.lit(0))
+                .cast("bigint")
+                .alias("n_conflicts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        decisions.write.mode("append").parquet(decisions_dir)
+        admitted_ids = decisions.filter("admitted").select("doc_id")
+        idx_bands.unionByName(
+            bands_b.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+        ).write.mode("overwrite").parquet(band_dirs[nxt])
+        idx_sh.unionByName(
+            sh_b.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+        ).write.mode("overwrite").parquet(sh_dirs[nxt])
+        live.append((band_dirs[nxt], sh_dirs[nxt]))
+
+    replay_foreachbatch(
+        spark, delta_dir, ckpt_dir, BATCH_SHARDS, _apply, "stream_dedup_index_"
+    )
+    out = spark.read.parquet(decisions_dir).orderBy("doc_id")
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -1165,3 +1165,49 @@ def test_lifecycle_weekly_reference(spark, tmp_path):
         dt.date(1970, 1, 5) + dt.timedelta(weeks=w)
     ).strftime("%Y-%m-%d")
     assert got == {label(w): tuple(v) for w, v in ref.items()}
+
+
+def test_streaming_dedup_index_sequential_semantics(spark, tmp_path):
+    """Planted arrival-order scenario for the ingest-gate index:
+    within-batch first-occurrence-wins, cross-batch rejection only by
+    ADMITTED earlier docs, and the transitive rule (a doc whose only
+    verified twin was itself rejected still gets rejected, because
+    that twin's content is in the corpus through ITS admitted
+    ancestor). Batch = doc_id % 4. Doc ids avoid % 50 in {0, 25} so
+    the augmentation layer stays empty."""
+    T1 = "alpha beta gamma delta epsilon zeta eta theta"
+    T2 = "one two three four five six seven eight nine"
+    T3 = "red orange yellow green blue indigo violet colors"
+    T4 = "spark duck oracle parity shuffle partition broadcast join"
+    docs = [
+        (4, T1), (8, T1),          # batch 0: 4 admitted, 8 rejected by 4
+        (5, T1),                   # batch 1: rejected by admitted 4
+        (9, T3),                   # batch 1: unique -> admitted
+        (6, T2),                   # batch 2: admitted
+        (7, T2),                   # batch 3: rejected by admitted 6
+        (12, T4), (16, T4),        # batch 0: 12 admitted, 16 rejected
+        (13, T4),                  # batch 1: rejected by admitted 12
+    ]
+    spark.createDataFrame(
+        [(i, t, "web") for i, t in docs],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["batch_id"], r["admitted"], r["n_conflicts"])
+        for r in registry.QUERIES["streaming_dedup_index_refresh"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        4: (0, True, 0),
+        8: (0, False, 1),
+        5: (1, False, 1),
+        9: (1, True, 0),
+        6: (2, True, 0),
+        7: (3, False, 1),
+        12: (0, True, 0),
+        16: (0, False, 1),
+        13: (1, False, 1),
+    }, got
