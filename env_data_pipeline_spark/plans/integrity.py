@@ -331,10 +331,15 @@ def user_deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected.
 
     Scale: the direct legs are metadata-cheap filtered counts (the
-    predicate pushes to the scan); the cascade leg is a LEFT-SEMI join
-    of lineitem against the affected-order keys — the shape an actual
-    deletion job would use to locate rows, so the audit measures the
-    real plan. Nothing collects; each leg is one aggregate."""
+    predicate pushes to the scan); the cascade leg is ONE pass — a
+    LEFT OUTER join against the broadcast affected-order keys with
+    COUNT(o_orderkey) counting the matches, which equals the semi-join
+    count because o_orderkey is the orders primary key (uniqueness
+    audited by referential_integrity_audit; a duplicate key would
+    inflate the outer-join counts where a true semi-join could not).
+    A deletion job locating rows would run the left-semi form; the
+    audit trades that for counting total and affected in one scan.
+    Nothing collects; each leg is one aggregate."""
     affected = {
         "customer": table(spark, sf_dir, "customer").select(
             (F.col("c_custkey") % _DEL_MOD == 0).alias("hit")

@@ -1989,12 +1989,15 @@ def events_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB rollup needs (per-partition sketches -> any ad-hoc
     group-by over them without rescanning).
 
-    Integer-exact estimator (RAW HLL, alpha = 709/1000, rank from
+    Integer-exact estimator (alpha = 709/1000, rank from
     length(bin(w)) — see extensions/sketches.py): the DuckDB oracle
     replays the estimate bit for bit; the exact distinct count rides
-    along as the audit column. No small-range correction — the known
-    raw-HLL small-n bias is bounded by the tolerance test in
-    tests/test_reference_kernels.py.
+    along as the audit column. The standard small-range correction IS
+    applied — linear counting when the raw estimate <= 5m/2 and zero
+    registers exist — via a PRECOMPUTED 63-entry floor(m*ln(m/V))
+    table baked identically into both engines, so no runtime
+    transcendental can drift; accuracy across both regimes is pinned
+    by tests/test_reference_kernels.py.
 
     Scale: the sketch build is one map-side-combinable (type, idx)
     MAX — state is |types| * 64 rows regardless of stream length; the
@@ -2930,8 +2933,8 @@ def events_rapid_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY age_month) AS cum_units
       FROM cells
     )
-    SELECT CAST(c.cohort_idx // 12 AS VARCHAR) || '-'
-             || lpad(CAST(c.cohort_idx % 12 + 1 AS VARCHAR), 2, '0')
+    SELECT CAST((c.cohort_idx - 1) // 12 AS VARCHAR) || '-'
+             || lpad(CAST((c.cohort_idx - 1) % 12 + 1 AS VARCHAR), 2, '0')
              AS cohort_month,
            CAST(c.age_month AS BIGINT) AS age_month,
            CAST(s.n_cohort_customers AS BIGINT) AS n_cohort_customers,
@@ -2989,10 +2992,14 @@ def customer_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.join(F.broadcast(sizes), "cohort_idx")
         .select(
+            # invert midx = year*12 + month via (midx-1): month 12 must
+            # not wrap into the next year's -01 (review finding)
             F.concat(
-                (F.col("cohort_idx") / 12).cast("bigint").cast("string"),
+                F.expr("(cohort_idx - 1) div 12").cast("string"),
                 F.lit("-"),
-                F.lpad((F.col("cohort_idx") % 12 + 1).cast("string"), 2, "0"),
+                F.lpad(
+                    ((F.col("cohort_idx") - 1) % 12 + 1).cast("string"), 2, "0"
+                ),
             ).alias("cohort_month"),
             F.col("age_month").cast("bigint"),
             F.col("n_cohort_customers").cast("bigint"),

@@ -775,22 +775,32 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _persisted_artifact(spark, sf_dir, name, build):
-    """Read the named index artifact for this corpus from the artifact
-    cache, building and persisting it on first use. Keyed by the
-    embeddings file's path+mtime so a regenerated corpus retrains;
-    the write is tmpdir+rename so concurrent first builders (driver,
-    pytest, bench all share /tmp) race safely — the loser discards its
-    copy of the identical deterministic artifact."""
+def _artifact_path(sf_dir: str, name: str, params: str = "") -> str:
+    """Cache location for a trained-index artifact: md5 of the corpus
+    file's path+mtime and the training-parameter string."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
+    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{params}"
     h = hashlib.md5(key.encode()).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), "edps_index_artifacts", h, name)
+    return os.path.join(tempfile.gettempdir(), "edps_index_artifacts", h, name)
+
+
+def _persisted_artifact(spark, sf_dir, name, build, params=""):
+    """Read the named index artifact for this corpus from the artifact
+    cache, building and persisting it on first use. Keyed by the
+    embeddings file's path+mtime AND the caller's training-parameter
+    string (a stale index from an older hyperparameter set must never
+    serve — review finding); the write is tmpdir+rename so concurrent
+    first builders (driver, pytest, bench all share /tmp) race safely
+    — the loser discards its copy of the identical deterministic
+    artifact."""
+    import os
+    import shutil
+
+    d = _artifact_path(sf_dir, name, params)
     if not os.path.exists(d):
         tmp = f"{d}.tmp.{os.getpid()}"
         build().coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -808,6 +818,13 @@ def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# training-parameter strings in the artifact cache key: a change to
+# any hyperparameter (or to the training code — bump the version tag)
+# must retrain rather than serve a stale /tmp index (review finding)
+IVF_ARTIFACT_PARAMS = f"k={_K},iters={_ITERS},step={_INIT_STEP},q={_QGRID},v1"
+PQ_ARTIFACT_PARAMS = f"m={_PQ_M},d={_PQ_D},k={_PQ_K},step={_PQ_STEP},v1"
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse centroids as a persisted artifact (K=8 rows)."""
 
@@ -822,7 +839,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return X.kmeans_train(pts, init, iters=_ITERS, quant=float(_QGRID))
 
-    return _persisted_artifact(spark, sf_dir, "ivf_centroids", build)
+    return _persisted_artifact(
+        spark, sf_dir, "ivf_centroids", build, params=IVF_ARTIFACT_PARAMS
+    )
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +858,9 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PQ_D,
         ).select("m", "code", F.col("sv").alias("cw"))
 
-    return _persisted_artifact(spark, sf_dir, "pq_codebook", build)
+    return _persisted_artifact(
+        spark, sf_dir, "pq_codebook", build, params=PQ_ARTIFACT_PARAMS
+    )
 
 
 @query(

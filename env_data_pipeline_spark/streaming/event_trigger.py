@@ -63,10 +63,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # final StreamingQueryProgress per drained sink (observability +
 # bounded-state assertions in tests): keyed by sink name. ALL_ holds
-# every micro-batch's progress — state EVICTION can land in any batch
-# (full-outer joins evict in the data batch, outer/semi in the flush
-# batch), so numRowsRemoved must be summed across the run, while
+# the run's micro-batch progresses — state EVICTION can land in any
+# batch (full-outer joins evict in the data batch, outer/semi in the
+# flush batch), so numRowsRemoved must be summed across the run, while
 # numRowsTotal is read from the LAST progress (post-eviction state).
+# recentProgress is CAPPED by spark.sql.streaming.numRecentProgress-
+# Updates (default 100); _drain raises it so the replays here (a few
+# batches) can never silently lose their earliest progress records
+# (review finding).
+_PROGRESS_KEEP = 10_000
 LAST_QUERY_PROGRESS: dict[str, dict] = {}
 ALL_QUERY_PROGRESS: dict[str, list[dict]] = {}
 
@@ -74,6 +79,9 @@ ALL_QUERY_PROGRESS: dict[str, list[dict]] = {}
 def _drain(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
     import json
 
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(_PROGRESS_KEEP)
+    )
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")

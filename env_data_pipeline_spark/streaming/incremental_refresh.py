@@ -362,8 +362,6 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
     os.makedirs(delta_dir)
     write_shards(docs.select("doc_id", "text"), delta_dir, BATCH_SHARDS, "doc_id")
 
-    live: list[tuple[str, str]] = []
-
     def _apply(batch_docs: DataFrame, batch_id: int) -> None:
         sp = batch_docs.sparkSession
         cur = batch_id % 2
@@ -447,7 +445,6 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
         idx_sh.unionByName(
             sh_b.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
         ).write.mode("overwrite").parquet(sh_dirs[nxt])
-        live.append((band_dirs[nxt], sh_dirs[nxt]))
 
     replay_foreachbatch(
         spark, delta_dir, ckpt_dir, BATCH_SHARDS, _apply, "stream_dedup_index_"

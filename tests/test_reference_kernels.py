@@ -1007,6 +1007,11 @@ def test_ltv_cohort_curve_reference(spark, tmp_path):
         date = t0 + dt.timedelta(days=rng.randrange(700))
         rows.append((okey, cust, "O", round(rng.uniform(10, 9e5), 2), date,
                      "3-MEDIUM"))
+    # pin a DECEMBER cohort: the month-label inversion of
+    # midx = year*12 + month wrapped 12 -> next year's -01 before the
+    # r8 review fix, and only a December first order can catch that
+    rows.append((400, 99, "O", 1234.56, dt.datetime(2022, 12, 15),
+                 "3-MEDIUM"))
     spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string, "
@@ -1040,7 +1045,7 @@ def test_ltv_cohort_curve_reference(spark, tmp_path):
         cum_u = sum(
             v[1] for (c2, a2), v in cells.items() if c2 == cidx and a2 <= age
         )
-        label = f"{cidx // 12}-{cidx % 12 + 1:02d}"
+        label = f"{(cidx - 1) // 12}-{(cidx - 1) % 12 + 1:02d}"
         assert got[(label, age)] == (
             sizes[cidx],
             len(active),

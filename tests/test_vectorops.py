@@ -298,16 +298,11 @@ def test_served_artifact_is_persisted_and_reused(spark, sf_dir):
     from env_data_pipeline_spark.plans import vectorops as V
 
     V.similarity_topk_ivf_served(spark, sf_dir).collect()
-    import hashlib
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
-    h = hashlib.md5(key.encode()).hexdigest()[:16]
-    d = os.path.join(
-        tempfile.gettempdir(), "edps_index_artifacts", h, "ivf_centroids"
-    )
+    d = V._artifact_path(sf_dir, "ivf_centroids", V.IVF_ARTIFACT_PARAMS)
     assert os.path.exists(d)
+    # a different hyperparameter string must map to a DIFFERENT cache
+    # slot — the stale-index hazard the params key exists to prevent
+    assert V._artifact_path(sf_dir, "ivf_centroids", "k=9,v1") != d
     before = os.path.getmtime(d)
     V.similarity_topk_ivf_served(spark, sf_dir).collect()
     assert os.path.getmtime(d) == before
