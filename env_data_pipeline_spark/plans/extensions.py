@@ -2075,12 +2075,15 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("asset_a", "asset_b")
         .agg(F.countDistinct("band").alias("shared_bands"))
     )
+    # fingerprint lookups are merge-hinted SHUFFLE joins: fp is the
+    # asset-sized table and must never broadcast (AQE hazard); what
+    # moves is 16 bytes per asset once per side, linear in the corpus
     fa = fp.select(F.col("asset_id").alias("asset_a"), F.col("phash").alias("fa"))
     fb = fp.select(F.col("asset_id").alias("asset_b"), F.col("phash").alias("fb"))
     ham = F.expr(_PHASH_HAM_SQL)
     return (
-        pairs.join(F.broadcast(fa), "asset_a")
-        .join(F.broadcast(fb), "asset_b")
+        pairs.join(fa.hint("merge"), "asset_a")
+        .join(fb.hint("merge"), "asset_b")
         .select(
             "asset_a",
             "asset_b",

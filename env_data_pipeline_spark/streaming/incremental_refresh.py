@@ -396,7 +396,14 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
         cand = cand_idx.unionByName(cand_in).distinct().localCheckpoint(
             eager=True
         )
-        a_sh = idx_sh.unionByName(sh_b)
+        # restrict the a-side (index + batch) shingles to CANDIDATE
+        # participants BEFORE sizing or joining: the admitted index is
+        # corpus-sized at scale and must never broadcast or shuffle
+        # whole — only colliding docs' shingles move
+        cand_a = cand.select(F.col("a").alias("doc_id")).distinct()
+        a_sh = idx_sh.unionByName(sh_b).join(
+            F.broadcast(cand_a), "doc_id", "left_semi"
+        )
         d_sizes = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
         a_sizes = a_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
         inter = (

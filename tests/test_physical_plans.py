@@ -740,6 +740,25 @@ def test_skew_profile_prunes_scans(spark, sf_dir):
     assert "event_type" not in m.group(0) and "props" not in m.group(0)
 
 
+def test_rapid_repeat_pairs_never_broadcasts_events(spark, sf_dir):
+    """Both sides of the (user, bucket) interval self-join are the
+    fact stream (the probe side 2x via the bucket explode) — the merge
+    hint must hold against AQE's data-sized broadcast at test SF."""
+    plan = formatted_plan(spark, "events_rapid_repeat_pairs", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_phash_band_join_is_sort_merge(spark, sf_dir):
+    """The fingerprint band self-join AND the two fingerprint lookups
+    are asset-sized on at least one side and must stay sort-merge
+    equi-joins — nothing in this plan may broadcast (the fingerprint
+    table is the corpus)."""
+    plan = formatted_plan(spark, "multimodal_phash_near_dups", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_substring_spans_never_broadcasts_grams(spark, sf_dir):
     """The gram stream is the one data-sized structure in this query;
     AQE left alone would broadcast it at test SF (measured: the hash

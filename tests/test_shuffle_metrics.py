@@ -95,6 +95,28 @@ SHUFFLE_SCALING = [
     # level-neighbor construction: probe explodes x7, pool caps at 4
     # per level — shuffle stays linear in the part catalog
     ("part_substitution_candidates", "part", 1.5),
+    # r8 merge-hinted data-sized joins and sampled/banded paths:
+    # (user, 5-min bucket) equi-join, probe side 2x via bucket explode
+    ("events_rapid_repeat_pairs", "events", 1.5),
+    # 16-byte fingerprints + band keys shuffle; payloads never do
+    ("multimodal_phash_near_dups", "documents", 1.5),
+    # delta bands broadcast; corpus side shuffles band keys once
+    ("dedup_delta_vs_corpus", "documents", 1.5),
+    # node-sampled edges ∝ q^2 x lineitem, wedges ∝ q^3 — the sampled
+    # tier must inherit the exact tier's linear-in-data bound
+    ("part_triangle_count_sampled", "lineitem", 2.0),
+    # register build is map-side combined to ≤ |types| x 64 rows
+    ("events_hll_distinct_by_type", "events", 1.5),
+    # one custkey shuffle + months^2-bounded cell grid
+    ("customer_ltv_cohort_curve", "orders", 1.5),
+    # one day-keyed rank shuffle
+    ("events_daily_value_percentiles", "events", 1.5),
+    # distinct (user, week) + one user-keyed lag/lead window
+    ("events_user_lifecycle_weekly", "events", 1.5),
+    # merge-pattern as-of: one custkey shuffle of both sides
+    ("orders_pit_prior_features", "orders", 1.5),
+    # canonical 16-byte digests shuffle, never the text
+    ("dedup_canonical_text", "documents", 1.5),
 ]
 
 
