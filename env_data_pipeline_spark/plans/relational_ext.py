@@ -3219,3 +3219,90 @@ def events_user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# --------------------------------------------------------------------------
+# part_supplier_concentration: supply-chain concentration audit
+# --------------------------------------------------------------------------
+
+_SSR_TOPK = 25
+
+
+@query(
+    "part_supplier_concentration",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                            + 0.5) AS BIGINT)) AS units
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, units,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY units DESC, l_suppkey DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
+             SUM(units) OVER (PARTITION BY l_partkey) AS total_units
+      FROM ps
+    )
+    SELECT l_partkey AS partkey,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(l_suppkey AS BIGINT) AS top_suppkey,
+           CAST(1000 * units // total_units AS BIGINT)
+             AS top_share_permille,
+           total_units / 10000.0 AS total_revenue
+    FROM ranked WHERE rn = 1
+    ORDER BY top_share_permille DESC, total_units DESC, partkey
+    LIMIT {_SSR_TOPK}
+    """,
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration audit: the parts whose revenue is
+    most dominated by a single supplier — top supplier's exact integer
+    permille share of the part's line revenue, ranked worst-first. The
+    procurement twin of join_key_skew_profile: that audit finds hot
+    KEYS, this one finds fragile SOURCES (a synthetic-data analog of
+    the single-source risk report; this corpus assigns every part 8+
+    suppliers, so the interesting signal is concentration, not
+    exclusivity). Ties resolve to the larger suppkey on both engines
+    (max(struct(units, suppkey)) here, arg_max over the same tuple in
+    the oracle).
+
+    Scale: two map-side-combinable aggregates — (part, supplier) then
+    (part) — and a TakeOrderedAndProject; revenue rides the half-up
+    1e-4-unit grid and the share is one integer division. 1000 *
+    top_units stays far inside BIGINT at any realistic SF. No joins;
+    the part dimension never loads."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 10000"
+                " + 0.5) AS BIGINT)"
+            )
+        ).alias("units")
+    )
+    agg = ps.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("units").alias("total_units"),
+        F.max(F.struct(F.col("units"), F.col("suppkey"))).alias("top"),
+    )
+    return (
+        agg.select(
+            "partkey",
+            "n_suppliers",
+            F.col("top.suppkey").cast("bigint").alias("top_suppkey"),
+            F.expr("1000 * top.units div total_units")
+            .cast("bigint")
+            .alias("top_share_permille"),
+            (F.col("total_units") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy(
+            F.desc("top_share_permille"),
+            F.desc(F.expr("CAST(total_revenue * 10000 AS BIGINT)")),
+            "partkey",
+        )
+        .limit(_SSR_TOPK)
+    )

@@ -1216,3 +1216,40 @@ def test_streaming_dedup_index_sequential_semantics(spark, tmp_path):
         16: (0, False, 1),
         13: (1, False, 1),
     }, got
+
+
+def test_supplier_concentration_reference(spark, tmp_path):
+    """Tiny lineitem fixture with a known dominant supplier and an
+    exact tie: shares, ranks and the larger-suppkey tie resolution
+    must match hand-computed values."""
+    rows = [
+        # part 1: supplier 10 dominates 3:1 (share 750)
+        (1, 1, 10, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (2, 1, 11, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        # part 2: exact 50/50 tie -> larger suppkey 21 wins, share 500
+        (3, 2, 20, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (4, 2, 21, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        # part 3: single supplier -> share 1000
+        (5, 3, 30, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = [
+        (r["partkey"], r["n_suppliers"], r["top_suppkey"],
+         r["top_share_permille"], r["total_revenue"])
+        for r in registry.QUERIES["part_supplier_concentration"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        (3, 1, 30, 1000, 50.0),
+        (1, 2, 10, 750, 400.0),
+        (2, 2, 21, 500, 400.0),
+    ], got
