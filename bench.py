@@ -275,7 +275,9 @@ def main() -> None:
         # grows 10x; substring spans: the gram-diagonal join family
         for name in (
             "dedup_minhash_lsh",
-            "similarity_topk_ivfpq",
+            # r8: the inline-training ivfpq row left the headline set;
+            # probe its serving-path replacement instead
+            "similarity_topk_ivfpq_served",
             "decontaminate_eval_overlap",
             "dedup_substring_spans",
         ):
