@@ -154,6 +154,31 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "orders_mad_outliers", "events_ewma_daily",
         "events_cms_user_counts", "events_top_trigram_paths",
         "lineitem_winsorized_stats",
+        # --- stamped by the round-8 driver window (CORRECTNESS_r08,
+        # 50/50 green; names already present above were re-stamps) ---
+        "cheapest_supplier_per_part", "corpus_boilerplate_scrub",
+        "corpus_source_divergence", "customer_ltv_cohort_curve",
+        "customer_name_edit1_pairs", "customer_revenue_concentration",
+        "customer_rfm_segments", "dedup_canonical_text",
+        "dedup_delta_vs_corpus", "discount_revenue_opportunity",
+        "events_daily_value_percentiles", "events_hll_distinct_by_type",
+        "events_multitouch_attribution", "events_new_vs_returning_weekly",
+        "events_rapid_repeat_pairs", "events_seasonality_profile",
+        "events_user_lifecycle_weekly", "excess_shipping_suppliers",
+        "join_key_skew_profile", "late_shipment_priority_counts",
+        "lineitem_partition_fingerprints", "multimodal_phash_near_dups",
+        "orders_backlog_over_time", "orders_benford_digit_profile",
+        "orders_pit_prior_features", "orders_ship_latency_histogram",
+        "part_pagerank_copurchase", "part_substitution_candidates",
+        "part_supplier_concentration", "part_triangle_count_sampled",
+        "part_triangle_participation", "referential_integrity_audit",
+        "similarity_topk_ivf_served", "similarity_topk_ivfpq_served",
+        "streaming_dedup_index_refresh", "streaming_hll_sketch_refresh",
+        "supplier_variety_by_part_attrs", "text_bm25_search",
+        "text_phrase_search", "text_pmi_collocations",
+        "text_tfidf_top_terms", "text_vocab_coverage",
+        "top_revenue_supplier", "top_value_partkeys",
+        "user_deletion_impact_audit",
     }
 )
 
