@@ -166,10 +166,13 @@ def extract_features(assets: DataFrame, codec=None) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Perceptual-hash-style fingerprint (pHash stand-in)
+# Perceptual hash: 32x32 integer-DCT pHash (real kernel, numpy only)
 # --------------------------------------------------------------------------
 
-PHASH_SLICES = 16  # 16 positional blocks -> 16 hex nibbles = 64 bits
+PHASH_SLICES = 16  # 64 bits -> 16 hex nibbles
+PHASH_IMG = 32  # thumbnail side: payload bytes tiled into 32x32 gray
+PHASH_LOWFREQ = 8  # keep the top-left 8x8 DCT block = 64 bits
+PHASH_DCT_SCALE = 1024  # integer-quantized cosine basis (codec-style)
 
 PHASH_SCHEMA = T.StructType(
     [
@@ -179,41 +182,95 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+def dct_basis() -> list[list[int]]:
+    """The integer-quantized DCT-II basis both engines share:
+    B[u][x] = round(1024 * cos(pi*(2x+1)*u/64)), u<8, x<32. Integer
+    quantization (as real codecs do) makes the whole hash exact
+    integer math, so a SQL oracle can replay it bit-for-bit. Row sums
+    for u >= 1 are exactly 0 even after rounding, which makes the AC
+    coefficients — hence 63 of the 64 hash bits — EXACTLY invariant
+    under a uniform brightness shift (the signature pHash property)."""
+    import math
+
+    return [
+        [
+            round(
+                PHASH_DCT_SCALE
+                * math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_IMG))
+            )
+            for x in range(PHASH_IMG)
+        ]
+        for u in range(PHASH_LOWFREQ)
+    ]
+
+
+def dct_phash(payload: bytes, gain: int = 0) -> str:
+    """Real pHash over an opaque payload: tile the bytes into a 32x32
+    grayscale thumbnail (truncate past 1024, cycle shorter payloads),
+    add the per-asset brightness ``gain``, 2-D integer DCT, keep the
+    8x8 low-frequency block, threshold each coefficient against the
+    median of the 63 AC coefficients -> 64 bits -> 16 hex nibbles.
+    Coefficients stay far inside int64 (<= 32*255*1024^2 ~ 2.7e11).
+
+    Bit i = u*8+v set iff C[u][v] > median; nibble j packs bits
+    4j..4j+3 big-endian. Deterministic, library-free, and replayed
+    exactly by the DuckDB oracle via the same integer basis."""
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        img = np.full((PHASH_IMG, PHASH_IMG), gain, dtype=np.int64)
+    else:
+        idx = np.arange(PHASH_IMG * PHASH_IMG) % n
+        img = (
+            np.frombuffer(payload, dtype=np.uint8)[idx].astype(np.int64)
+            + gain
+        ).reshape(PHASH_IMG, PHASH_IMG)
+    basis = np.asarray(dct_basis(), dtype=np.int64)
+    # u runs over the horizontal axis (x = p % 32), v over the
+    # vertical (y = p // 32): C[u][v] = sum_y B[v][y] sum_x B[u][x]
+    # * img[y][x] — the orientation the SQL oracle replays
+    coefs = (basis @ img.T @ basis.T).ravel()
+    med = np.sort(coefs[1:])[(coefs.size - 1 - 1) // 2]  # 32nd of 63
+    bits = (coefs > med).astype(int)
+    return "".join(
+        "0123456789abcdef"[
+            bits[4 * j] * 8 + bits[4 * j + 1] * 4
+            + bits[4 * j + 2] * 2 + bits[4 * j + 3]
+        ]
+        for j in range(PHASH_SLICES)
+    )
+
+
 def make_phash_batch(hasher=None):
     """Perceptual-fingerprint kernel with an INJECTABLE hasher, same
-    seam discipline as make_decode_batch: a real pHash (DCT over a
-    decoded thumbnail) plugs in as ``callable(payload: bytes) -> str``
-    once media libs exist; the default is the deterministic positional
-    stand-in — payload sliced into 16 equal byte blocks, first md5 hex
-    char (4 bits) per block. Like real pHash, a LOCAL byte edit
-    perturbs only the nibble(s) of the touched block, so near-
-    duplicates sit at small nibble-Hamming distance while unrelated
-    payloads land near 15/16. Nested so cloudpickle ships it by
-    value."""
+    seam discipline as make_decode_batch: a media-lib hasher (decode +
+    resample + pHash) plugs in as ``callable(payload: bytes, gain:
+    int) -> str``; the default is :func:`dct_phash` — a REAL 32x32
+    integer-DCT pHash over the raw bytes, so the default already has
+    genuine pHash semantics (brightness invariance, local-edit
+    locality) rather than block-md5 positional hashing. ``gain`` is a
+    per-asset brightness offset (augmentation-pipeline shape; 0 when
+    the column is absent). Nested so cloudpickle ships it by value."""
     hasher_fn = hasher
 
     def phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import pandas as pd
 
-        def block_hash(payload: bytes) -> str:
-            n = len(payload)
-            nibbles = []
-            for i in range(PHASH_SLICES):
-                lo = (i * n) // PHASH_SLICES
-                hi = ((i + 1) * n) // PHASH_SLICES
-                nibbles.append(
-                    hashlib.md5(payload[lo:hi]).hexdigest()[0]
-                )
-            return "".join(nibbles)
-
-        ph = hasher_fn if hasher_fn is not None else block_hash
+        ph = hasher_fn if hasher_fn is not None else dct_phash
         for pdf in it:
+            gains = (
+                pdf["gain"]
+                if "gain" in pdf.columns
+                else pd.Series(0, index=pdf.index)
+            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "phash": pdf["payload"].map(ph),
+                    "phash": [
+                        ph(p, int(g))
+                        for p, g in zip(pdf["payload"], gains)
+                    ],
                 }
             )
 
@@ -224,9 +281,10 @@ phash_batch = make_phash_batch()
 
 
 def phash_fingerprints(assets: DataFrame, hasher=None) -> DataFrame:
-    """Binary payloads -> 16-nibble fingerprints, one Arrow batch at a
-    time."""
+    """Binary payloads (+ optional int ``gain`` brightness column) ->
+    16-nibble DCT-pHash fingerprints, one Arrow batch at a time."""
     kernel = phash_batch if hasher is None else make_phash_batch(hasher)
-    return assets.select("asset_id", "payload").mapInPandas(
-        kernel, schema=PHASH_SCHEMA
+    cols = ["asset_id", "payload"] + (
+        ["gain"] if "gain" in assets.columns else []
     )
+    return assets.select(*cols).mapInPandas(kernel, schema=PHASH_SCHEMA)

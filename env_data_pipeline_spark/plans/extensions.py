@@ -1958,14 +1958,20 @@ _PHASH_MOD = 35
 _PHASH_REM = 11
 _PHASH_HAM_MAX = 3  # nibble-Hamming threshold for is_near_dup
 
-# per-slice nibble: first md5 hex char of the i-th positional block —
-# on ASCII payloads byte slicing equals substr character slicing, so
-# DuckDB replays the Arrow kernel's bytes math exactly
-_PHASH_NIBBLES_SQL = " || ".join(
-    f"substr(md5(substr(text, (({i} * length(text)) // 16) + 1, "
-    f"((({i} + 1) * length(text)) // 16) - (({i} * length(text)) // 16))), 1, 1)"
-    for i in range(16)
-)
+# The integer-quantized DCT basis, shared verbatim with the Arrow
+# kernel (extensions/multimodal.py::dct_basis) so DuckDB replays the
+# pHash bit-for-bit: flattened row-major [u * 32 + x].
+_PHASH_BASIS_SQL = "[" + ",".join(
+    str(v) for row in M.dct_basis() for v in row
+) + "]"
+
+# ASCII + non-empty guard: ord(substr(text, i, 1)) reads BYTES only
+# while every character is single-byte; filtering BOTH engines to
+# length(text) == byte-length makes parity robust by construction if
+# a future corpus regeneration introduces multi-byte characters
+# (tests/test_testdata_contract.py pins that no row is dropped today).
+_PHASH_ASCII_GUARD_SQL = "length(text) = strlen(text) AND strlen(text) > 0"
+
 _PHASH_HAM_SQL = " + ".join(
     f"(CASE WHEN substring(fa, {i + 1}, 1) <> substring(fb, {i + 1}, 1) "
     "THEN 1 ELSE 0 END)"
@@ -1977,14 +1983,63 @@ _PHASH_HAM_SQL = " + ".join(
     "multimodal_phash_near_dups",
     oracle=f"""
     WITH base AS (
-      SELECT doc_id AS asset_id, text FROM documents
+      SELECT doc_id AS asset_id, text, 0 AS gain FROM documents
+      WHERE {_PHASH_ASCII_GUARD_SQL}
       UNION ALL
-      SELECT doc_id + {PHASH_COPY_OFFSET},
-             'X' || substr(text, 2)
-      FROM documents WHERE doc_id % {_PHASH_MOD} = {_PHASH_REM}
+      SELECT doc_id + {PHASH_COPY_OFFSET}, text, 1 AS gain
+      FROM documents
+      WHERE doc_id % {_PHASH_MOD} = {_PHASH_REM}
+        AND {_PHASH_ASCII_GUARD_SQL}
+    ),
+    basis AS (
+      SELECT CAST(r.range AS INT) AS i,
+             ({_PHASH_BASIS_SQL})[CAST(r.range AS INT) + 1] AS b
+      FROM range(256) r
+    ),
+    pix AS (
+      SELECT asset_id, CAST(r.range AS INT) AS p,
+             CAST(ord(substr(text,
+                      CAST(r.range % strlen(text) AS INT) + 1, 1))
+                  + gain AS BIGINT) AS val
+      FROM base CROSS JOIN range(1024) r
+    ),
+    rowdct AS (
+      SELECT asset_id, CAST(u.range AS INT) AS u, p // 32 AS y,
+             SUM(val * b.b) AS r
+      FROM pix CROSS JOIN range(8) u
+      JOIN basis b ON b.i = CAST(u.range AS INT) * 32 + (p % 32)
+      GROUP BY 1, 2, 3
+    ),
+    coef AS (
+      SELECT asset_id, u, CAST(v.range AS INT) AS v,
+             SUM(r * b2.b) AS c
+      FROM rowdct CROSS JOIN range(8) v
+      JOIN basis b2 ON b2.i = CAST(v.range AS INT) * 32 + y
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT asset_id, c AS med FROM (
+        SELECT asset_id, c,
+               ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY c)
+                 AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0)
+      ) WHERE rn = 32
+    ),
+    nibs AS (
+      SELECT coef.asset_id, (u * 8 + v) // 4 AS j,
+             SUM(CASE WHEN c > med THEN
+                   CASE (u * 8 + v) % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                        WHEN 2 THEN 2 ELSE 1 END
+                 ELSE 0 END) AS nib
+      FROM coef JOIN med USING (asset_id)
+      GROUP BY 1, 2
     ),
     fp AS (
-      SELECT asset_id, {_PHASH_NIBBLES_SQL} AS phash FROM base
+      SELECT asset_id,
+             string_agg(substr('0123456789abcdef',
+                               CAST(nib AS INT) + 1, 1),
+                        '' ORDER BY j) AS phash
+      FROM nibs GROUP BY asset_id
     ),
     bands AS (
       SELECT asset_id, r.range AS band,
@@ -2014,20 +2069,26 @@ _PHASH_HAM_SQL = " + ".join(
     """,
 )
 def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 near-duplicate detection for MEDIA payloads: a perceptual-
-    hash-style 64-bit fingerprint computed from payload BYTES in the
-    Arrow mapInPandas kernel (extensions/multimodal.py::
-    phash_fingerprints — injectable hasher, real pHash plugs in when
-    media libs exist), banded 4 x 16 bits, band-collision candidates
-    exact-verified by nibble-Hamming distance. The planted variants
-    (one leading byte flipped, id % 35 == 11) surface as
-    shared_bands = 3, hamming = 1 pairs; random band collisions stay
-    as is_near_dup = false evidence, the dedup_lsh_verified_pairs
-    discipline.
+    """X5 near-duplicate detection for MEDIA payloads with a REAL
+    perceptual hash: payload bytes are tiled into a 32x32 grayscale
+    thumbnail, 2-D integer-DCT'd (integer-quantized cosine basis, the
+    codec trick), and the 8x8 low-frequency block is thresholded at
+    the AC-median into 64 bits (extensions/multimodal.py::dct_phash,
+    Arrow mapInPandas kernel, numpy only). Banding is 4 x 16 bits;
+    band-collision candidates are exact-verified by nibble-Hamming.
+    The planted variants (brightness gain +1 on every pixel,
+    id % 35 == 11) land at hamming 0 — the rounded basis rows for
+    u >= 1 sum to exactly 0, so AC bits are EXACTLY brightness-
+    invariant, the signature pHash property — while random band
+    collisions stay as is_near_dup = false evidence, the
+    dedup_lsh_verified_pairs discipline.
 
-    Cross-engine exactness: payloads are ASCII here, so the oracle
-    replays the byte-block math with substr + md5 character slicing —
-    bit-identical nibbles, no tolerance anywhere.
+    Cross-engine exactness: all math is int64 (coefficients bounded by
+    32*255*1024^2 ~ 2.7e11), and the DuckDB oracle replays the same
+    basis constants via ord()-per-byte pixel extraction — bit-exact,
+    no tolerance anywhere. Both engines restrict to single-byte-char
+    non-empty text (ord() reads bytes only on ASCII; the fixture test
+    pins that the guard drops zero rows today).
 
     Scale: fingerprints are 16 bytes per asset (the only thing that
     shuffles); the band self-join is merge-hinted (both sides are
@@ -2035,16 +2096,28 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only collision pairs. Same banding shape as
     SimHash over text, but the kernel consumes binary payloads through
     the Arrow batch path — the multimodal half of the story."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    variants = docs.filter(F.col("doc_id") % _PHASH_MOD == _PHASH_REM).select(
+    ascii_docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            (F.length("text") == F.octet_length("text"))
+            & (F.length("text") > 0)
+        )
+    )
+    variants = ascii_docs.filter(
+        F.col("doc_id") % _PHASH_MOD == _PHASH_REM
+    ).select(
         (F.col("doc_id") + PHASH_COPY_OFFSET).alias("doc_id"),
-        F.concat(F.lit("X"), F.expr("substring(text, 2)")).alias("text"),
+        "text",
+        F.lit(1).alias("gain"),
     )
     assets = (
-        docs.unionByName(variants)
+        ascii_docs.withColumn("gain", F.lit(0))
+        .unionByName(variants)
         .select(
             F.col("doc_id").alias("asset_id"),
             F.encode("text", "UTF-8").alias("payload"),
+            "gain",
         )
     )
     fp = M.phash_fingerprints(assets).localCheckpoint(eager=False)

@@ -166,7 +166,11 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "events_rapid_repeat_pairs", "events_seasonality_profile",
         "events_user_lifecycle_weekly", "excess_shipping_suppliers",
         "join_key_skew_profile", "late_shipment_priority_counts",
-        "lineitem_partition_fingerprints", "multimodal_phash_near_dups",
+        "lineitem_partition_fingerprints",
+        # multimodal_phash_near_dups deliberately NOT stamped: its r8
+        # stamp attested the byte-block stand-in hasher; r9 replaced
+        # the kernel with the real integer-DCT pHash, so the window
+        # must re-sample the query the stamp actually describes
         "orders_backlog_over_time", "orders_benford_digit_profile",
         "orders_pit_prior_features", "orders_ship_latency_histogram",
         "part_pagerank_copurchase", "part_substitution_candidates",
@@ -203,6 +207,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.graphops  # noqa: F401
     import env_data_pipeline_spark.plans.integrity  # noqa: F401
     import env_data_pipeline_spark.plans.entityres  # noqa: F401
+    import env_data_pipeline_spark.plans.layouts  # noqa: F401
 
     ordered = [n for n in QUERIES if n not in DRIVER_STAMPED] + [
         n for n in QUERIES if n in DRIVER_STAMPED

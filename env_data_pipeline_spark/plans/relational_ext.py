@@ -3298,11 +3298,15 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("top_share_permille"),
             (F.col("total_units") / 10000.0).alias("total_revenue"),
+            # tiebreak must ride the exact integer, not a double
+            # round-trip: int(x/10000.0*10000) != x for many x
+            F.col("total_units").alias("_total_units"),
         )
         .orderBy(
             F.desc("top_share_permille"),
-            F.desc(F.expr("CAST(total_revenue * 10000 AS BIGINT)")),
+            F.desc("_total_units"),
             "partkey",
         )
         .limit(_SSR_TOPK)
+        .drop("_total_units")
     )

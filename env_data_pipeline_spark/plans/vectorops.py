@@ -19,7 +19,7 @@ index-maintenance paths, pinned by tests/test_vectorops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
@@ -125,16 +125,20 @@ _INIT_STEP = 60  # centroids seeded from vec_id 0, 60, ..., 420
 _QGRID = 1000000  # centroid/distance quantization grid (1e-6)
 
 
-def _kmeans_ctes(k: int, iters: int, step: int, final_update: bool) -> list[str]:
+def _kmeans_ctes(
+    k: int, iters: int, step: int, final_update: bool, src_where: str = ""
+) -> list[str]:
     """DuckDB CTE replay of the Lloyd loop (_kmeans_iterate): same
     init, same assignment tie-break (quantized dist, then cluster_id),
     same grid-quantized centroid update. With ``final_update`` the
     trained centroid set c{iters} is also emitted — the set
-    kmeans_train returns and a trained index serves from."""
+    kmeans_train returns and a trained index serves from.
+    ``src_where`` restricts the training corpus (the drift query
+    trains on a snapshot subset)."""
     ctes = [
         f"""pts AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings {src_where}
 )""",
         f"""c0 AS (
   SELECT CAST(vec_id / {step} AS INT) AS cluster_id, v AS c
@@ -1273,4 +1277,383 @@ def similarity_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("relevance_micro").cast("bigint"),
         F.col("mmr_score_micro").cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ivf_drift_retrain_verdict — WHEN is the served index stale?
+# ---------------------------------------------------------------------------
+
+# The post-training arrival stream is simulated deterministically:
+# vec_id % 5 == 4 (20% of the corpus) arrived AFTER the index was
+# trained on the other 80%. Two scenarios are evaluated in one pass —
+# the same arrivals unperturbed (stationary ingest; expected KEEP)
+# and shifted +0.5 in their first 8 dims (distribution drift;
+# expected RETRAIN) — so BOTH branches of the decision rule carry
+# oracle evidence. Threshold 35 permille separates the scenarios at
+# every test SF (measured stationary <= 20, drifted >= 57).
+_DRIFT_MOD = 5
+_DRIFT_REM = 4
+_DRIFT_DELTA = 0.5  # exact in binary floating point
+_DRIFT_DIMS = 8
+_DRIFT_THRESH = 35  # permille of max per-cell occupancy-share shift
+
+
+def _drift_oracle() -> str:
+    """Replays snapshot training (same Lloyd CTEs as the IVF family,
+    restricted to the snapshot), assigns both scenarios' corpora to
+    the frozen centroids, and derives integer permille shares."""
+    d = (
+        f"list_sum(list_transform(range({_DIM}), "
+        "i -> (s.v[i + 1] - c.c[i + 1]) * (s.v[i + 1] - c.c[i + 1])))"
+    )
+    ctes = _kmeans_ctes(
+        _K,
+        _ITERS,
+        _INIT_STEP,
+        final_update=True,
+        src_where=f"WHERE vec_id % {_DRIFT_MOD} <> {_DRIFT_REM}",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+allp AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scen AS (
+  SELECT 'stationary' AS scenario, vec_id,
+         CASE WHEN vec_id % {_DRIFT_MOD} = {_DRIFT_REM}
+              THEN 1 ELSE 0 END AS is_new, v
+  FROM allp
+  UNION ALL
+  SELECT 'drifted', vec_id,
+         CASE WHEN vec_id % {_DRIFT_MOD} = {_DRIFT_REM} THEN 1 ELSE 0 END,
+         CASE WHEN vec_id % {_DRIFT_MOD} = {_DRIFT_REM}
+              THEN list_transform(range({_DIM}),
+                     i -> v[i + 1] + CASE WHEN i < {_DRIFT_DIMS}
+                                          THEN {_DRIFT_DELTA}
+                                          ELSE 0.0 END)
+              ELSE v END
+  FROM allp
+),
+assign AS (
+  SELECT scenario, vec_id, is_new, cluster_id FROM (
+    SELECT s.scenario, s.vec_id, s.is_new, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.scenario, s.vec_id
+             ORDER BY CAST(floor({d} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM scen s CROSS JOIN c{_ITERS} c
+  ) WHERE rn = 1
+),
+tr AS (
+  SELECT cluster_id, COUNT(*) AS n_train FROM assign
+  WHERE scenario = 'stationary' AND is_new = 0 GROUP BY 1
+),
+nowc AS (
+  SELECT scenario, cluster_id, COUNT(*) AS n_now, SUM(is_new) AS n_new
+  FROM assign GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.scenario, c.cluster_id
+  FROM (SELECT DISTINCT scenario FROM scen) s
+  CROSS JOIN (SELECT cluster_id FROM c{_ITERS}) c
+),
+m AS (
+  SELECT g.scenario, g.cluster_id AS cell_id,
+         COALESCE(t.n_train, 0) AS n_train,
+         COALESCE(n.n_now, 0) AS n_now,
+         COALESCE(n.n_new, 0) AS n_new
+  FROM grid g
+  LEFT JOIN tr t ON t.cluster_id = g.cluster_id
+  LEFT JOIN nowc n
+    ON n.scenario = g.scenario AND n.cluster_id = g.cluster_id
+),
+shares AS (
+  SELECT scenario, cell_id, n_train, n_now, n_new,
+         1000 * n_train // SUM(n_train) OVER (PARTITION BY scenario)
+           AS share_train_permille,
+         1000 * n_now // SUM(n_now) OVER (PARTITION BY scenario)
+           AS share_now_permille
+  FROM m
+)
+SELECT scenario, cell_id,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_now AS BIGINT) AS n_now,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(share_train_permille AS BIGINT) AS share_train_permille,
+       CAST(share_now_permille AS BIGINT) AS share_now_permille,
+       CAST(abs(share_now_permille - share_train_permille) AS BIGINT)
+         AS shift_permille,
+       CAST(MAX(abs(share_now_permille - share_train_permille))
+              OVER (PARTITION BY scenario) AS BIGINT)
+         AS max_shift_permille,
+       CASE WHEN MAX(abs(share_now_permille - share_train_permille))
+                   OVER (PARTITION BY scenario) > {_DRIFT_THRESH}
+            THEN 'RETRAIN' ELSE 'KEEP' END AS verdict
+FROM shares
+"""
+    )
+
+
+@query("ivf_drift_retrain_verdict", oracle=_drift_oracle())
+def ivf_drift_retrain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 index maintenance: decides WHEN the served IVF index is
+    stale. Trains centroids on the 80% snapshot (vec_id % 5 != 4),
+    assigns the full corpus — snapshot plus the simulated
+    post-training arrivals — to the FROZEN centroids, and compares
+    per-cell occupancy shares (exact integer permille) against the
+    training snapshot's. Verdict per scenario: RETRAIN when any
+    cell's share moved more than 35 permille, else KEEP. The
+    'stationary' scenario (arrivals drawn from the training
+    distribution) lands KEEP; the 'drifted' scenario (+0.5 on the
+    first 8 dims) lands RETRAIN — both decision branches are
+    oracle-covered, and the streaming sibling
+    (streaming_ivf_drift_refresh) tracks the same metric per
+    micro-batch.
+
+    Scale: training is the standard Lloyd loop (K broadcast
+    centroids, no vector shuffle); assignment is one broadcast-
+    centroid pass over the corpus with a map-side argmin; everything
+    after the two groupBys is on K-row frames. The decision itself
+    reads counters, not vectors — at 100 TB the drift monitor costs
+    one assignment scan, which the ingest path already performs to
+    code new arrivals."""
+    pts = _pts(spark, sf_dir)
+    snap = pts.filter(F.col("vec_id") % _DRIFT_MOD != _DRIFT_REM)
+    arrivals = pts.filter(F.col("vec_id") % _DRIFT_MOD == _DRIFT_REM)
+    init = snap.filter(
+        (F.col("vec_id") % _INIT_STEP == 0)
+        & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    cent = X.kmeans_train(snap, init, iters=_ITERS, quant=float(_QGRID))
+    drifted = arrivals.withColumn(
+        "v",
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.when(i < _DRIFT_DIMS, F.lit(_DRIFT_DELTA)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )
+
+    def cell_counts(df: DataFrame, alias: str) -> DataFrame:
+        assigned = X.coarse_assign(X.coarse_scores(df, cent, float(_QGRID)))
+        return assigned.groupBy(F.col("cell").alias("cell_id")).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    snap_c = cell_counts(snap, "n_train")
+    arr_c = cell_counts(arrivals, "n_new").withColumn(
+        "scenario", F.lit("stationary")
+    )
+    drift_c = cell_counts(drifted, "n_new").withColumn(
+        "scenario", F.lit("drifted")
+    )
+    grid = cent.select(F.col("cluster_id").alias("cell_id")).withColumn(
+        "scenario",
+        F.explode(F.array(F.lit("stationary"), F.lit("drifted"))),
+    )
+    m = (
+        grid.join(F.broadcast(snap_c), "cell_id", "left")
+        .join(
+            F.broadcast(arr_c.unionByName(drift_c)),
+            ["cell_id", "scenario"],
+            "left",
+        )
+        .select(
+            "scenario",
+            "cell_id",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            (
+                F.coalesce("n_train", F.lit(0))
+                + F.coalesce("n_new", F.lit(0))
+            ).alias("n_now"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    w = Window.partitionBy("scenario")
+    shares = m.select(
+        "scenario",
+        "cell_id",
+        "n_train",
+        "n_now",
+        "n_new",
+        # counts are tiny integers: floor(double-div) == integer //
+        F.floor(
+            (F.lit(1000) * F.col("n_train")) / F.sum("n_train").over(w)
+        )
+        .cast("bigint")
+        .alias("share_train_permille"),
+        F.floor((F.lit(1000) * F.col("n_now")) / F.sum("n_now").over(w))
+        .cast("bigint")
+        .alias("share_now_permille"),
+    )
+    shift = F.abs(
+        F.col("share_now_permille") - F.col("share_train_permille")
+    )
+    return shares.select(
+        "scenario",
+        "cell_id",
+        F.col("n_train").cast("bigint"),
+        F.col("n_now").cast("bigint"),
+        F.col("n_new").cast("bigint"),
+        F.col("share_train_permille").cast("bigint"),
+        F.col("share_now_permille").cast("bigint"),
+        shift.cast("bigint").alias("shift_permille"),
+        F.max(shift).over(w).cast("bigint").alias("max_shift_permille"),
+        F.when(F.max(shift).over(w) > _DRIFT_THRESH, "RETRAIN")
+        .otherwise("KEEP")
+        .alias("verdict"),
+    )
+
+
+def _drift_stream_oracle() -> str:
+    """Unrolled 3-batch replay: arrivals shard by vec_id % 3 (the
+    write_shards contract), cumulative through batch b = shards
+    0..b; per batch the same integer permille share math as the
+    batch verdict query."""
+    d = (
+        f"list_sum(list_transform(range({_DIM}), "
+        "i -> (a.v[i + 1] - c.c[i + 1]) * (a.v[i + 1] - c.c[i + 1])))"
+    )
+    dp = (
+        f"list_sum(list_transform(range({_DIM}), "
+        "i -> (p.v[i + 1] - c.c[i + 1]) * (p.v[i + 1] - c.c[i + 1])))"
+    )
+    ctes = _kmeans_ctes(
+        _K,
+        _ITERS,
+        _INIT_STEP,
+        final_update=True,
+        src_where=f"WHERE vec_id % {_DRIFT_MOD} <> {_DRIFT_REM}",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+snapassign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor({dp} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM pts p CROSS JOIN c{_ITERS} c
+  ) WHERE rn = 1
+),
+tr AS (SELECT cluster_id, COUNT(*) AS n_train FROM snapassign GROUP BY 1),
+arr AS (
+  SELECT vec_id,
+         list_transform(range({_DIM}),
+           i -> CAST(embedding[i + 1] AS DOUBLE)
+                + CASE WHEN i < {_DRIFT_DIMS} THEN {_DRIFT_DELTA}
+                       ELSE 0.0 END) AS v
+  FROM embeddings WHERE vec_id % {_DRIFT_MOD} = {_DRIFT_REM}
+),
+aassign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT a.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY CAST(floor({d} * {_QGRID}) AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM arr a CROSS JOIN c{_ITERS} c
+  ) WHERE rn = 1
+),
+arrc AS (
+  SELECT CAST(s.range AS BIGINT) AS batch_id, a.cluster_id,
+         COUNT(*) AS n_new
+  FROM range({3}) s JOIN aassign a ON a.vec_id % {3} <= s.range
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(s.range AS BIGINT) AS batch_id, c.cluster_id,
+         COALESCE(t.n_train, 0) AS n_train,
+         COALESCE(ac.n_new, 0) AS n_new
+  FROM range({3}) s
+  CROSS JOIN (SELECT cluster_id FROM c{_ITERS}) c
+  LEFT JOIN tr t ON t.cluster_id = c.cluster_id
+  LEFT JOIN arrc ac
+    ON ac.batch_id = s.range AND ac.cluster_id = c.cluster_id
+),
+sh AS (
+  SELECT batch_id, n_new,
+         abs(1000 * (n_train + n_new)
+               // SUM(n_train + n_new) OVER (PARTITION BY batch_id)
+             - 1000 * n_train
+               // SUM(n_train) OVER (PARTITION BY batch_id)) AS shift
+  FROM g
+)
+SELECT batch_id,
+       CAST(SUM(n_new) AS BIGINT) AS n_arrivals,
+       CAST(MAX(shift) AS BIGINT) AS max_shift_permille,
+       CASE WHEN MAX(shift) > {_DRIFT_THRESH} THEN 'RETRAIN'
+            ELSE 'KEEP' END AS verdict
+FROM sh GROUP BY 1
+"""
+    )
+
+
+@query("streaming_ivf_drift_refresh", oracle=_drift_stream_oracle())
+def streaming_ivf_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of ivf_drift_retrain_verdict: the drifted
+    arrival stream replays as 3 real micro-batches
+    (maxFilesPerTrigger=1) against the frozen snapshot-trained
+    centroids; each batch appends its vectors' cell codes to the
+    persistent index (idempotent batch=<id> sink) and folds per-cell
+    counts into a ping-pong occupancy state, emitting a (batch_id,
+    n_arrivals, max_shift_permille, verdict) trajectory row. The
+    DuckDB oracle unrolls all 3 cumulative steps — green only if the
+    counter fold composes across micro-batch boundaries and the final
+    batch reproduces the batch query's drifted-scenario metric
+    (tests/test_streaming_semantics.py pins that equality)."""
+    from env_data_pipeline_spark.streaming.vector_index_refresh import (
+        streaming_ivf_drift_refresh as _run,
+    )
+
+    pts = _pts(spark, sf_dir)
+    snap = pts.filter(F.col("vec_id") % _DRIFT_MOD != _DRIFT_REM)
+    init = snap.filter(
+        (F.col("vec_id") % _INIT_STEP == 0)
+        & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    cent = X.kmeans_train(
+        snap, init, iters=_ITERS, quant=float(_QGRID)
+    ).localCheckpoint(eager=True)
+    train_counts = (
+        X.coarse_assign(X.coarse_scores(snap, cent, float(_QGRID)))
+        .groupBy(F.col("cell").alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    # dense K-row base state: cells no snapshot vector landed in
+    # still participate in the share math
+    base = (
+        cent.select(F.col("cluster_id").alias("cell_id"))
+        .join(F.broadcast(train_counts), "cell_id", "left")
+        .select(
+            "cell_id", F.coalesce("n_train", F.lit(0)).alias("n_train")
+        )
+    )
+    drifted = pts.filter(F.col("vec_id") % _DRIFT_MOD == _DRIFT_REM).withColumn(
+        "v",
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.when(i < _DRIFT_DIMS, F.lit(_DRIFT_DELTA)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )
+    return _run(
+        spark, cent, base, drifted, float(_QGRID), _DRIFT_THRESH
     )

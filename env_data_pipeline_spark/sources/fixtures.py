@@ -465,6 +465,103 @@ FIXTURES: dict[str, dict[str, str]] = {
         )
     ),
     "elevation_cells": _both(_grid_sql(_ELEVATION_CELLS_BODY)),
+    # BPE-approximation merges table: all single characters of the
+    # corpus vocabulary plus the top frequent 2/3/4-grams inside
+    # words (occurrence-weighted, ties by string) — the deterministic
+    # public-vocab stand-in a token-denominated corpus accounting
+    # needs. Greedy longest-match over these pieces approximates a
+    # real BPE segmentation; extensions/bpe.py owns the walk.
+    "bpe_vocab": {
+        "spark": """
+            WITH words AS (
+              SELECT word, COUNT(*) AS wc FROM (
+                SELECT explode(split(text, ' ')) AS word FROM documents
+              ) WHERE length(word) > 0 GROUP BY word
+            ),
+            grams AS (
+              SELECT substr(word, p + 1, l) AS piece, l AS plen,
+                     SUM(wc) AS freq
+              FROM words
+              LATERAL VIEW explode(array(2, 3, 4)) t1 AS l
+              LATERAL VIEW explode(sequence(0, 15)) t2 AS p
+              WHERE p + l <= length(word)
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT piece, plen,
+                     ROW_NUMBER() OVER (PARTITION BY plen
+                                        ORDER BY freq DESC, piece) AS rn
+              FROM grams
+            ),
+            merges AS (
+              SELECT piece FROM ranked
+              WHERE (plen = 2 AND rn <= 24) OR (plen = 3 AND rn <= 16)
+                 OR (plen = 4 AND rn <= 8)
+            ),
+            chars AS (
+              SELECT DISTINCT substr(word, p + 1, 1) AS piece
+              FROM words LATERAL VIEW explode(sequence(0, 15)) t AS p
+              WHERE p < length(word)
+            )
+            SELECT piece, length(piece) AS piece_len
+            FROM (SELECT piece FROM merges UNION SELECT piece FROM chars)
+        """,
+        "duck": """
+            WITH words AS (
+              SELECT u.x AS word, COUNT(*) AS wc
+              FROM documents, unnest(string_split(text, ' ')) AS u(x)
+              WHERE length(u.x) > 0 GROUP BY 1
+            ),
+            grams AS (
+              SELECT substr(word, CAST(p.range AS INT) + 1,
+                            CAST(l.range AS INT)) AS piece,
+                     CAST(l.range AS INT) AS plen, SUM(wc) AS freq
+              FROM words
+              CROSS JOIN range(2, 5) l
+              CROSS JOIN range(16) p
+              WHERE p.range + l.range <= length(word)
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT piece, plen,
+                     ROW_NUMBER() OVER (PARTITION BY plen
+                                        ORDER BY freq DESC, piece) AS rn
+              FROM grams
+            ),
+            merges AS (
+              SELECT piece FROM ranked
+              WHERE (plen = 2 AND rn <= 24) OR (plen = 3 AND rn <= 16)
+                 OR (plen = 4 AND rn <= 8)
+            ),
+            chars AS (
+              SELECT DISTINCT substr(word, CAST(p.range AS INT) + 1, 1)
+                       AS piece
+              FROM words CROSS JOIN range(16) p
+              WHERE p.range < length(word)
+            )
+            SELECT piece, length(piece) AS piece_len
+            FROM (SELECT piece FROM merges UNION SELECT piece FROM chars)
+        """,
+    },
+    # hive-partitioned fact layout: lineitem laid out by ship month
+    # (~80 directories) so joins against a filtered month dim get
+    # DYNAMIC partition pruning — the runtime analog of the static
+    # product-directory pruning the landfire fixtures pin. Slim
+    # column set: the measures revenue/volume queries touch.
+    "lineitem_by_month": {
+        "spark": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, "
+            "l_extendedprice, l_discount, l_returnflag, "
+            "date_format(l_shipdate, 'yyyy-MM') AS ship_month "
+            "FROM lineitem"
+        ),
+        "duck": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, "
+            "l_extendedprice, l_discount, l_returnflag, "
+            "strftime(l_shipdate, '%Y-%m') AS ship_month "
+            "FROM lineitem"
+        ),
+    },
 }
 
 
@@ -491,6 +588,7 @@ _STALE_SNAPSHOT_SECONDS = 6 * 3600
 _SNAPSHOT_PARTITION: dict[str, tuple[str, ...]] = {
     "landfire_pixels": ("product",),
     "landfire_grids": ("product",),
+    "lineitem_by_month": ("ship_month",),
 }
 
 

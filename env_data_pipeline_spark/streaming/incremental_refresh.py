@@ -444,7 +444,12 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
             )
             .localCheckpoint(eager=True)
         )
-        decisions.write.mode("append").parquet(decisions_dir)
+        # idempotent per-batch sink: foreachBatch is at-least-once, so
+        # an append here would duplicate decision rows on a replayed
+        # micro-batch; overwriting batch=<id> makes the replay a no-op
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"batch={batch_id}")
+        )
         admitted_ids = decisions.filter("admitted").select("doc_id")
         idx_bands.unionByName(
             bands_b.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
@@ -456,7 +461,9 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
     replay_foreachbatch(
         spark, delta_dir, ckpt_dir, BATCH_SHARDS, _apply, "stream_dedup_index_"
     )
-    out = spark.read.parquet(decisions_dir).orderBy("doc_id")
+    out = (
+        spark.read.parquet(decisions_dir).drop("batch").orderBy("doc_id")
+    )
     rows = out.collect()
     result = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(work, ignore_errors=True)

@@ -669,3 +669,40 @@ def test_substring_spans_fuzz_against_python_reference(spark):
     assert got == expected, (
         f"missing: {sorted(expected - got)[:5]} extra: {sorted(got - expected)[:5]}"
     )
+
+
+def test_phash_planted_brightness_pairs_full_recall(spark, sf_dir):
+    """Every planted brightness-shifted copy (gain +1, id % 35 == 11)
+    must be RECALLED by the DCT-pHash pipeline: exact brightness
+    invariance means hamming 0, so all 4 bands collide and banding
+    cannot miss the pair — recall is exactly 1, not probabilistic."""
+    from env_data_pipeline_spark.plans import registry
+    from env_data_pipeline_spark.plans.extensions import (
+        PHASH_COPY_OFFSET,
+        _PHASH_MOD,
+        _PHASH_REM,
+    )
+    from env_data_pipeline_spark.catalog import table
+
+    registry.load_all()
+    planted = {
+        r[0]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _PHASH_MOD == _PHASH_REM)
+        .select("doc_id")
+        .collect()
+    }
+    assert planted, "fixture has no planted ids at this SF"
+    out = {
+        (r["asset_a"], r["asset_b"]): r
+        for r in registry.QUERIES["multimodal_phash_near_dups"](
+            spark, sf_dir
+        ).collect()
+    }
+    for d in planted:
+        pair = (d, d + PHASH_COPY_OFFSET)
+        assert pair in out, f"planted brightness pair {pair} missed"
+        row = out[pair]
+        assert row["shared_bands"] == 4
+        assert row["hamming_nibbles"] == 0
+        assert row["is_near_dup"] is True

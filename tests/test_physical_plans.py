@@ -880,3 +880,28 @@ def test_join_view_delta_terms_stay_sort_merge(spark, sf_dir):
     # all four corpus-proportional join terms pinned to SMJ
     assert plan.count("SortMergeJoin") >= 4
     assert "BroadcastExchange" not in plan
+
+
+def test_dpp_query_gets_dynamic_partition_pruning(spark, sf_dir):
+    """lineitem_dpp_month_revenue's fact scan must carry a
+    dynamicpruningexpression partition filter (the month set is only
+    known after the dim-side quarter filter runs), the dim must ride
+    a broadcast, and the fact must be the hive-partitioned layout —
+    reading 3 of ~80 month directories at runtime. This is the
+    remaining Catalyst scale feature next to the static product-dir
+    pruning (landfire) and the runtime bloom-filter pin."""
+    plan = formatted_plan(spark, "lineitem_dpp_month_revenue", sf_dir)
+    low = plan.lower()
+    assert "dynamicpruningexpression" in low, plan
+    assert "ship_month" in plan
+    assert "BroadcastExchange" in plan or "broadcastexchange" in low
+    # the pruning subquery must REUSE the join's broadcast, not run
+    # its own second dim scan+exchange — only visible in the FINAL
+    # adaptive plan, so execute first
+    df = registry.QUERIES["lineitem_dpp_month_revenue"](spark, sf_dir)
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    final = df._jdf.queryExecution().explainString(mode)
+    assert "ReusedExchange" in final or "SubqueryBroadcast" in final, final

@@ -1059,21 +1059,33 @@ def test_ltv_cohort_curve_reference(spark, tmp_path):
 # --------------------------------------------------------------------------
 
 
-def test_phash_hasher_swap_and_locality(spark):
-    """The injectable-hasher seam works (a fake hasher flows through
-    the Arrow kernel verbatim), and the default block hash has the
-    pHash locality property: a single-byte edit moves only its block's
-    nibble (Hamming 1), while unrelated payloads differ almost
-    everywhere."""
+def test_phash_dct_properties_and_hasher_swap(spark):
+    """The default kernel is a REAL integer-DCT pHash: (a) exactly
+    brightness-invariant (gain +k flips zero bits — the rounded basis
+    rows for u >= 1 sum to exactly 0), (b) local-edit tolerant (one
+    byte edited lands at small nibble-Hamming), (c) discriminative
+    (unrelated payloads differ in most nibbles), and (d) the
+    injectable-hasher seam still works through the Arrow kernel."""
+    import random
+
     from env_data_pipeline_spark.extensions import multimodal as M
 
-    base = ("w%03d " % 7) * 64  # 320 ASCII bytes
-    edited = "X" + base[1:]
-    other = "something else entirely " * 13
+    # basis rows u >= 1 sum to exactly 0 -> AC brightness invariance
+    basis = M.dct_basis()
+    assert [sum(row) for row in basis[1:]] == [0] * 7
+
+    rng = random.Random(41)
+    base = bytes(rng.randrange(32, 127) for _ in range(700))
+    edited = bytes([90] * 30) + base[30:]  # ~4% of pixels rewritten
+    other = bytes(rng.randrange(32, 127) for _ in range(700))
     assets = spark.createDataFrame(
-        [(1, bytearray(base.encode())), (2, bytearray(edited.encode())),
-         (3, bytearray(other.encode()))],
-        "asset_id long, payload binary",
+        [
+            (1, bytearray(base), 0),
+            (2, bytearray(base), 5),  # brightness-shifted copy
+            (3, bytearray(edited), 0),
+            (4, bytearray(other), 0),
+        ],
+        "asset_id long, payload binary, gain int",
     )
     fps = {
         r["asset_id"]: r["phash"]
@@ -1081,16 +1093,19 @@ def test_phash_hasher_swap_and_locality(spark):
     }
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert len(fps[1]) == 16
-    assert ham(fps[1], fps[2]) == 1
-    assert ham(fps[1], fps[3]) >= 10
+    assert fps[1] == M.dct_phash(base)  # kernel == local function
+    assert fps[2] == M.dct_phash(base, 5)
+    assert ham(fps[1], fps[2]) == 0  # exact brightness invariance
+    assert ham(fps[1], fps[3]) <= 6  # local edit stays near
+    assert ham(fps[1], fps[4]) >= 10  # unrelated lands far
 
     fake = {
         r["asset_id"]: r["phash"]
         for r in M.phash_fingerprints(
-            assets, hasher=lambda payload: "f" * 16
+            assets, hasher=lambda payload, gain: "f" * 16
         ).collect()
     }
-    assert fake == {1: "f" * 16, 2: "f" * 16, 3: "f" * 16}
+    assert fake == {i: "f" * 16 for i in (1, 2, 3, 4)}
 
 
 def test_daily_percentiles_reference(spark, tmp_path):

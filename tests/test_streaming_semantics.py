@@ -867,3 +867,38 @@ def test_session_kernel_fuzz_against_sorted_reference():
             f"got {got}\nexpected {expected}"
         )
         assert len(emitted) == len(set(emitted)), "double emission"
+
+
+def test_ivf_drift_trajectory_matches_batch_verdict(spark, sf_dir):
+    """The streaming drift monitor's FINAL batch must reproduce the
+    batch verdict query's drifted-scenario metric exactly (same
+    arrivals, same frozen centroids, same integer permille math),
+    and the trajectory must be well-formed: 3 batches, cumulative
+    n_arrivals strictly increasing, verdict consistent with the
+    threshold rule per row."""
+    from env_data_pipeline_spark.plans import registry
+    from env_data_pipeline_spark.plans.vectorops import _DRIFT_THRESH
+
+    registry.load_all()
+    traj = (
+        registry.QUERIES["streaming_ivf_drift_refresh"](spark, sf_dir)
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert [r["batch_id"] for r in traj] == [0, 1, 2]
+    arr = [r["n_arrivals"] for r in traj]
+    assert arr[0] > 0 and arr[0] < arr[1] < arr[2]
+    for r in traj:
+        want = "RETRAIN" if r["max_shift_permille"] > _DRIFT_THRESH else "KEEP"
+        assert r["verdict"] == want, r
+
+    batch = {
+        r["scenario"]: r
+        for r in registry.QUERIES["ivf_drift_retrain_verdict"](
+            spark, sf_dir
+        ).collect()
+    }
+    drifted = batch["drifted"]
+    assert traj[-1]["max_shift_permille"] == drifted["max_shift_permille"]
+    assert traj[-1]["verdict"] == drifted["verdict"] == "RETRAIN"
+    assert batch["stationary"]["verdict"] == "KEEP"

@@ -226,3 +226,21 @@ def test_query_views_compose_with_sql(spark, sf_dir):
     ).collect()
     assert len(top) == 1
     assert top[0]["revenue"] == max(r["revenue"] for r in full)
+
+
+def test_documents_text_is_ascii_and_nonempty(spark, sf_dir):
+    """The pHash oracle reads document BYTES via ord(substr(text, i,
+    1)), which equals byte access only while every character is
+    single-byte. Both engines filter to ASCII non-empty rows, so
+    parity survives a multi-byte regeneration — but this pin makes
+    the corpus drift loud: the guard must drop ZERO rows today."""
+    docs = table(spark, sf_dir, "documents")
+    dropped = docs.filter(
+        (F.length("text") != F.octet_length("text"))
+        | (F.length("text") == 0)
+    ).count()
+    assert dropped == 0, (
+        f"{dropped} documents rows are non-ASCII or empty; the pHash "
+        "guard now excludes them (parity holds) — re-check oracles "
+        "that slice text positionally"
+    )
