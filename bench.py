@@ -254,10 +254,12 @@ def main() -> None:
             and (lo_shuffles[n]["read_bytes"] + lo_shuffles[n]["write_bytes"]) > 0
         }
 
-    # Scale probe (VERDICT r5 item 8): a builder-generated tier one
-    # decade beyond sf0.1 gives the fastest-growing families a THIRD
-    # scaling point, turning the single hi/lo ratio into a log-log
-    # slope fit over ~100x of data. Skippable via
+    # Scale probe (VERDICT r5 item 8; r8 item 2 pushed it a decade
+    # further): builder-generated tiers beyond sf0.1 turn the single
+    # hi/lo ratio into a log-log slope fit — over THREE decades
+    # (sf0.01 -> x100) for the document/embedding families, and over
+    # the sf1-equivalent x10 lineitem/events tier for the graph and
+    # interval-join headliners. Skippable via
     # SPARK_GRAFT_SCALE_PROBE=0 (e.g. quick local iteration).
     if (
         os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
@@ -265,50 +267,70 @@ def main() -> None:
     ):
         import math
 
-        from env_data_pipeline_spark.benchscale import ensure_scale_tier
+        from env_data_pipeline_spark.benchscale import (
+            DEEP_MULT,
+            ensure_scale_tier,
+        )
         from env_data_pipeline_spark.catalog import table
 
-        probe_dir = ensure_scale_tier(spark, sf_dir)
-        probe: dict[str, dict] = {}
-        # decontaminate: the realistic decade-up — the EVAL side stays
-        # fixed (only replica 0 carries eval grams) while the corpus
-        # grows 10x; substring spans: the gram-diagonal join family
-        for name in (
-            "dedup_minhash_lsh",
+        x10_dir = ensure_scale_tier(
+            spark,
+            sf_dir,
+            tables=("documents", "embeddings", "lineitem", "events"),
+        )
+        x100_dir = ensure_scale_tier(spark, sf_dir, mult=DEEP_MULT)
+        # (source table, probe dirs beyond the shipped tiers, timed
+        # runs per probe dir). decontaminate: the realistic decade-up
+        # — the EVAL side stays fixed (only replica 0 carries eval
+        # grams) while the corpus grows; substring spans: the
+        # gram-diagonal join family; triangle/rapid-repeat: the
+        # lineitem/events families at their sf1-equivalent tier.
+        specs = {
+            "dedup_minhash_lsh": ("documents", [x10_dir, x100_dir]),
             # r8: the inline-training ivfpq row left the headline set;
             # probe its serving-path replacement instead
-            "similarity_topk_ivfpq_served",
-            "decontaminate_eval_overlap",
-            "dedup_substring_spans",
-        ):
+            "similarity_topk_ivfpq_served": (
+                "embeddings",
+                [x10_dir, x100_dir],
+            ),
+            "decontaminate_eval_overlap": ("documents", [x10_dir, x100_dir]),
+            "dedup_substring_spans": ("documents", [x10_dir, x100_dir]),
+            "part_triangle_count_sampled": ("lineitem", [x10_dir]),
+            "events_rapid_repeat_pairs": ("events", [x10_dir]),
+        }
+        probe: dict[str, dict] = {}
+        for name, (src, probe_dirs) in specs.items():
             if name not in names or name not in result["scaling"]:
                 continue
-            src = "embeddings" if name.startswith("similarity") else "documents"
-            rows = [
-                table(spark, d, src).count()
-                for d in (lo_dir, sf_dir, probe_dir)
-            ]
-            registry.QUERIES[name](spark, probe_dir).count()  # warm-up
-            # same shared-JVM discipline as _time_tier: collect the
-            # previous query's broadcast/shuffle residue outside the
-            # timing window (skipping this showed 4x probe drift)
-            spark.sparkContext._jvm.System.gc()
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                registry.QUERIES[name](spark, probe_dir).count()
-                runs.append(time.perf_counter() - t0)
-            runs.sort()
+            dirs = [lo_dir, sf_dir] + probe_dirs
+            rows = [table(spark, d, src).count() for d in dirs]
             secs = [
                 result["tiers"][lo_sf][name],
                 result["tiers"][sf][name],
-                round(runs[1], 4),
             ]
+            for i, pd in enumerate(probe_dirs):
+                registry.QUERIES[name](spark, pd).count()  # warm-up
+                # same shared-JVM discipline as _time_tier: collect
+                # the previous query's broadcast/shuffle residue
+                # outside the timing window (skipping this showed 4x
+                # probe drift)
+                spark.sparkContext._jvm.System.gc()
+                # 3 runs (median) at x10; the x100 tier pays 2 runs
+                # (min) to keep the bench inside the driver window
+                n = 3 if i == 0 else 2
+                runs = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, pd).count()
+                    runs.append(time.perf_counter() - t0)
+                runs.sort()
+                secs.append(round(runs[(n - 1) // 2], 4))
             # least-squares slope of log(t) vs log(rows): 1.0 = linear
             # in data, <1 sublinear; an all-pairs stage reads ~2
             lx = [math.log(r) for r in rows]
             ly = [math.log(max(s, 1e-4)) for s in secs]
-            mx, my = sum(lx) / 3, sum(ly) / 3
+            k = len(lx)
+            mx, my = sum(lx) / k, sum(ly) / k
             slope = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / sum(
                 (x - mx) ** 2 for x in lx
             )

@@ -1,12 +1,15 @@
-"""Builder-generated scale-probe tier: one data decade BEYOND the
-largest shipped testdata (VERDICT r5 item 8).
+"""Builder-generated scale-probe tiers: data decades BEYOND the
+largest shipped testdata (VERDICT r5 item 8; r8 item 2 pushed them a
+decade further).
 
 The shipped tiers prove sublinearity across sf0.01 -> sf0.1 (10x
-documents, 4x embeddings). This module derives a third point — a
-deterministic 10x replication of sf0.1's documents/embeddings under
+documents, 4x embeddings). This module derives further points — a
+deterministic ``mult``-fold replication of sf0.1's tables under
 ``.fixtures/`` (testdata itself is read-only) — so the bench scaling
-block carries a log-log slope fit over a 100x span instead of a
-single ratio.
+block carries log-log slope fits over 3 decades for the document/
+embedding families (x10 AND x100 tiers) and an sf1-equivalent x10
+tier for the lineitem/events-backed headliners (triangle counting,
+interval self-join).
 
 Honest-scaling rules (the point is timing a BIGGER corpus, not a
 degenerate one):
@@ -15,20 +18,26 @@ degenerate one):
   within-replica duplicate topology (what `_aug_docs` plants, what
   MinHash banding must find) is IDENTICAL per replica while
   cross-replica docs share no shingles — a naive copy would make
-  every document a 10-way near-dup family and the LSH pair output
+  every document an N-way near-dup family and the LSH pair output
   quadratic in replicas, timing an artifact instead of the corpus;
 - every replica's vectors get a small deterministic per-component
-  jitter, so IVF cells fill 10x (linear work growth) without exact
+  jitter, so IVF cells fill N-fold (linear work growth) without exact
   distance ties; replica ids sit far above the k-means seed window
   (`vec_id < K*_INIT_STEP`), so training still initializes from the
   original rows only;
+- lineitem replicas offset ORDER, PART and SUPPLIER keys, so the
+  co-purchase graph becomes N disjoint copies — every stage of the
+  triangle pipeline (basket join, edge build, wedge closure) grows
+  linearly, exactly as a real SF-up grows the part universe. Events
+  replicas offset user/event ids: disjoint user populations keep the
+  per-bucket pair work linear;
 - replica id strides are multiples of the planted-duplicate modulus
   (50) and clear of the EXACT/NEAR copy offsets, so `_aug_docs`
   replants the same structure in every replica without collisions.
 
-Replica 0 is the untouched original, so the probe tier strictly
-contains sf0.1. Generation is cached behind a completion marker and
-rebuilt only when this module's generation tag changes.
+Replica 0 is the untouched original, so every probe tier strictly
+contains its base. Generation is cached behind per-table completion
+markers and rebuilt only when this module's generation tag changes.
 """
 
 from __future__ import annotations
@@ -39,32 +48,36 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 # bump when the generation recipe changes; part of the cache dir name
-_GEN_TAG = "r7a"
+_GEN_TAG = "r9a"
 DOC_MULT = 10
 EMB_MULT = 10
+DEEP_MULT = 100  # the 3rd-decade documents/embeddings tier
 _DOC_STRIDE = 50_000_000  # multiple of 50, > NEAR_COPY_OFFSET margin
 _EMB_STRIDE = 1_000_000
+_ORD_STRIDE = 100_000_000
+_PART_STRIDE = 10_000_000
+_SUPP_STRIDE = 1_000_000
+_EVT_STRIDE = 1_000_000_000
+_USER_STRIDE = 10_000_000
+
+# default table set; lineitem/events only materialize when asked
+DEFAULT_TABLES = ("documents", "embeddings")
 
 
-def scale_tier_dir(base_dir: str) -> str:
+def scale_tier_dir(base_dir: str, mult: int = DOC_MULT) -> str:
     base_tag = os.path.basename(base_dir.rstrip("/"))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return os.path.join(
-        root, ".fixtures", f"scaleprobe-{base_tag}-x{DOC_MULT}-{_GEN_TAG}"
+        root, ".fixtures", f"scaleprobe-{base_tag}-x{mult}-{_GEN_TAG}"
     )
 
 
-def ensure_scale_tier(spark: SparkSession, base_dir: str) -> str:
-    """Materialize (or reuse) the probe tier derived from ``base_dir``;
-    returns its directory, laid out like a testdata sf dir."""
-    out = scale_tier_dir(base_dir)
-    marker = os.path.join(out, "_COMPLETE")
-    if os.path.exists(marker):
-        return out
-    os.makedirs(out, exist_ok=True)
+def _reps(spark: SparkSession, mult: int):
+    return spark.range(mult).select(F.col("id").cast("int").alias("rep"))
 
+
+def _gen_documents(spark, base_dir, out, mult):
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
-    reps = spark.range(DOC_MULT).select(F.col("id").cast("int").alias("rep"))
     tagged = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -72,8 +85,8 @@ def ensure_scale_tier(spark: SparkSession, base_dir: str) -> str:
         ),
         " ",
     )
-    scaled_docs = (
-        docs.crossJoin(F.broadcast(reps))
+    (
+        docs.crossJoin(F.broadcast(_reps(spark, mult)))
         .select(
             (F.col("doc_id") + F.col("rep").cast("bigint") * _DOC_STRIDE).alias(
                 "doc_id"
@@ -85,13 +98,14 @@ def ensure_scale_tier(spark: SparkSession, base_dir: str) -> str:
                 F.when(F.col("rep") == 0, F.col("text")).otherwise(tagged)
             ).alias("n_chars"),
         )
-    )
-    scaled_docs.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(out, "documents.parquet")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
     )
 
+
+def _gen_embeddings(spark, base_dir, out, mult):
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
-    ereps = spark.range(EMB_MULT).select(F.col("id").cast("int").alias("rep"))
     # deterministic jitter: a fixed-point sin of (component index,
     # vec_id, replica) — replica 0 stays exact
     jittered = F.transform(
@@ -104,8 +118,8 @@ def ensure_scale_tier(spark: SparkSession, base_dir: str) -> str:
             )
         ).cast("float"),
     )
-    scaled_emb = (
-        emb.crossJoin(F.broadcast(ereps))
+    (
+        emb.crossJoin(F.broadcast(_reps(spark, mult)))
         .select(
             (F.col("vec_id") + F.col("rep").cast("bigint") * _EMB_STRIDE).alias(
                 "vec_id"
@@ -113,11 +127,77 @@ def ensure_scale_tier(spark: SparkSession, base_dir: str) -> str:
             jittered.alias("embedding"),
             "label",
         )
-    )
-    scaled_emb.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings.parquet")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
     )
 
-    with open(marker, "w") as fh:
-        fh.write(f"doc_mult={DOC_MULT} emb_mult={EMB_MULT} tag={_GEN_TAG}\n")
+
+def _gen_lineitem(spark, base_dir, out, mult):
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    rep = F.col("rep").cast("bigint")
+    shifted = [
+        (F.col("l_orderkey") + rep * _ORD_STRIDE).alias("l_orderkey"),
+        (F.col("l_partkey") + rep * _PART_STRIDE).alias("l_partkey"),
+        (F.col("l_suppkey") + rep * _SUPP_STRIDE).alias("l_suppkey"),
+    ] + [
+        F.col(c)
+        for c in li.columns
+        if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+    ]
+    (
+        li.crossJoin(F.broadcast(_reps(spark, mult)))
+        .select(*shifted)
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+
+def _gen_events(spark, base_dir, out, mult):
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    rep = F.col("rep").cast("bigint")
+    shifted = [
+        (F.col("event_id") + rep * _EVT_STRIDE).alias("event_id"),
+        (F.col("user_id") + rep * _USER_STRIDE).alias("user_id"),
+    ] + [
+        F.col(c) for c in ev.columns if c not in ("event_id", "user_id")
+    ]
+    (
+        ev.crossJoin(F.broadcast(_reps(spark, mult)))
+        .select(*shifted)
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+
+
+_GENERATORS = {
+    "documents": _gen_documents,
+    "embeddings": _gen_embeddings,
+    "lineitem": _gen_lineitem,
+    "events": _gen_events,
+}
+
+
+def ensure_scale_tier(
+    spark: SparkSession,
+    base_dir: str,
+    mult: int = DOC_MULT,
+    tables: tuple[str, ...] = DEFAULT_TABLES,
+) -> str:
+    """Materialize (or reuse) the ``mult``-fold probe tier derived
+    from ``base_dir``; returns its directory, laid out like a
+    testdata sf dir. Tables are generated lazily table-by-table (a
+    later call can add lineitem/events to an existing tier without
+    regenerating documents)."""
+    out = scale_tier_dir(base_dir, mult)
+    os.makedirs(out, exist_ok=True)
+    for t in tables:
+        marker = os.path.join(out, f"_COMPLETE_{t}")
+        if os.path.exists(marker):
+            continue
+        _GENERATORS[t](spark, base_dir, out, mult)
+        with open(marker, "w") as fh:
+            fh.write(f"mult={mult} tag={_GEN_TAG}\n")
     return out

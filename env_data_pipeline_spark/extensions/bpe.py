@@ -1,0 +1,170 @@
+"""Greedy longest-match BPE-approximation tokenizer (X4/X6:
+token-denominated corpus accounting).
+
+Training pipelines budget corpora in TOKENS, not whitespace words.
+This module segments each word by greedy longest-match over the
+``bpe_vocab`` fixture merges table (all corpus characters + the top
+frequent 2/3/4-grams — the deterministic public-vocab stand-in; a
+real tokenizer's merges file drops into the same table shape) and
+exposes word-level and doc-level token counts.
+
+Everything is relational + HOFs — no Python UDF anywhere:
+
+1. ``steps``: for every (distinct word, position), the length of the
+   longest vocab piece matching there (>= 1: single characters are in
+   the vocab). A candidate explode of |words| x positions x 4 piece
+   lengths, hash-joined against the broadcast vocab.
+2. the greedy WALK: per word, fold a bounded ``sequence`` through
+   ``F.aggregate`` carrying (pos, count) state — pos advances by the
+   matched step each iteration, so the fold is the exact greedy
+   segmentation and terminates because steps are >= 1.
+
+The DuckDB oracle replays the identical walk as MAX_WORD_LEN chained
+CTEs (the Lloyd-unroll style); ``duck_wordtok_ctes`` emits that block
+so every token-denominated oracle shares one definition. Distinct
+words are vocabulary-scale (tens at test SF, O(millions) at 100 TB),
+so tokenization never touches the corpus — word INSTANCES join the
+tiny (word, n_bpe) table broadcast-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# hard bound on word length the walk unrolls to; the testdata pin
+# (tests/test_testdata_contract.py) keeps the corpus inside it
+MAX_WORD_LEN = 16
+
+
+def duck_wordtok_ctes() -> str:
+    """DuckDB CTE block ending in ``wordtok(word, n_bpe)``. Requires
+    the ``documents`` view and a ``bpe_vocab`` CTE already in scope
+    (compose with fixtures.duck_with('bpe_vocab'))."""
+    parts = [
+        """bwords AS (
+  SELECT u.x AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(x)
+  WHERE length(u.x) > 0 GROUP BY 1
+)""",
+        f"""bsteps AS (
+  SELECT c.word, c.pos,
+         COALESCE(MAX(CASE WHEN v.piece IS NOT NULL THEN c.l END), 1)
+           AS step
+  FROM (
+    SELECT w.word, CAST(p.range AS INT) AS pos,
+           CAST(l.range AS INT) AS l,
+           substr(w.word, CAST(p.range AS INT) + 1,
+                  CAST(l.range AS INT)) AS sub
+    FROM bwords w
+    CROSS JOIN range({MAX_WORD_LEN}) p
+    CROSS JOIN range(1, 5) l
+    WHERE p.range < length(w.word)
+      AND p.range + l.range <= length(w.word)
+  ) c LEFT JOIN bpe_vocab v ON v.piece = c.sub
+  GROUP BY 1, 2
+)""",
+        "bw0 AS (SELECT word, length(word) AS wl, 0 AS pos, 0 AS cnt"
+        " FROM bwords)",
+    ]
+    for k in range(MAX_WORD_LEN):
+        parts.append(
+            f"""bw{k + 1} AS (
+  SELECT w.word, w.wl,
+         CASE WHEN w.pos < w.wl THEN w.pos + s.step ELSE w.pos END AS pos,
+         CASE WHEN w.pos < w.wl THEN w.cnt + 1 ELSE w.cnt END AS cnt
+  FROM bw{k} w LEFT JOIN bsteps s ON s.word = w.word AND s.pos = w.pos
+)"""
+        )
+    parts.append(
+        f"wordtok AS (SELECT word, cnt AS n_bpe FROM bw{MAX_WORD_LEN})"
+    )
+    return ",\n".join(parts)
+
+
+def word_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, n_bpe) for every distinct whitespace word in ``docs``
+    — the greedy longest-match segment count against ``vocab``
+    (piece, piece_len)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    grid = words.select(
+        "word",
+        F.explode(
+            F.sequence(F.lit(0), F.length("word") - F.lit(1))
+        ).alias("pos"),
+    )
+    cand = (
+        grid.select(
+            "word",
+            "pos",
+            F.explode(F.array(*[F.lit(l) for l in (1, 2, 3, 4)])).alias(
+                "l"
+            ),
+        )
+        .filter(F.col("pos") + F.col("l") <= F.length("word"))
+        .withColumn("sub", F.expr("substr(word, pos + 1, l)"))
+    )
+    steps = (
+        cand.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("piece").alias("sub"), F.lit(1).alias("hit")
+                )
+            ),
+            "sub",
+            "left",
+        )
+        .groupBy("word", "pos")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("hit") == 1, F.col("l"))), F.lit(1)
+            ).alias("step")
+        )
+    )
+    larr = steps.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "step"))),
+            lambda s: s["step"],
+        ).alias("steps")
+    )
+    zero = F.lit(0).cast("int")
+    return larr.select(
+        "word",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(MAX_WORD_LEN)),
+            F.struct(zero.alias("pos"), zero.alias("cnt")),
+            lambda acc, _: F.when(
+                acc["pos"] < F.size("steps"),
+                F.struct(
+                    (
+                        acc["pos"]
+                        + F.element_at(F.col("steps"), acc["pos"] + 1)
+                    )
+                    .cast("int")
+                    .alias("pos"),
+                    (acc["cnt"] + 1).cast("int").alias("cnt"),
+                ),
+            ).otherwise(acc),
+        )["cnt"]
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+
+
+def doc_tokens(docs: DataFrame, wordtok: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens): per-document BPE token counts — word
+    instances broadcast-joined to the tiny word table, one groupBy.
+    Documents with no non-empty word drop out; callers that need
+    every doc should left-join back."""
+    inst = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        inst.join(F.broadcast(wordtok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"))
+    )

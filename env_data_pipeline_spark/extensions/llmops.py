@@ -179,7 +179,10 @@ def contamination_report(
 
 
 def pack_sequences(
-    docs: DataFrame, budget: int = 256, n_shards: int = 16
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 16,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign docs to fixed-token-budget training sequences: within a
     shard, docs are taken in doc_id order and a doc belongs to the
@@ -190,15 +193,29 @@ def pack_sequences(
     Sharding bounds the sort width: the window partitions by
     ``doc_id % n_shards`` so no global single-partition sort exists;
     at 100 TB raise n_shards to O(cores) and each shard packs
-    independently."""
+    independently.
+
+    With ``token_counts`` (doc_id, n_bpe_tokens) the budget is
+    denominated in BPE tokens (extensions/bpe.py) instead of
+    whitespace words — the unit the trainer's context window is
+    actually measured in."""
     from pyspark.sql import Window
 
-    toks = F.size(words(F.col("text")))
-    base = docs.select(
-        "doc_id",
-        (F.col("doc_id") % n_shards).alias("shard"),
-        toks.alias("n_tokens"),
-    )
+    if token_counts is not None:
+        base = docs.select(
+            "doc_id", (F.col("doc_id") % n_shards).alias("shard")
+        ).join(F.broadcast(token_counts), "doc_id", "left").select(
+            "doc_id",
+            "shard",
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    else:
+        toks = F.size(words(F.col("text")))
+        base = docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("shard"),
+            toks.alias("n_tokens"),
+        )
     win = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -254,19 +271,38 @@ def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def temperature_weights(docs: DataFrame, key: str = "lang", alpha: float = 0.7) -> DataFrame:
+def temperature_weights(
+    docs: DataFrame,
+    key: str = "lang",
+    alpha: float = 0.7,
+    token_counts: DataFrame | None = None,
+) -> DataFrame:
     """Per mixture key: raw corpus share p, temperature-flattened
     share p^alpha / sum(p^alpha), and the implied up/down-sampling
-    factor. One tiny groupBy; the window runs over K rows."""
+    factor. One tiny groupBy; the window runs over K rows.
+
+    With ``token_counts`` (key, n_tokens) the mixture is
+    TOKEN-denominated — p is each key's share of the token budget,
+    which is what a pretraining sampler actually draws against — and
+    the output carries the n_tokens column. Without it, the legacy
+    doc-count denomination."""
     from pyspark.sql import Window
 
     counts = docs.groupBy(key).agg(F.count("*").alias("n_docs"))
     everything = Window.partitionBy()
-    p = F.col("n_docs") / F.sum("n_docs").over(everything)
+    extra = []
+    if token_counts is not None:
+        counts = counts.join(F.broadcast(token_counts), key)
+        mass = F.col("n_tokens")
+        extra = [F.col("n_tokens").cast("bigint").alias("n_tokens")]
+    else:
+        mass = F.col("n_docs")
+    p = mass / F.sum(mass).over(everything)
     pa = F.pow(p, F.lit(alpha))
     out = counts.select(
         key,
         "n_docs",
+        *extra,
         F.round(p, 6).alias("p_raw"),
         F.round(pa / F.sum(pa).over(everything), 6).alias("p_temp"),
         F.round((pa / F.sum(pa).over(everything)) / p, 4).alias("sample_factor"),

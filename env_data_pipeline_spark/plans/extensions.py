@@ -12,11 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import bpe as BP
 from env_data_pipeline_spark.extensions import dedup as D
+from env_data_pipeline_spark.extensions import llmops as L_rep
 from env_data_pipeline_spark.extensions import multimodal as M
 from env_data_pipeline_spark.extensions import similarity as X
 from env_data_pipeline_spark.extensions import text as TX
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+from env_data_pipeline_spark.sources.fixtures import duck_with
 
 # --------------------------------------------------------------------------
 # augmented corpus (shared by the dedup family)
@@ -1083,8 +1086,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_mixture_summary",
-    oracle="""
-    WITH m AS (
+    oracle=f"""
+    {duck_with('bpe_vocab')},
+    {BP.duck_wordtok_ctes()},
+    m AS (
       SELECT source, lang, n_chars,
              len(string_split(text, ' ')) AS n_tok,
              (n_chars = length(text)) AS chars_consistent
@@ -1098,10 +1103,20 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN chars_consistent THEN 0 ELSE 1 END) AS BIGINT)
                AS n_chars_mismatch
       FROM m GROUP BY source, lang
+    ),
+    btok AS (
+      SELECT source, lang, SUM(n_bpe) AS total_bpe_tokens FROM (
+        SELECT d.source, d.lang, u.x AS word
+        FROM documents d, unnest(string_split(d.text, ' ')) AS u(x)
+        WHERE length(u.x) > 0
+      ) i JOIN wordtok t USING (word) GROUP BY 1, 2
     )
-    SELECT source, lang, n_docs, total_tokens, total_chars, n_chars_mismatch,
+    SELECT g.source, g.lang, n_docs, total_tokens,
+           CAST(COALESCE(b.total_bpe_tokens, 0) AS BIGINT)
+             AS total_bpe_tokens,
+           total_chars, n_chars_mismatch,
            ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 4) AS corpus_frac
-    FROM g
+    FROM g LEFT JOIN btok b ON b.source = g.source AND b.lang = g.lang
     """,
 )
 def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,8 +1125,25 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled from — and a metadata-consistency count (rows whose stored
     n_chars disagrees with length(text), the cheap corruption tripwire).
     One scan, one hash agg; the fraction is a single whole-frame window
-    over the tiny aggregated result, not the corpus."""
+    over the tiny aggregated result, not the corpus. r9 adds the
+    BPE-token denomination column (total_bpe_tokens, extensions/
+    bpe.py) next to the whitespace count — the budget a trainer
+    actually spends."""
+    from env_data_pipeline_spark.extensions import bpe as B
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
     docs = table(spark, sf_dir, "documents")
+    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
+    wt = B.word_tokens(docs, spark.table("bpe_vocab"))
+    btok = (
+        docs.select(
+            "source", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .join(F.broadcast(wt), "word")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_bpe").alias("total_bpe_tokens"))
+    )
     m = docs.select(
         "source",
         "lang",
@@ -1129,11 +1161,14 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    return g.select(
+    return g.join(F.broadcast(btok), ["source", "lang"], "left").select(
         "source",
         "lang",
         "n_docs",
         "total_tokens",
+        F.coalesce("total_bpe_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
         "total_chars",
         "n_chars_mismatch",
         F.round(
@@ -2279,3 +2314,157 @@ def streaming_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return _run(spark, _aug_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# corpus_dedup_survivorship_funnel: staged curation accounting (r9)
+# --------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    """Stage-by-stage replay: the shared LSH CTE chain provides
+    lsh_pairs over the standard augmented corpus; the funnel corpus
+    additionally carries the canonical plants (byte-distinct,
+    canonically identical), which the canonical stage must drop."""
+    return f"""
+    WITH {_DUCK_LSH_CTES},
+    aug2 AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT doc_id + {CANON_COPY_OFFSET}, '  ' || upper(text) || ' !!!'
+      FROM documents WHERE doc_id % {_CANON_MOD} = {_CANON_REM}
+    ),
+    ex AS (SELECT doc_id, text,
+                  min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+           FROM aug2),
+    s1 AS (SELECT doc_id, text FROM ex WHERE doc_id = rep),
+    cn AS (SELECT doc_id, text,
+                  min(doc_id) OVER (PARTITION BY
+                    md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS rep
+           FROM s1),
+    s2 AS (SELECT doc_id, text FROM cn WHERE doc_id = rep),
+    near AS (SELECT DISTINCT doc_b FROM lsh_pairs),
+    s3 AS (SELECT s2.doc_id, s2.text FROM s2
+           LEFT JOIN near n ON n.doc_b = s2.doc_id
+           WHERE n.doc_b IS NULL),
+    w3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s3),
+    tw3 AS (SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, u.x AS word, count(*) AS c
+        FROM w3, unnest(ws) AS u(x) GROUP BY 1, 2) GROUP BY 1),
+    m3 AS (SELECT doc_id, len(ws) AS n,
+           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+           FROM w3),
+    s4 AS (
+      SELECT m3.doc_id FROM m3 JOIN tw3 USING (doc_id)
+      WHERE NOT ((CASE WHEN len(bg) = 0 THEN 0.0
+                       ELSE 1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+                  END) > 0.05
+                 OR topc / CAST(n AS DOUBLE) > 0.15)
+    ),
+    cts AS (
+      SELECT 0 AS stage_id, 'ingested' AS stage,
+             (SELECT COUNT(*) FROM aug2) AS n_out
+      UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 2, 'canonical_dedup', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, 'quality_gate', (SELECT COUNT(*) FROM s4)
+    )
+    SELECT stage_id, stage,
+           CAST(COALESCE(lag(n_out) OVER (ORDER BY stage_id), n_out)
+                AS BIGINT) AS n_in,
+           CAST(COALESCE(lag(n_out) OVER (ORDER BY stage_id), n_out)
+                - n_out AS BIGINT) AS n_dropped,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(1000 * (COALESCE(lag(n_out) OVER (ORDER BY stage_id),
+                                 n_out) - n_out)
+                // COALESCE(lag(n_out) OVER (ORDER BY stage_id), n_out)
+                AS BIGINT) AS drop_permille
+    FROM cts ORDER BY stage_id
+    """
+
+
+@query("corpus_dedup_survivorship_funnel", oracle=_funnel_oracle())
+def corpus_dedup_survivorship_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline as ONE staged accounting query — the
+    report a data-pipeline owner actually reads before a training
+    run: ingested -> exact dedup (md5 groups) -> canonical dedup
+    (casefold/punct/space key) -> near dedup (MinHash-LSH doc_b
+    drops, the corpus_dedup_keep rule) -> quality gate (drop
+    HIGH_REPETITION: dup-bigram > 0.05 or top-word > 0.15). Each
+    stage reports in/dropped/out and the exact integer drop
+    permille; every planted duplicate class (exact, near, canonical)
+    is dropped by exactly its own stage.
+
+    Scale: the stages are the SAME kernels the standalone dedup
+    queries run (one digest shuffle each; the LSH chain is banded,
+    never all-pairs); stage counts are 1-row aggregates unioned into
+    a 5-row frame — the funnel adds accounting, not new corpus-sized
+    work."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.filter(
+        F.col("doc_id") % _CANON_MOD == _CANON_REM
+    ).select(
+        (F.col("doc_id") + CANON_COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!!")).alias(
+            "text"
+        ),
+    )
+    corpus = _aug_docs(spark, sf_dir).unionByName(plants)
+    from pyspark.sql import Window
+
+    ex = corpus.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    s1 = ex.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    canon_key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    cn = s1.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(canon_key))
+    )
+    s2 = cn.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    near = (
+        _lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(near, "doc_id", "left_anti")
+    rep = L_rep.repetition_profile(s3)
+    s4 = rep.filter(F.col("repetition_bucket") != "HIGH_REPETITION")
+
+    stages = [
+        (0, "ingested", corpus),
+        (1, "exact_dedup", s1),
+        (2, "canonical_dedup", s2),
+        (3, "near_dedup", s3),
+        (4, "quality_gate", s4),
+    ]
+    cts = None
+    for sid, label, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n_out")).select(
+            F.lit(sid).alias("stage_id"),
+            F.lit(label).alias("stage"),
+            "n_out",
+        )
+        cts = row if cts is None else cts.unionByName(row)
+    w = Window.orderBy("stage_id")
+    n_in = F.coalesce(F.lag("n_out").over(w), F.col("n_out"))
+    return cts.select(
+        "stage_id",
+        "stage",
+        n_in.cast("bigint").alias("n_in"),
+        (n_in - F.col("n_out")).cast("bigint").alias("n_dropped"),
+        F.col("n_out").cast("bigint"),
+        F.floor(F.lit(1000) * (n_in - F.col("n_out")) / n_in)
+        .cast("bigint")
+        .alias("drop_permille"),
+    ).orderBy("stage_id")

@@ -25,8 +25,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import bpe as B
 from env_data_pipeline_spark.extensions import llmops as L
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+from env_data_pipeline_spark.sources.fixtures import duck_with, ensure_fixtures
+
+
+def _bpe_prefix() -> str:
+    """Shared oracle prefix: the bpe_vocab fixture + the greedy-walk
+    CTEs ending in wordtok(word, n_bpe) (extensions/bpe.py)."""
+    return f"{duck_with('bpe_vocab')},\n{B.duck_wordtok_ctes()}"
+
+
+def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_bpe) against the materialized bpe_vocab fixture."""
+    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
+    return B.word_tokens(
+        table(spark, sf_dir, "documents"), spark.table("bpe_vocab")
+    )
 
 # headline representatives for the family: the zero-shuffle HOF
 # profile, the hashed n-gram decontamination join, and the composed
@@ -172,12 +188,19 @@ def decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "corpus_pack_sequences",
-    oracle=f"""
-    WITH base AS (SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
-                  len(string_split(text, ' ')) AS n_tokens
-                  FROM documents),
+def _pack_oracle() -> str:
+    return f"""
+    {_bpe_prefix()},
+    dtok AS (
+      SELECT doc_id, SUM(n_bpe) AS n_tokens FROM (
+        SELECT d.doc_id, u.x AS word
+        FROM documents d, unnest(string_split(d.text, ' ')) AS u(x)
+        WHERE length(u.x) > 0
+      ) i JOIN wordtok t USING (word) GROUP BY 1
+    ),
+    base AS (SELECT d.doc_id, d.doc_id % {_PACK_SHARDS} AS shard,
+                    COALESCE(dt.n_tokens, 0) AS n_tokens
+             FROM documents d LEFT JOIN dtok dt USING (doc_id)),
     packed AS (SELECT *,
         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
             PARTITION BY shard ORDER BY doc_id
@@ -188,16 +211,28 @@ def decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            ROUND(SUM(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
     FROM packed GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("corpus_pack_sequences", oracle=_pack_oracle())
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing: per shard, docs in doc_id
     order belong to the sequence their exclusive token prefix-sum
-    lands in. The window partitions by shard, so no global sort."""
+    lands in. The window partitions by shard, so no global sort.
+
+    r9: the budget is denominated in BPE tokens (greedy longest-match
+    over the bpe_vocab merges fixture, extensions/bpe.py) — the unit
+    the trainer's context window is measured in — instead of
+    whitespace words. Token counts come from a broadcast join of word
+    instances against the vocabulary-scale (word, n_bpe) table, so
+    the packing plan gains no new shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    dtok = B.doc_tokens(docs, _word_tokens(spark, sf_dir))
     return L.pack_sequences(
-        table(spark, sf_dir, "documents"),
+        docs,
         budget=_PACK_BUDGET,
         n_shards=_PACK_SHARDS,
+        token_counts=dtok,
     )
 
 
@@ -222,26 +257,52 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.heavy_hitters(table(spark, sf_dir, "documents"), k=20)
 
 
-@query(
-    "corpus_temperature_weights",
-    oracle=f"""
-    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-    t AS (SELECT lang, n_docs,
-          n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p FROM c),
-    s AS (SELECT lang, n_docs, p, POW(p, {_TEMP_ALPHA}) AS pa,
+def _temp_weights_oracle() -> str:
+    return f"""
+    {_bpe_prefix()},
+    inst AS (SELECT d.lang, u.x AS word
+             FROM documents d, unnest(string_split(d.text, ' ')) AS u(x)
+             WHERE length(u.x) > 0),
+    c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    tk AS (SELECT i.lang, SUM(t.n_bpe) AS n_tokens
+           FROM inst i JOIN wordtok t USING (word) GROUP BY 1),
+    t AS (SELECT c.lang, c.n_docs, tk.n_tokens,
+          tk.n_tokens / CAST(SUM(tk.n_tokens) OVER () AS DOUBLE) AS p
+          FROM c JOIN tk USING (lang)),
+    s AS (SELECT lang, n_docs, n_tokens, p, POW(p, {_TEMP_ALPHA}) AS pa,
           SUM(POW(p, {_TEMP_ALPHA})) OVER () AS spa FROM t)
-    SELECT lang, n_docs, ROUND(p, 6) AS p_raw,
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(p, 6) AS p_raw,
            ROUND(pa / spa, 6) AS p_temp,
            ROUND((pa / spa) / p, 4) AS sample_factor
     FROM s
-    """,
-)
+    """
+
+
+@query("corpus_temperature_weights", oracle=_temp_weights_oracle())
 def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened language mixture (p^alpha renorm,
     Conneau & Lample 2019 §3.1) with the implied up/down-sampling
-    factor per language. One K-row groupBy."""
+    factor per language. One K-row groupBy.
+
+    r9: TOKEN-denominated — p is each language's share of the BPE
+    token budget (extensions/bpe.py), the mass a pretraining sampler
+    actually draws against, and the n_tokens column rides along.
+    (corpus_resample_execute keeps the legacy doc-count denomination:
+    its replication counts are per-document, so its factor must stay
+    a doc-count ratio.)"""
+    docs = table(spark, sf_dir, "documents")
+    wt = _word_tokens(spark, sf_dir)
+    inst = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    tk = (
+        inst.join(F.broadcast(wt), "word")
+        .groupBy("lang")
+        .agg(F.sum("n_bpe").alias("n_tokens"))
+    )
     return L.temperature_weights(
-        table(spark, sf_dir, "documents"), key="lang", alpha=_TEMP_ALPHA
+        docs, key="lang", alpha=_TEMP_ALPHA, token_counts=tk
     )
 
 
@@ -741,3 +802,213 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_token_budget: token-denominated corpus accounting (r9)
+# --------------------------------------------------------------------------
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+    {_bpe_prefix()},
+    inst AS (SELECT d.source, d.lang, u.x AS word
+             FROM documents d, unnest(string_split(d.text, ' ')) AS u(x)
+             WHERE length(u.x) > 0),
+    wtok AS (SELECT i.source, i.lang,
+                    COUNT(*) AS n_words,
+                    SUM(t.n_bpe) AS n_bpe_tokens
+             FROM inst i JOIN wordtok t USING (word) GROUP BY 1, 2),
+    dg AS (SELECT source, lang, COUNT(*) AS n_docs
+           FROM documents GROUP BY 1, 2)
+    SELECT g.source, g.lang,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CAST(w.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(100 * w.n_bpe_tokens // w.n_words AS BIGINT)
+             AS bpe_per_100_words,
+           CAST(1000 * w.n_bpe_tokens
+                  // SUM(w.n_bpe_tokens) OVER () AS BIGINT)
+             AS budget_share_permille
+    FROM dg g JOIN wtok w ON w.source = g.source AND w.lang = g.lang
+    """
+
+
+@query("corpus_token_budget", oracle=_token_budget_oracle())
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus accounting a TRAINING run budgets against: per
+    (source, lang), docs, whitespace words, BPE tokens (greedy
+    longest-match over the bpe_vocab merges fixture, extensions/
+    bpe.py), the fertility ratio (BPE tokens per 100 words — how much
+    a tokenizer inflates this slice), and each slice's exact integer
+    permille of the global token budget.
+
+    Scale: tokenization runs once over the DISTINCT-word vocabulary
+    (never the corpus); word instances broadcast-join the tiny
+    (word, n_bpe) table, so the whole query is one corpus scan + one
+    (source, lang) hash agg — the same plan shape as a word count."""
+    docs = table(spark, sf_dir, "documents")
+    wt = _word_tokens(spark, sf_dir)
+    inst = docs.select(
+        "source", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    w = (
+        inst.join(F.broadcast(wt), "word")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+    )
+    dg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    return dg.join(F.broadcast(w), ["source", "lang"]).select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        F.col("n_words").cast("bigint"),
+        F.col("n_bpe_tokens").cast("bigint"),
+        F.floor(F.lit(100) * F.col("n_bpe_tokens") / F.col("n_words"))
+        .cast("bigint")
+        .alias("bpe_per_100_words"),
+        F.floor(
+            F.lit(1000)
+            * F.col("n_bpe_tokens")
+            / F.sum("n_bpe_tokens").over(everything)
+        )
+        .cast("bigint")
+        .alias("budget_share_permille"),
+    )
+
+
+@query("streaming_token_budget_refresh", oracle=_token_budget_oracle())
+def streaming_token_budget_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONTINUOUS form of corpus_token_budget: documents replay
+    as 4 real micro-batches (maxFilesPerTrigger=1); each batch's word
+    instances broadcast-join the FROZEN (word, n_bpe) vocabulary
+    table and fold additive (source, lang) counters — docs, words,
+    BPE tokens — into a ping-pong parquet state; ratios and the
+    permille budget shares are derived from the final state only.
+    The oracle is the batch query's full recompute — green only if
+    the counter fold composes across every batch boundary (the same
+    proof shape as the CMS/HLL/backlog refreshers, here for the
+    token-accounting ledger a crawl pipeline keeps live).
+
+    Scale: per batch one narrow explode + broadcast join over the
+    batch's rows only; the state is (source x lang)-sized. The
+    vocabulary is trained once (the ingest-gate asymmetry: arrivals
+    are coded against standing state, the corpus never recomputes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from env_data_pipeline_spark.streaming.replay import (
+        replay_foreachbatch,
+        write_shards,
+    )
+
+    n_shards = 4
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    wt = _word_tokens(spark, sf_dir).localCheckpoint(eager=True)
+    work = tempfile.mkdtemp(prefix="stream_tokbudget_")
+    try:
+        delta_dir = os.path.join(work, "deltas")
+        ckpt_dir = os.path.join(work, "ckpt")
+        state_dirs = [
+            os.path.join(work, "state_a"),
+            os.path.join(work, "state_b"),
+        ]
+        os.makedirs(delta_dir)
+        write_shards(docs, delta_dir, n_shards, "doc_id")
+        empty = spark.createDataFrame(
+            [],
+            "source string, lang string, n_docs bigint, "
+            "n_words bigint, n_bpe_tokens bigint",
+        )
+        empty.write.mode("overwrite").parquet(state_dirs[0])
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            cur, nxt = batch_id % 2, (batch_id + 1) % 2
+            inst = batch_df.select(
+                "source",
+                "lang",
+                F.explode(F.split("text", " ")).alias("word"),
+            ).filter(F.length("word") > 0)
+            wcnt = (
+                inst.join(F.broadcast(wt), "word")
+                .groupBy("source", "lang")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("b_words"),
+                    F.sum("n_bpe").cast("bigint").alias("b_bpe"),
+                )
+            )
+            dcnt = batch_df.groupBy("source", "lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("b_docs")
+            )
+            batch = dcnt.join(wcnt, ["source", "lang"], "left")
+            prev = sp.read.parquet(state_dirs[cur])
+            merged = (
+                prev.join(
+                    F.broadcast(batch), ["source", "lang"], "full_outer"
+                )
+                .select(
+                    "source",
+                    "lang",
+                    (
+                        F.coalesce("n_docs", F.lit(0))
+                        + F.coalesce("b_docs", F.lit(0))
+                    ).cast("bigint").alias("n_docs"),
+                    (
+                        F.coalesce("n_words", F.lit(0))
+                        + F.coalesce("b_words", F.lit(0))
+                    ).cast("bigint").alias("n_words"),
+                    (
+                        F.coalesce("n_bpe_tokens", F.lit(0))
+                        + F.coalesce("b_bpe", F.lit(0))
+                    ).cast("bigint").alias("n_bpe_tokens"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(state_dirs[nxt])
+
+        replay_foreachbatch(
+            spark, delta_dir, ckpt_dir, n_shards, _apply,
+            "streaming token budget ",
+        )
+        final_dir = state_dirs[n_shards % 2]
+        state = spark.read.parquet(final_dir)
+        from pyspark.sql import Window
+
+        everything = Window.partitionBy()
+        out = state.select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.floor(
+                F.lit(100) * F.col("n_bpe_tokens") / F.col("n_words")
+            )
+            .cast("bigint")
+            .alias("bpe_per_100_words"),
+            F.floor(
+                F.lit(1000)
+                * F.col("n_bpe_tokens")
+                / F.sum("n_bpe_tokens").over(everything)
+            )
+            .cast("bigint")
+            .alias("budget_share_permille"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

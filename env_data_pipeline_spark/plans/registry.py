@@ -83,8 +83,13 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "dedup_minhash_lsh",
         # --- stamped by the round-4 driver window (CORRECTNESS_r04) ---
         "text_repetition_profile", "decontaminate_eval_overlap",
-        "corpus_pack_sequences", "text_heavy_hitters",
-        "corpus_temperature_weights", "text_unigram_logprob",
+        "text_heavy_hitters",
+        # corpus_pack_sequences / corpus_temperature_weights /
+        # corpus_mixture_summary deliberately NOT stamped: r9
+        # re-denominated them in BPE tokens (extensions/bpe.py), so
+        # the window must re-sample the queries the stamps actually
+        # describe
+        "text_unigram_logprob",
         "corpus_chunk_windows", "corpus_resample_execute",
         "corpus_split_assignment", "corpus_dedup_keep",
         "dedup_clusters", "dedup_ngram_jaccard",
@@ -100,7 +105,7 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         # to the hyperplane route — the r5 window must re-sample the
         # query the stamp actually describes (review finding)
         "similarity_topk_hyperplane", "text_quality_profile",
-        "text_token_stats", "corpus_mixture_summary",
+        "text_token_stats",
         "corpus_stratified_sample", "text_rolling_fingerprint",
         "multimodal_metadata",
         "multimodal_base64_sink", "multimodal_nested_sanitize",

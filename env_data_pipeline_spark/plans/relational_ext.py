@@ -3310,3 +3310,688 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SSR_TOPK)
         .drop("_total_units")
     )
+
+
+# --------------------------------------------------------------------------
+# nation_trade_balance: two-role revenue netting per nation (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_balance",
+    oracle=f"""
+    WITH exp AS (
+      SELECT n.n_name AS nation, SUM({_REV_UNITS_SQL}) AS exp_u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    ),
+    imp AS (
+      SELECT n.n_name AS nation, SUM({_REV_UNITS_SQL}) AS imp_u
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           ROUND(COALESCE(e.exp_u, 0) / 10000.0, 4) AS export_revenue,
+           ROUND(COALESCE(i.imp_u, 0) / 10000.0, 4) AS import_revenue,
+           ROUND((COALESCE(e.exp_u, 0) - COALESCE(i.imp_u, 0)) / 10000.0, 4)
+             AS balance,
+           CAST(CASE WHEN COALESCE(e.exp_u, 0) + COALESCE(i.imp_u, 0) = 0
+                     THEN 0
+                     ELSE 1000 * (COALESCE(e.exp_u, 0) - COALESCE(i.imp_u, 0))
+                          // (COALESCE(e.exp_u, 0) + COALESCE(i.imp_u, 0))
+                END AS BIGINT) AS balance_permille
+    FROM nation n
+    LEFT JOIN exp e ON e.nation = n.n_name
+    LEFT JOIN imp i ON i.nation = n.n_name
+    ORDER BY nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-role netting audit: every nation's revenue as SELLER
+    (its suppliers' lines) vs as BUYER (its customers' orders), the
+    net balance, and the exact integer permille of flow imbalance —
+    the supply-chain analog of a trade balance sheet. The nation
+    dimension appears in both roles of the same fact table, the
+    pattern Q7/Q8 exercise pairwise and this query closes globally
+    (every nation, both directions, one row each — including nations
+    with zero flow).
+
+    Scale: export side is one broadcast-dim aggregation of lineitem;
+    import side rides the lineitem-orders key join (co-partitioned
+    merge at scale) before its broadcast dims; both reduce to
+    25-row frames before the final outer joins. Money on the exact
+    1e-4 grid; the permille is integer floor division (DuckDB //
+    floors like Spark's floor(double-div) on these magnitudes)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    exp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("exp_u"))
+    )
+    imp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("imp_u"))
+    )
+    base = n.select(F.col("n_name").alias("nation"))
+    eu = F.coalesce("exp_u", F.lit(0))
+    iu = F.coalesce("imp_u", F.lit(0))
+    return (
+        base.join(F.broadcast(exp), "nation", "left")
+        .join(F.broadcast(imp), "nation", "left")
+        .select(
+            "nation",
+            F.round(eu / 10000.0, 4).alias("export_revenue"),
+            F.round(iu / 10000.0, 4).alias("import_revenue"),
+            F.round((eu - iu) / 10000.0, 4).alias("balance"),
+            eu.alias("eu"),
+            iu.alias("iu"),
+        )
+        # balance can be NEGATIVE: both engines must TRUNCATE toward
+        # zero (Spark div == DuckDB // on integers); floor(double-div)
+        # would floor toward -inf and drift by 1 on deficits
+        .withColumn(
+            "balance_permille",
+            F.expr(
+                "CASE WHEN eu + iu = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(1000 * (eu - iu) div (eu + iu) AS BIGINT) END"
+            ),
+        )
+        .drop("eu", "iu")
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# lineitem_return_rate_by_brand: returns concentration audit (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_return_rate_by_brand",
+    oracle=f"""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS n_returned,
+             SUM({_REV_UNITS_SQL}) AS rev_u,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                      THEN {_REV_UNITS_SQL} ELSE 0 END) AS ret_u
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT brand,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_returned AS BIGINT) AS n_returned,
+           CAST(1000 * n_returned // n_lines AS BIGINT)
+             AS return_permille,
+           ROUND(rev_u / 10000.0, 4) AS revenue,
+           CAST(CASE WHEN rev_u = 0 THEN 0
+                     ELSE 1000 * ret_u // rev_u END AS BIGINT)
+             AS returned_revenue_permille
+    FROM b ORDER BY return_permille DESC, brand
+    """,
+)
+def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns-concentration audit: per brand, line and revenue
+    return rates as exact integer permille — the quality-escape
+    report a merchandiser reads. Detects brands whose returns are
+    revenue-skewed (high returned_revenue_permille vs line permille
+    means the expensive items come back).
+
+    Scale: one equi-join lineitem-part on the part key (part grows
+    with SF — Catalyst picks shuffle strategies at scale, AQE may
+    broadcast at test SF; both are correct since neither side is
+    hinted into a broadcast it can't afford), then a brand-sized hash
+    agg with map-side combine. Permilles are integer divisions of
+    exact unit sums."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = _units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ret = F.when(F.col("l_returnflag") == "R", rev).otherwise(F.lit(0))
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+            F.sum(rev).alias("rev_u"),
+            F.sum(ret).alias("ret_u"),
+        )
+    )
+    return b.select(
+        "brand",
+        F.col("n_lines").cast("bigint"),
+        F.col("n_returned").cast("bigint"),
+        F.floor(F.lit(1000) * F.col("n_returned") / F.col("n_lines"))
+        .cast("bigint")
+        .alias("return_permille"),
+        F.round(F.col("rev_u") / 10000.0, 4).alias("revenue"),
+        F.when(F.col("rev_u") == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000) * F.col("ret_u") / F.col("rev_u")))
+        .cast("bigint")
+        .alias("returned_revenue_permille"),
+    ).orderBy(F.desc("return_permille"), "brand")
+
+
+# --------------------------------------------------------------------------
+# orders_reorder_interval_stats: repeat-purchase cadence per segment (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_reorder_interval_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders
+    ),
+    gaps AS (
+      SELECT c.c_mktsegment AS segment, s.o_custkey,
+             CAST(s.gap_days AS BIGINT) AS gap_days
+      FROM seq s JOIN customer c ON c.c_custkey = s.o_custkey
+      WHERE s.gap_days IS NOT NULL
+    ),
+    ranked AS (
+      SELECT segment, gap_days,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY gap_days, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM gaps
+    )
+    SELECT g.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT g.o_custkey) AS BIGINT)
+             AS n_repeat_customers,
+           ROUND(SUM(g.gap_days) * 1.0 / COUNT(*), 4) AS avg_gap_days,
+           CAST(MAX(m.med) AS BIGINT) AS median_gap_days,
+           CAST(MAX(g.gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps g
+    JOIN (SELECT segment, gap_days AS med FROM ranked
+          WHERE rn = (n + 1) // 2) m ON m.segment = g.segment
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_reorder_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per market segment, the gaps between
+    each customer's consecutive orders — repeat-customer count,
+    mean/lower-median/max gap in whole days. The lag window runs per
+    customer (narrow partitions, no global sort); the median is the
+    exact lower-median integer under the pinned (gap, custkey) order,
+    never a percentile_approx.
+
+    Scale: one orders scan with a per-customer window, one broadcast
+    customer-dim join for the segment, a segment-sized agg. Gap days
+    are exact integers; only the mean divides (identical integers on
+    both engines, ROUND 4)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    gaps = seq.join(F.broadcast(c), seq.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        F.col("gap_days").cast("bigint").alias("gap_days"),
+    )
+    wr = Window.partitionBy("segment").orderBy("gap_days", "o_custkey")
+    wn = Window.partitionBy("segment")
+    med = (
+        gaps.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("segment", F.col("gap_days").alias("med"))
+    )
+    return (
+        gaps.join(F.broadcast(med), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.countDistinct("o_custkey")
+            .cast("bigint")
+            .alias("n_repeat_customers"),
+            F.round(F.sum("gap_days") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "avg_gap_days"
+            ),
+            F.max("med").cast("bigint").alias("median_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_balance_deciles: exact account-balance deciles (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) AS bal_u
+      FROM customer
+    ),
+    ranked AS (
+      SELECT segment, bal_u,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY bal_u, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM u
+    ),
+    d AS (SELECT CAST(r.range AS INT) + 1 AS decile FROM range(10) r)
+    SELECT r.segment, d.decile,
+           MAX(r.n) AS n_customers,
+           ROUND(MAX(r.bal_u) / 10000.0, 4) AS decile_balance
+    FROM ranked r JOIN d
+      ON r.rn = (d.decile * r.n + 9) // 10
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact account-balance deciles per market segment: decile d is
+    the balance at rank ceil(d*n/10) under the pinned (balance,
+    custkey) order — the discontinuous-percentile discipline (never
+    percentile_approx, never interpolation), on the half-up 1e-4
+    money grid.
+
+    Scale: one window over segment partitions (5-way), a 10-row
+    decile explode joined on the computed rank — only rank-hit rows
+    survive the join, so the output is 50 rows regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    u = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        _units(F.col("c_acctbal")).alias("bal_u"),
+    )
+    wr = Window.partitionBy("segment").orderBy("bal_u", "c_custkey")
+    ranked = u.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("segment"))
+    )
+    d = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    return (
+        ranked.join(
+            F.broadcast(d),
+            ranked.rn == F.expr("(decile * n + 9) div 10"),
+        )
+        .groupBy("segment", "decile")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(F.max("bal_u") / 10000.0, 4).alias("decile_balance"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# nation_ship_latency_p90: fulfillment tail latency per supplier nation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_ship_latency_p90",
+    oracle="""
+    WITH lat AS (
+      SELECT n.n_name AS nation,
+             CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS latency_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    ranked AS (
+      SELECT nation, latency_days,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY latency_days, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM lat
+    )
+    SELECT l.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.latency_days) * 1.0 / COUNT(*), 4)
+             AS avg_latency_days,
+           CAST(MAX(p.p90) AS BIGINT) AS p90_latency_days,
+           CAST(MAX(l.latency_days) AS BIGINT) AS max_latency_days
+    FROM lat l
+    JOIN (SELECT nation, latency_days AS p90 FROM ranked
+          WHERE rn = (9 * n + 9) // 10) p ON p.nation = l.nation
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def nation_ship_latency_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment tail latency: per supplier nation, the exact p90
+    of order-to-ship days (rank ceil(0.9*n) under the pinned
+    (latency, orderkey, linenumber) order) next to mean and max —
+    the SLA report where the tail, not the average, is the story.
+
+    Scale: the lineitem-orders key join is the one fact-fact edge
+    (co-partitioned merge at scale); supplier and nation broadcast;
+    the rank window partitions by 25 nations over integer day values.
+    Only the mean divides — identical integers on both engines."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff("l_shipdate", "o_orderdate")
+            .cast("bigint")
+            .alias("latency_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wr = Window.partitionBy("nation").orderBy(
+        "latency_days", "l_orderkey", "l_linenumber"
+    )
+    p90 = (
+        lat.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+        )
+        .filter(F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        .select("nation", F.col("latency_days").alias("p90"))
+    )
+    return (
+        lat.join(F.broadcast(p90), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum("latency_days") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("avg_latency_days"),
+            F.max("p90").cast("bigint").alias("p90_latency_days"),
+            F.max("latency_days").cast("bigint").alias("max_latency_days"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_user_value_gini: value-concentration coefficient per type (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_user_value_gini",
+    oracle="""
+    WITH uv AS (
+      SELECT event_type, user_id,
+             SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM uv
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(SUM(x) / 10000.0, 4) AS total_value,
+           CAST(CASE WHEN SUM(x) = 0 THEN 0
+                ELSE 1000 * (2 * SUM(i * x) - (MAX(n) + 1) * SUM(x))
+                     // (MAX(n) * SUM(x)) END AS BIGINT)
+             AS gini_permille
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration audit: per event type, the exact Gini
+    coefficient of per-user value mass (the rank-sum identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    (value, user_id) ranks), as integer permille — the whale-vs-
+    long-tail report. Permille (not ppm) keeps the scaled numerator
+    far inside int64 at any corpus size this side of 2^63 micro-
+    units.
+
+    Scale: per-user sums are one map-side-combinable groupBy; the
+    rank window partitions by event type over user-sized frames; the
+    final agg is type-sized. All integer math until the one display
+    division."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    uv = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+        ).alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = uv.withColumn("i", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_users"),
+            F.round(F.sum("x") / 10000.0, 4).alias("total_value"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+            F.sum("x").alias("sx"),
+            F.max("n").alias("nn"),
+        )
+        .withColumn(
+            "gini_permille",
+            F.expr(
+                "CASE WHEN sx = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(1000 * (2 * six - (nn + 1) * sx) "
+                "div (nn * sx) AS BIGINT) END"
+            ),
+        )
+        .select(
+            "event_type", "n_users", "total_value", "gini_permille"
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# market_basket_lift_topk: statistical lift over co-occurrence (r9)
+# --------------------------------------------------------------------------
+
+_LIFT_MIN_PAIRS = 3
+
+
+@query(
+    "market_basket_lift_topk",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM op),
+    pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS pair_count
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.pair_count AS BIGINT) AS pair_count,
+           CAST(ca.cnt AS BIGINT) AS count_a,
+           CAST(cb.cnt AS BIGINT) AS count_b,
+           CAST(1000000 * p.pair_count * nb.n_baskets
+                // (ca.cnt * cb.cnt) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN nb
+    WHERE p.pair_count >= {_LIFT_MIN_PAIRS}
+    ORDER BY lift_micro DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def market_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket LIFT: co-occurrence normalized by marginal
+    popularity — lift = P(a,b) / (P(a) * P(b)) as the exact integer
+    micro-ratio pair*n_baskets*1e6 // (cnt_a*cnt_b) — so the ranking
+    surfaces genuinely associated pairs instead of merely popular
+    ones (the flaw in raw pair counts). A support floor
+    (pair_count >= 3) keeps one-off coincidences out of the top-20.
+
+    Scale: reuses the basket-HOF pair expansion (no second shuffle of
+    the order-part table); part marginals are a part-sized agg that
+    broadcasts back onto the pair stream; the basket total is a 1-row
+    literal-broadcast. Integer cross-multiplies everywhere — no float
+    enters the ordering (pair*n <= 2^63/1e6 comfortably)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pk")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.when(
+                    F.size("pk") >= 2,
+                    F.expr(
+                        """
+                        flatten(transform(sequence(0, size(pk) - 2), i ->
+                            transform(sequence(i + 1, size(pk) - 1), j ->
+                                struct(pk[i] AS part_a, pk[j] AS part_b))))
+                        """
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<part_a: BIGINT, part_b: BIGINT>>)"))
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= _LIFT_MIN_PAIRS)
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    nb = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("count_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("count_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_count").cast("bigint"),
+            F.col("count_a").cast("bigint"),
+            F.col("count_b").cast("bigint"),
+            F.expr(
+                "CAST(1000000 * pair_count * n_baskets "
+                "div (count_a * count_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# events_dau_wau_stickiness: engagement ratio per day (r9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM au),
+    dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY 1),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT au.user_id) AS wau
+      FROM days JOIN au
+        ON au.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(1000 * dau.dau // wau.wau AS BIGINT)
+             AS stickiness_permille
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU stickiness ratio per day (exact integer permille)
+    — the engagement metric growth teams watch; 1000 = every weekly
+    user shows up daily. WAU is the exact 7-day trailing distinct
+    count (the events_rolling_7d_active_users kernel), joined back to
+    the same-day DAU.
+
+    Scale: distinct (day, user) pairs are one map-side-combinable
+    shuffle; WAU comes from a 7-offset EXPLODE of those distincts
+    (each active day contributes itself to the next 7 windows) into
+    one countDistinct per window day — an equi aggregation, never an
+    interval join or a row-level window over the raw event stream.
+    Trailing edge windows (the first 6 days) are exact; only window
+    days that themselves saw traffic are reported, same as the
+    oracle's day list."""
+    ev = table(spark, sf_dir, "events")
+    au = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = au.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        au.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("k"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add("d", F.col("k")).alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint"),
+            F.col("wau").cast("bigint"),
+            F.expr("CAST(1000 * dau div wau AS BIGINT)").alias(
+                "stickiness_permille"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1657,3 +1657,85 @@ def streaming_ivf_drift_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, cent, base, drifted, float(_QGRID), _DRIFT_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_exact_dup_vectors — X3/X1: byte-identical vector dedup
+# ---------------------------------------------------------------------------
+
+_VDUP_MOD = 37
+_VDUP_REM = 5
+_VDUP_OFFSET = 3_000_000
+
+
+@query(
+    "embedding_exact_dup_vectors",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_VDUP_OFFSET}, label, embedding
+      FROM embeddings WHERE vec_id % {_VDUP_MOD} = {_VDUP_REM}
+    ),
+    keyed AS (
+      SELECT vec_id, label,
+             md5(list_aggr(list_transform(embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT) AS VARCHAR)),
+                 'string_agg', ',')) AS vkey
+      FROM base
+    )
+    SELECT vkey,
+           CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM keyed GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def embedding_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate VECTOR detection — the X1 hash-groupBy dedup
+    discipline applied to the embedding store: vectors hashed on
+    their 1e-6-grid-quantized component string (identical bytes =>
+    identical key; the grid forgives nothing, it only fixes the
+    float->text formatting), grouped, and groups of size > 1
+    reported with a representative and their label spread
+    (n_labels > 1 = the same vector carries conflicting labels, a
+    labeling-pipeline bug this surfaces for free). Planted copies
+    (vec_id % 37 == 5, identical embedding) guarantee the group
+    output is non-empty evidence at every SF.
+
+    Scale: one narrow map (hash per vector, 16 bytes travels), one
+    hash groupBy — the cheapest possible dedup tier, run FIRST so
+    the ANN/LSH tiers never pay for byte-identical copies."""
+    emb = table(spark, sf_dir, "embeddings")
+    variants = emb.filter(
+        F.col("vec_id") % _VDUP_MOD == _VDUP_REM
+    ).select(
+        (F.col("vec_id") + _VDUP_OFFSET).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    keyed = emb.unionByName(variants).select(
+        "vec_id",
+        "label",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vkey"),
+    )
+    return (
+        keyed.groupBy("vkey")
+        .agg(
+            F.min("vec_id").cast("bigint").alias("rep_vec_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -58,3 +58,32 @@ def test_compact_line_is_valid_json_at_every_size():
         d = json.loads(compact_contract_line(_result(n)))
         assert REQUIRED_KEYS <= set(d), n
         assert len(json.dumps(d, separators=(",", ":"))) <= 1900, n
+
+
+def test_lo_tier_within_regression_budget():
+    """sf0.1 wall-clock spread reaches 0.77 even with adaptive
+    re-runs, so the committed sf0.01 medians are the per-round
+    regression reference (VERDICT r8 item 7): every query in the
+    CURRENT BENCH_FULL.json lo tier must stay within 1.5x (+0.2 s
+    absolute slack for sub-100 ms rows) of BENCH_LO_REF.json — the
+    previous round's accepted medians. Maintenance: after each
+    round's clean bench run, refresh BENCH_LO_REF.json from
+    BENCH_FULL.json's lo tier and commit both."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    full = json.load(open(os.path.join(root, "BENCH_FULL.json")))
+    ref = json.load(open(os.path.join(root, "BENCH_LO_REF.json")))
+    tiers = full.get("tiers") or {}
+    lo_key = min(tiers, key=float) if tiers else None
+    assert lo_key is not None, "BENCH_FULL.json carries no lo tier"
+    lo = tiers[lo_key]
+    regressions = {
+        q: (lo[q], ref[q])
+        for q in set(lo) & set(ref)
+        if lo[q] > 1.5 * ref[q] + 0.2
+    }
+    assert not regressions, (
+        f"sf0.01 regressions vs committed reference: {regressions}"
+    )

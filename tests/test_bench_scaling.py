@@ -133,3 +133,34 @@ def test_scale_probe_tier_is_honest(spark):
         f"pair growth {len(probe_rows)} vs base {base_pairs} is outside "
         f"[{lo:.0f}, {hi:.0f}] — not linear in the replica factor"
     )
+
+
+def test_recorded_probe_slopes_stay_subquadratic():
+    """Bound the COMMITTED scale-probe slopes (BENCH_FULL.json): every
+    probed family must stay at-or-under linear growth in data (slope
+    <= 1.15 with measurement slack) — a reintroduced all-pairs stage
+    reads ~2 on the log-log fit long before a plan audit sees it.
+    The document/embedding families must carry the 3-decade fit
+    (4 points, x100 tier); the lineitem/events families the
+    sf1-equivalent 3-point fit."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_FULL.json")
+    probe = json.load(open(path)).get("scale_probe") or {}
+    deep = {
+        "dedup_minhash_lsh",
+        "similarity_topk_ivfpq_served",
+        "decontaminate_eval_overlap",
+        "dedup_substring_spans",
+    }
+    wide = {"part_triangle_count_sampled", "events_rapid_repeat_pairs"}
+    assert deep | wide <= set(probe), sorted(probe)
+    for name, rec in probe.items():
+        want_pts = 4 if name in deep else 3
+        assert len(rec["rows"]) == want_pts and len(rec["sec"]) == want_pts, (
+            name,
+            rec,
+        )
+        assert rec["rows"] == sorted(rec["rows"]), name
+        assert rec["loglog_slope"] <= 1.15, (name, rec)

@@ -97,6 +97,16 @@ NESTED_LOOP_OK = {
     "part_triangle_count_sampled",
     # 1-row global max-week broadcast gates churn attribution
     "events_user_lifecycle_weekly",
+    # corpus x K=8 broadcast Lloyd assignment (same class as
+    # similarity_ivf_kmeans) for snapshot training + frozen-centroid
+    # scoring of both scenarios
+    "ivf_drift_retrain_verdict",
+    # 10-row decile grid broadcast joined on the computed exact rank
+    # (rank-hit theta join against a constant-sized dimension)
+    "customer_balance_deciles",
+    # 1-row basket-total cross-joined into the pair stream for the
+    # lift denominator
+    "market_basket_lift_topk",
 }
 
 HEADLINE = [

@@ -1268,3 +1268,131 @@ def test_supplier_concentration_reference(spark, tmp_path):
         (1, 2, 10, 750, 400.0),
         (2, 2, 21, 500, 400.0),
     ], got
+
+
+# --------------------------------------------------------------------------
+# BPE-approximation tokenizer — greedy longest-match golden replay
+# --------------------------------------------------------------------------
+
+
+def test_bpe_word_tokens_match_python_greedy(spark, sf_dir):
+    """The HOF-folded greedy walk (extensions/bpe.py) must equal a
+    straight Python greedy longest-match over the same vocab for
+    every distinct corpus word, and segment counts must genuinely
+    compress (some word shorter than its character count) while
+    covering every word (count >= 1, <= len)."""
+    from env_data_pipeline_spark.extensions import bpe as B
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+    from env_data_pipeline_spark.catalog import table
+
+    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
+    vocab_df = spark.table("bpe_vocab")
+    vocab = {r["piece"] for r in vocab_df.collect()}
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        r["word"]: r["n_bpe"]
+        for r in B.word_tokens(docs, vocab_df).collect()
+    }
+
+    def greedy(w: str) -> int:
+        p = c = 0
+        while p < len(w):
+            step = 1
+            for l in (4, 3, 2):
+                if p + l <= len(w) and w[p : p + l] in vocab:
+                    step = l
+                    break
+            p += step
+            c += 1
+        return c
+
+    assert got, "no words tokenized"
+    mism = {w: (n, greedy(w)) for w, n in got.items() if n != greedy(w)}
+    assert not mism, mism
+    assert all(1 <= n <= len(w) for w, n in got.items())
+    assert any(n < len(w) for w, n in got.items()), (
+        "no compression: merges table is not merging anything"
+    )
+    # the unrolled walk bound must dominate the corpus
+    assert max(len(w) for w in got) <= B.MAX_WORD_LEN
+
+
+def test_user_value_gini_reference(spark, tmp_path):
+    """Exact rank-sum Gini identity pinned against a Python replay on
+    a skewed fixture: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending (micro-value, user_id) ranks, reported as
+    truncating integer permille."""
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for eid in range(400):
+        uid = rng.randrange(30)
+        # whales: a few users carry most of the value
+        v = rng.uniform(500, 900) if uid < 3 else rng.uniform(0, 20)
+        rows.append(
+            (eid, t0 + dt.timedelta(seconds=eid), uid,
+             rng.choice(["view", "click"]), round(v, 3), "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: (r["n_users"], r["gini_permille"])
+        for r in registry.QUERIES["events_user_value_gini"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+
+    by_type = defaultdict(lambda: defaultdict(int))
+    for _e, _t, uid, et, v, _p in rows:
+        by_type[et][uid] += math.floor(v * 10000 + 0.5)
+    ref = {}
+    for et, users in by_type.items():
+        xs = sorted((x, u) for u, x in users.items())
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        num = 1000 * (2 * six - (n + 1) * sx)
+        den = n * sx
+        g = -((-num) // den) if num < 0 else num // den
+        ref[et] = (n, g)
+    assert got == ref
+    # whales must register: heavy concentration on this fixture
+    assert all(g >= 500 for _, g in got.values())
+
+
+def test_survivorship_funnel_stage_semantics(spark, sf_dir):
+    """Funnel invariants on the real corpus: counts chain
+    (n_out[k] == n_in[k+1]), every stage drops a non-negative count,
+    every PLANTED class is gone by its own stage — exact plants
+    (offset 1e7) by stage 1, canonical plants (9e6) by stage 2, near
+    plants (2e7) by stage 3 — and the planted drop counts are lower
+    bounds on each stage's n_dropped."""
+    from env_data_pipeline_spark.plans.extensions import (
+        CANON_COPY_OFFSET,
+        _CANON_MOD,
+        _CANON_REM,
+    )
+    from env_data_pipeline_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["stage_id"]: r
+        for r in registry.QUERIES["corpus_dedup_survivorship_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for k in range(4):
+        assert rows[k]["n_out"] == rows[k + 1]["n_in"]
+    assert rows[0]["n_dropped"] == 0
+    assert all(rows[k]["n_dropped"] >= 0 for k in rows)
+
+    docs = table(spark, sf_dir, "documents")
+    n_exact = docs.filter(F.col("doc_id") % 50 == 0).count()
+    n_near = docs.filter(F.col("doc_id") % 50 == 25).count()
+    n_canon = docs.filter(
+        F.col("doc_id") % _CANON_MOD == _CANON_REM
+    ).count()
+    assert rows[1]["n_dropped"] >= n_exact
+    assert rows[2]["n_dropped"] >= n_canon
+    assert rows[3]["n_dropped"] >= n_near
