@@ -255,23 +255,56 @@ def make_phash_batch(hasher=None):
     hasher_fn = hasher
 
     def phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as pd
 
-        ph = hasher_fn if hasher_fn is not None else dct_phash
+        def dct_batch(payloads, gains) -> list[str]:
+            # one DCT tensor contraction for the whole Arrow batch;
+            # only the byte tiling stays per-row (variable lengths;
+            # the modular index is cached per distinct length)
+            npix = PHASH_IMG * PHASH_IMG
+            imgs = np.empty((len(payloads), npix), dtype=np.int64)
+            idx_cache: dict = {}
+            for r, (p, g) in enumerate(zip(payloads, gains)):
+                n = len(p)
+                if n == 0:
+                    imgs[r] = g
+                    continue
+                idx = idx_cache.get(n)
+                if idx is None:
+                    idx = np.arange(npix) % n
+                    idx_cache[n] = idx
+                imgs[r] = np.frombuffer(p, dtype=np.uint8)[idx]
+                imgs[r] += g
+            imgs = imgs.reshape(-1, PHASH_IMG, PHASH_IMG)
+            basis = np.asarray(dct_basis(), dtype=np.int64)
+            t1 = imgs @ basis.T  # (B, y, u)
+            coefs = (t1.transpose(0, 2, 1) @ basis.T).reshape(
+                -1, PHASH_LOWFREQ * PHASH_LOWFREQ
+            )  # (B, 64): [b, u*8+v]
+            med = np.sort(coefs[:, 1:], axis=1)[:, (coefs.shape[1] - 2) // 2]
+            bits = (coefs > med[:, None]).astype(np.int64)
+            nibs = bits.reshape(-1, PHASH_SLICES, 4) @ np.array(
+                [8, 4, 2, 1], dtype=np.int64
+            )
+            hexd = "0123456789abcdef"
+            return ["".join(hexd[v] for v in row) for row in nibs]
+
         for pdf in it:
             gains = (
-                pdf["gain"]
+                pdf["gain"].astype(int).tolist()
                 if "gain" in pdf.columns
-                else pd.Series(0, index=pdf.index)
+                else [0] * len(pdf)
             )
+            if hasher_fn is not None:
+                hashes = [
+                    hasher_fn(p, int(g))
+                    for p, g in zip(pdf["payload"], gains)
+                ]
+            else:
+                hashes = dct_batch(list(pdf["payload"]), gains)
             yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "phash": [
-                        ph(p, int(g))
-                        for p, g in zip(pdf["payload"], gains)
-                    ],
-                }
+                {"asset_id": pdf["asset_id"], "phash": hashes}
             )
 
     return phash_batch
