@@ -168,3 +168,36 @@ def doc_tokens(docs: DataFrame, wordtok: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"))
     )
+
+
+def word_tokens_for(spark, sf_dir: str) -> DataFrame:
+    """(word, n_bpe) for the sf_dir corpus against the materialized
+    bpe_vocab fixture — THE entry point every token-denominated plan
+    shares (a drifting copy of the fixture wiring or the broadcast
+    strategy would silently desynchronize queries from each other)."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
+    return word_tokens(
+        table(spark, sf_dir, "documents"), spark.table("bpe_vocab")
+    )
+
+
+def group_tokens(docs: DataFrame, wordtok: DataFrame, *keys: str) -> DataFrame:
+    """Per-``keys`` word/token mass: explode word instances, broadcast
+    the vocabulary-scale (word, n_bpe) table, one hash agg — columns
+    (``*keys``, n_words, n_bpe_tokens). Groups whose documents carry
+    no non-empty word drop out (inner join), matching the shared
+    oracle's ``dg JOIN wtok`` shape."""
+    inst = docs.select(
+        *keys, F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        inst.join(F.broadcast(wordtok), "word")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -202,9 +202,14 @@ def pack_sequences(
     from pyspark.sql import Window
 
     if token_counts is not None:
+        # token_counts is DOC-grain — corpus-sized, so it must NEVER
+        # broadcast (review finding); merge-hinted because the
+        # planner would happily size-broadcast it at test SF (the
+        # standing AQE hazard) and the hint is what keeps the plan
+        # the shape it must have at 100 TB
         base = docs.select(
             "doc_id", (F.col("doc_id") % n_shards).alias("shard")
-        ).join(F.broadcast(token_counts), "doc_id", "left").select(
+        ).join(token_counts.hint("merge"), "doc_id", "left").select(
             "doc_id",
             "shard",
             F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_tokens"),

@@ -1129,20 +1129,11 @@ def corpus_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-token denomination column (total_bpe_tokens, extensions/
     bpe.py) next to the whitespace count — the budget a trainer
     actually spends."""
-    from env_data_pipeline_spark.extensions import bpe as B
-    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
-
     docs = table(spark, sf_dir, "documents")
-    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
-    wt = B.word_tokens(docs, spark.table("bpe_vocab"))
-    btok = (
-        docs.select(
-            "source", "lang", F.explode(F.split("text", " ")).alias("word")
-        )
-        .filter(F.length("word") > 0)
-        .join(F.broadcast(wt), "word")
-        .groupBy("source", "lang")
-        .agg(F.sum("n_bpe").alias("total_bpe_tokens"))
+    btok = BP.group_tokens(
+        docs, BP.word_tokens_for(spark, sf_dir), "source", "lang"
+    ).select(
+        "source", "lang", F.col("n_bpe_tokens").alias("total_bpe_tokens")
     )
     m = docs.select(
         "source",

@@ -39,10 +39,7 @@ def _bpe_prefix() -> str:
 
 def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, n_bpe) against the materialized bpe_vocab fixture."""
-    ensure_fixtures(spark, sf_dir, ("bpe_vocab",))
-    return B.word_tokens(
-        table(spark, sf_dir, "documents"), spark.table("bpe_vocab")
-    )
+    return B.word_tokens_for(spark, sf_dir)
 
 # headline representatives for the family: the zero-shuffle HOF
 # profile, the hashed n-gram decontamination join, and the composed
@@ -292,14 +289,8 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     its replication counts are per-document, so its factor must stay
     a doc-count ratio.)"""
     docs = table(spark, sf_dir, "documents")
-    wt = _word_tokens(spark, sf_dir)
-    inst = docs.select(
-        "lang", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    tk = (
-        inst.join(F.broadcast(wt), "word")
-        .groupBy("lang")
-        .agg(F.sum("n_bpe").alias("n_tokens"))
+    tk = B.group_tokens(docs, _word_tokens(spark, sf_dir), "lang").select(
+        "lang", F.col("n_bpe_tokens").alias("n_tokens")
     )
     return L.temperature_weights(
         docs, key="lang", alpha=_TEMP_ALPHA, token_counts=tk
@@ -848,17 +839,8 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word, n_bpe) table, so the whole query is one corpus scan + one
     (source, lang) hash agg — the same plan shape as a word count."""
     docs = table(spark, sf_dir, "documents")
-    wt = _word_tokens(spark, sf_dir)
-    inst = docs.select(
-        "source", "lang", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    w = (
-        inst.join(F.broadcast(wt), "word")
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_bpe").alias("n_bpe_tokens"),
-        )
+    w = B.group_tokens(
+        docs, _word_tokens(spark, sf_dir), "source", "lang"
     )
     dg = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -938,18 +920,11 @@ def streaming_token_budget_refresh(
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             sp = batch_df.sparkSession
             cur, nxt = batch_id % 2, (batch_id + 1) % 2
-            inst = batch_df.select(
+            wcnt = B.group_tokens(batch_df, wt, "source", "lang").select(
                 "source",
                 "lang",
-                F.explode(F.split("text", " ")).alias("word"),
-            ).filter(F.length("word") > 0)
-            wcnt = (
-                inst.join(F.broadcast(wt), "word")
-                .groupBy("source", "lang")
-                .agg(
-                    F.count(F.lit(1)).cast("bigint").alias("b_words"),
-                    F.sum("n_bpe").cast("bigint").alias("b_bpe"),
-                )
+                F.col("n_words").alias("b_words"),
+                F.col("n_bpe_tokens").alias("b_bpe"),
             )
             dcnt = batch_df.groupBy("source", "lang").agg(
                 F.count(F.lit(1)).cast("bigint").alias("b_docs")
@@ -985,7 +960,13 @@ def streaming_token_budget_refresh(
             "streaming token budget ",
         )
         final_dir = state_dirs[n_shards % 2]
-        state = spark.read.parquet(final_dir)
+        # drop groups whose docs carry no non-empty word: the shared
+        # oracle's inner dg JOIN wtok omits them, and a NULL fertility
+        # ratio is not a row worth reporting (review finding — keeps
+        # the batch and streaming forms agreeing on the same edge)
+        state = spark.read.parquet(final_dir).filter(
+            F.col("n_words") > 0
+        )
         from pyspark.sql import Window
 
         everything = Window.partitionBy()
