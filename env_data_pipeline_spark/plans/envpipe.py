@@ -743,3 +743,162 @@ def weather_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "request_id", list(_UNPIVOT_METRICS), "metric", "value"
     ).withColumn("value", F.round("value", 4))
+
+
+# --------------------------------------------------------------------------
+# requests_spatial_neighbor_pairs: grid-bucketed spatial self-join (r9)
+# --------------------------------------------------------------------------
+
+_GEO_CELL = 250_000  # cell side in micro-degrees (0.25 deg)
+_GEO_R2 = 100_000 * 100_000  # radius 0.1 deg, squared micro-degrees
+_GEO_TOPK = 50
+
+
+@query(
+    "requests_spatial_neighbor_pairs",
+    oracle=f"""
+    {duck_with("requests")},
+    pts AS (
+      SELECT CAST(floor(latitude * 1000000) AS BIGINT) AS lat_u,
+             CAST(floor(longitude * 1000000) AS BIGINT) AS lon_u,
+             COUNT(*) AS n
+      FROM requests
+      WHERE latitude BETWEEN -90 AND 90
+        AND longitude BETWEEN -180 AND 180
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT lat_u, lon_u, n,
+             (lon_u + 180000000) // {_GEO_CELL} AS cx,
+             (lat_u + 90000000) // {_GEO_CELL} AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT c.lat_u, c.lon_u, c.n,
+             c.cx + dx.range AS cx, c.cy + dy.range AS cy
+      FROM cells c
+      CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
+    ),
+    pairs AS (
+      SELECT a.lat_u AS lat_a_u, a.lon_u AS lon_a_u,
+             b.lat_u AS lat_b_u, b.lon_u AS lon_b_u,
+             a.n AS n_a, b.n AS n_b,
+             (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist_sq
+      FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+      WHERE (a.lat_u < b.lat_u
+             OR (a.lat_u = b.lat_u AND a.lon_u < b.lon_u))
+    )
+    SELECT lat_a_u, lon_a_u, lat_b_u, lon_b_u,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a * n_b AS BIGINT) AS pair_weight,
+           CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM pairs WHERE dist_sq <= {_GEO_R2}
+    ORDER BY dist_sq, lat_a_u, lon_a_u, lat_b_u, lon_b_u
+    LIMIT {_GEO_TOPK}
+    """,
+)
+def requests_spatial_neighbor_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grid-bucketed SPATIAL self-join — the missing spatial sibling
+    of the bucketized interval join: request coordinates quantized to
+    the 1e-6-degree integer grid, deduplicated to DISTINCT points
+    with multiplicity FIRST (the synthetic corpus plants thousands of
+    byte-identical coordinates; a naive point-level self-join would
+    be quadratic in exactly those hot points), bucketed into 0.25-deg
+    cells, probe side exploded over the 3x3 neighborhood, exact
+    squared micro-degree distance filter at 0.1 deg. Each surviving
+    pair appears exactly once (lexicographic point order beats the
+    double probe). Top-50 nearest distinct-coordinate pairs with
+    their point multiplicities — the blast-radius report for
+    duplicate-submission detection.
+
+    Scale: the self-join is an EQUI-join on the cell key (never a
+    theta/cross join); per-cell work is bounded by the cell
+    granularity exactly like the 5-minute rapid-repeat buckets; both
+    sides are coordinate-vocabulary-sized after the dedup groupBy,
+    and all distance math is exact BIGINT (no trig, no doubles in
+    the ordering). Cell ids shift coordinates non-negative first so
+    integer division is floor division on both engines."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    req = spark.table("requests")
+    pts = (
+        req.filter(
+            F.col("latitude").between(-90, 90)
+            & F.col("longitude").between(-180, 180)
+        )
+        .groupBy(
+            F.floor(F.col("latitude") * 1000000)
+            .cast("bigint")
+            .alias("lat_u"),
+            F.floor(F.col("longitude") * 1000000)
+            .cast("bigint")
+            .alias("lon_u"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pts.select(
+        "lat_u",
+        "lon_u",
+        "n",
+        F.expr(f"(lon_u + 180000000) div {_GEO_CELL}").alias("cx"),
+        F.expr(f"(lat_u + 90000000) div {_GEO_CELL}").alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    probe = cells.select(
+        F.col("lat_u").alias("lat_a_u"),
+        F.col("lon_u").alias("lon_a_u"),
+        F.col("n").alias("n_a"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "lat_a_u",
+        "lon_a_u",
+        "n_a",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    base = cells.select(
+        F.col("lat_u").alias("lat_b_u"),
+        F.col("lon_u").alias("lon_b_u"),
+        F.col("n").alias("n_b"),
+        "cx",
+        "cy",
+    )
+    dist = (F.col("lat_a_u") - F.col("lat_b_u")) * (
+        F.col("lat_a_u") - F.col("lat_b_u")
+    ) + (F.col("lon_a_u") - F.col("lon_b_u")) * (
+        F.col("lon_a_u") - F.col("lon_b_u")
+    )
+    return (
+        probe.hint("merge")
+        .join(base, ["cx", "cy"])
+        .filter(
+            (F.col("lat_a_u") < F.col("lat_b_u"))
+            | (
+                (F.col("lat_a_u") == F.col("lat_b_u"))
+                & (F.col("lon_a_u") < F.col("lon_b_u"))
+            )
+        )
+        .withColumn("dist_sq", dist.cast("bigint"))
+        .filter(F.col("dist_sq") <= _GEO_R2)
+        .select(
+            "lat_a_u",
+            "lon_a_u",
+            "lat_b_u",
+            "lon_b_u",
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias(
+                "pair_weight"
+            ),
+            "dist_sq",
+        )
+        .orderBy("dist_sq", "lat_a_u", "lon_a_u", "lat_b_u", "lon_b_u")
+        .limit(_GEO_TOPK)
+    )

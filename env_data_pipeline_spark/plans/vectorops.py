@@ -594,6 +594,17 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVFPQ_NPROBE = 4
+# Serving-batch bound for the IVF+PQ pair: every shipped testdata
+# tier has vec_id < 2000, so results there are BYTE-IDENTICAL with or
+# without the cap (stamps stay truthful) — but the builder-generated
+# probe tiers offset replica vec_ids by 1e6, and an UNCAPPED
+# %100 query set would grow the serving batch with the corpus,
+# measuring a queries x corpus quadratic instead of serving (at the
+# x100 tier: 2000 queries x 200k vectors, 116 s and a heap spike).
+# Production ANN serving is per-bounded-batch; the cap keeps the
+# probe measuring exactly that (20 replica-0 queries at every probe
+# tier).
+_Q_CAP = 50_000
 _IVFPQ_SHORTLIST = 60
 
 
@@ -647,7 +658,8 @@ def _ivfpq_oracle() -> str:
 )"""
     )
     ctes.append(
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0)"
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM pts"
+        f" WHERE vec_id % 100 = 0 AND vec_id < {_Q_CAP})"
     )
     ctes.append(
         f"""qprobe AS (
@@ -754,7 +766,9 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_M,
         _PQ_D,
     ).select("m", "code", F.col("sv").alias("cw"))
-    qids = pts.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    qids = pts.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _Q_CAP)
+    ).select("vec_id")
     return X.ivfpq_topk(
         pts,
         qids,
@@ -904,7 +918,9 @@ def similarity_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _ivf_centroids(spark, sf_dir)
     cb = _pq_codebook(spark, sf_dir)
     pts = _pts(spark, sf_dir)
-    qids = pts.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    qids = pts.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _Q_CAP)
+    ).select("vec_id")
     return X.ivfpq_topk(
         pts,
         qids,

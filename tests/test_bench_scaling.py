@@ -164,3 +164,44 @@ def test_recorded_probe_slopes_stay_subquadratic():
         )
         assert rec["rows"] == sorted(rec["rows"]), name
         assert rec["loglog_slope"] <= 1.15, (name, rec)
+
+
+def test_lineitem_events_probe_tier_is_honest(spark):
+    """The r9 lineitem/events probe tables must be N disjoint graph
+    copies, not N-fold densifications: row counts scale exactly,
+    replica 0 is the untouched original, and no co-purchase edge can
+    cross replicas because part keys are offset per replica (stride
+    alignment is what keeps every triangle-pipeline stage linear)."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark import benchscale
+
+    base = LO
+    out = benchscale.ensure_scale_tier(
+        spark, base, tables=("lineitem", "events")
+    )
+    li_base = spark.read.parquet(f"{base}/lineitem.parquet")
+    li_probe = spark.read.parquet(f"{out}/lineitem.parquet")
+    assert li_probe.count() == benchscale.DOC_MULT * li_base.count()
+    # replica r's part keys live entirely inside r's stride window,
+    # so two parts from different replicas can never share an order:
+    # the replica index derived from orderkey and partkey must agree
+    # on every line
+    mismatch = li_probe.filter(
+        F.floor(F.col("l_orderkey") / benchscale._ORD_STRIDE)
+        != F.floor(F.col("l_partkey") / benchscale._PART_STRIDE)
+    ).count()
+    assert mismatch == 0
+    rep0 = li_probe.filter(
+        F.col("l_orderkey") < benchscale._ORD_STRIDE
+    )
+    assert rep0.count() == li_base.count()
+
+    ev_base = spark.read.parquet(f"{base}/events.parquet")
+    ev_probe = spark.read.parquet(f"{out}/events.parquet")
+    assert ev_probe.count() == benchscale.DOC_MULT * ev_base.count()
+    umis = ev_probe.filter(
+        F.floor(F.col("event_id") / benchscale._EVT_STRIDE)
+        != F.floor(F.col("user_id") / benchscale._USER_STRIDE)
+    ).count()
+    assert umis == 0

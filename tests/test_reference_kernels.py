@@ -1396,3 +1396,51 @@ def test_survivorship_funnel_stage_semantics(spark, sf_dir):
     assert rows[1]["n_dropped"] >= n_exact
     assert rows[2]["n_dropped"] >= n_canon
     assert rows[3]["n_dropped"] >= n_near
+
+
+def test_spatial_neighbor_pairs_vs_bruteforce(spark, sf_dir):
+    """The grid-bucketed spatial join must equal a brute-force
+    all-pairs scan over the distinct quantized coordinates — the
+    3x3-cell probe with radius < cell side can miss nothing, and the
+    top-50 ordering (dist, then the four keys) is total."""
+    import math
+    from collections import Counter
+
+    from env_data_pipeline_spark.plans.envpipe import _GEO_R2, _GEO_TOPK
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    rows = (
+        spark.table("requests")
+        .select("latitude", "longitude")
+        .collect()
+    )
+    pts = Counter()
+    for r in rows:
+        la, lo = r["latitude"], r["longitude"]
+        if la is None or lo is None:
+            continue
+        if -90 <= la <= 90 and -180 <= lo <= 180:
+            pts[(math.floor(la * 1e6), math.floor(lo * 1e6))] += 1
+    coords = sorted(pts)
+    ref = []
+    for i, a in enumerate(coords):
+        for b in coords[i + 1 :]:
+            d = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            if d <= _GEO_R2:
+                ref.append((d, a[0], a[1], b[0], b[1], pts[a], pts[b]))
+    ref.sort()
+    ref = [
+        (la1, lo1, la2, lo2, na, nb, na * nb, d)
+        for d, la1, lo1, la2, lo2, na, nb in ref[:_GEO_TOPK]
+    ]
+    got = [
+        (
+            r["lat_a_u"], r["lon_a_u"], r["lat_b_u"], r["lon_b_u"],
+            r["n_a"], r["n_b"], r["pair_weight"], r["dist_sq"],
+        )
+        for r in registry.QUERIES["requests_spatial_neighbor_pairs"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == ref
