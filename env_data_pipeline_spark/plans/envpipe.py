@@ -902,3 +902,112 @@ def requests_spatial_neighbor_pairs(
         .orderBy("dist_sq", "lat_a_u", "lon_a_u", "lat_b_u", "lon_b_u")
         .limit(_GEO_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# user trajectory accounting (round 9): haversine leg distances
+# ---------------------------------------------------------------------------
+
+# ONE formula string, evaluated by Spark (F.expr) and DuckDB verbatim:
+# identical expression tree -> identical IEEE op sequence, so the only
+# cross-engine divergence left is libm's sub-ulp rounding, absorbed by
+# the whole-meter grid the legs land on before any aggregation.
+_HAV_M_SQL = """CAST(floor(
+  2.0 * 6371.0088 * asin(sqrt(
+      sin(radians(lat - prev_lat) / 2) * sin(radians(lat - prev_lat) / 2)
+    + cos(radians(prev_lat)) * cos(radians(lat))
+      * sin(radians(lon - prev_lon) / 2) * sin(radians(lon - prev_lon) / 2)
+  )) * 1000 + 0.5) AS BIGINT)"""
+
+
+@query(
+    "requests_user_trajectory",
+    oracle=f"""
+    {duck_with("requests")},
+    pts AS (
+      SELECT e.user_id,
+             CAST(substr(r.request_id, 5) AS BIGINT) AS eid,
+             r.ts, r.latitude AS lat, r.longitude AS lon
+      FROM requests r
+      JOIN events e ON e.event_id = CAST(substr(r.request_id, 5) AS BIGINT)
+      WHERE r.latitude BETWEEN -90 AND 90
+        AND r.longitude BETWEEN -180 AND 180
+        AND NOT (r.latitude = 0 AND r.longitude = 0)
+    ),
+    legs AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS prev_lat,
+             LAG(lon) OVER w AS prev_lon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, eid)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(prev_lat) AS BIGINT) AS n_legs,
+           ROUND(SUM(CASE WHEN prev_lat IS NOT NULL
+                          THEN {_HAV_M_SQL} END) / 1000.0, 3) AS total_km,
+           ROUND(MAX(CASE WHEN prev_lat IS NOT NULL
+                          THEN {_HAV_M_SQL} END) / 1000.0, 3) AS max_leg_km
+    FROM legs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def requests_user_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory accounting over the validated request
+    coordinates: order each user's geocoded requests by time, measure
+    consecutive-point haversine legs, and report point/leg counts,
+    total path length, and the longest single hop — the geo-movement
+    profile (fleet telemetry, sensor drift, bot detection) the
+    spatial-neighbor query does not cover.
+
+    Exactness: both engines evaluate the SAME haversine expression
+    string and land each leg on a whole-meter integer grid before
+    SUM/MAX, so aggregation order cannot move the result and libm
+    sub-ulp differences die at the floor (+0.5).
+
+    Scale: filter pushes to the scan; ONE user-keyed window (lag) and
+    the same-keyed groupBy reuse a single hash partitioning — users
+    are uniform high-cardinality keys, no skew, state per user is two
+    doubles. 100 TB of pings keyed by device id runs this exact
+    plan."""
+    from env_data_pipeline_spark.catalog import table as _table
+
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    ev = _table(spark, sf_dir, "events").select("event_id", "user_id")
+    r = spark.table("requests").select(
+        F.expr("CAST(substr(request_id, 5) AS BIGINT)").alias("eid"),
+        "ts",
+        F.col("latitude").alias("lat"),
+        F.col("longitude").alias("lon"),
+    )
+    pts = (
+        r.filter(
+            F.col("lat").between(-90, 90)
+            & F.col("lon").between(-180, 180)
+            & ~((F.col("lat") == 0) & (F.col("lon") == 0))
+        )
+        .join(ev, r["eid"] == ev["event_id"])
+        .select("user_id", "eid", "ts", "lat", "lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "eid")
+    legs = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    ).withColumn(
+        "leg_m",
+        F.when(F.col("prev_lat").isNotNull(), F.expr(_HAV_M_SQL)),
+    )
+    return (
+        legs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.count("prev_lat").cast("bigint").alias("n_legs"),
+            F.round(F.sum("leg_m") / 1000.0, 3).alias("total_km"),
+            F.round(F.max("leg_m") / 1000.0, 3).alias("max_leg_km"),
+        )
+        .orderBy("user_id")
+    )

@@ -2459,3 +2459,141 @@ def corpus_dedup_survivorship_funnel(
         .cast("bigint")
         .alias("drop_permille"),
     ).orderBy("stage_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_bcubed_eval — B-cubed precision/recall of the MinHash-LSH
+# cluster assignment against the planted-duplicate ground truth
+# ---------------------------------------------------------------------------
+
+_B3_GRID = 1_000_000  # per-item P/R land on this integer grid pre-sum
+
+
+@query(
+    "dedup_bcubed_eval",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LSH_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT wk.node, e.d FROM walk wk JOIN edges e ON e.s = wk.reach
+    ),
+    lab AS (
+      SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    items AS MATERIALIZED (
+      SELECT a.doc_id,
+             COALESCE(l.cluster_id, a.doc_id) AS pred,
+             CASE WHEN a.doc_id >= {NEAR_COPY_OFFSET}
+                    THEN a.doc_id - {NEAR_COPY_OFFSET}
+                  WHEN a.doc_id >= {EXACT_COPY_OFFSET}
+                    THEN a.doc_id - {EXACT_COPY_OFFSET}
+                  ELSE a.doc_id END AS truth
+      FROM aug a LEFT JOIN lab l USING (doc_id)
+    ),
+    ct AS (SELECT pred, truth, COUNT(*) AS n_ct FROM items GROUP BY 1, 2),
+    cs AS (SELECT pred, COUNT(*) AS n_c FROM items GROUP BY 1),
+    ts AS (SELECT truth, COUNT(*) AS n_t FROM items GROUP BY 1),
+    per AS (
+      SELECT i.doc_id,
+             (c.n_ct * {_B3_GRID}) // s.n_c AS p_u,
+             (c.n_ct * {_B3_GRID}) // t.n_t AS r_u
+      FROM items i
+      JOIN ct c ON c.pred = i.pred AND c.truth = i.truth
+      JOIN cs s ON s.pred = i.pred
+      JOIN ts t ON t.truth = i.truth
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(p_u) AS sp, SUM(r_u) AS sr,
+             (SELECT COUNT(*) FROM cs) AS n_pred,
+             (SELECT COUNT(*) FROM ts) AS n_truth
+      FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n_pred AS BIGINT) AS n_pred_clusters,
+           CAST(n_truth AS BIGINT) AS n_truth_groups,
+           ROUND(sp / (n * {_B3_GRID}.0), 4) AS bcubed_precision,
+           ROUND(sr / (n * {_B3_GRID}.0), 4) AS bcubed_recall,
+           ROUND(2.0 * (sp / (n * {_B3_GRID}.0)) * (sr / (n * {_B3_GRID}.0))
+                 / ((sp / (n * {_B3_GRID}.0)) + (sr / (n * {_B3_GRID}.0))), 4)
+               AS bcubed_f1
+    FROM tot
+    """,
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline QA for the dedup stack: B-cubed precision/recall/F1
+    (Bagga & Baldwin 1998; the clustering-eval standard from the
+    entity-resolution literature) of the MinHash-LSH connected-
+    component clusters against the planted-duplicate ground truth the
+    augmentation defines (base id <-> +EXACT/+NEAR copies). Unclustered
+    docs count as singletons on BOTH sides, so over-merging lowers
+    precision and missed dups lower recall — the two failure modes a
+    production dedup rollout must monitor before dropping data.
+
+    Exactness: per-item precision/recall land on an integer 1e-6 grid
+    (bigint div) BEFORE summation, so the averages are exact integer
+    sums — aggregation order cannot move them; the only doubles are
+    the final three ROUND projections.
+
+    Scale: items/ct/cs/ts are all corpus-keyed groupBys (the pred key
+    reuses one partitioning across ct/cs and the final join); cluster
+    labels come from the iterative min-label propagation — nothing
+    here exceeds the corpus in size, and nothing is quadratic."""
+    aug = _aug_docs(spark, sf_dir).select("doc_id")
+    labels = D.connected_components(_lsh_pairs(spark, sf_dir))
+    items = (
+        aug.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("pred"),
+            F.when(
+                F.col("doc_id") >= NEAR_COPY_OFFSET,
+                F.col("doc_id") - NEAR_COPY_OFFSET,
+            )
+            .when(
+                F.col("doc_id") >= EXACT_COPY_OFFSET,
+                F.col("doc_id") - EXACT_COPY_OFFSET,
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("truth"),
+        )
+    )
+    ct = items.groupBy("pred", "truth").agg(F.count(F.lit(1)).alias("n_ct"))
+    cs = items.groupBy("pred").agg(F.count(F.lit(1)).alias("n_c"))
+    ts = items.groupBy("truth").agg(F.count(F.lit(1)).alias("n_t"))
+    per = (
+        items.join(ct, ["pred", "truth"])
+        .join(cs, "pred")
+        .join(ts, "truth")
+        .select(
+            F.expr(f"(n_ct * {_B3_GRID}) div n_c").alias("p_u"),
+            F.expr(f"(n_ct * {_B3_GRID}) div n_t").alias("r_u"),
+        )
+    )
+    n_pred = cs.agg(F.count(F.lit(1)).alias("n_pred_clusters"))
+    n_truth = ts.agg(F.count(F.lit(1)).alias("n_truth_groups"))
+    tot = (
+        per.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_u").alias("sp"),
+            F.sum("r_u").alias("sr"),
+        )
+        .crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_truth))
+    )
+    g = float(_B3_GRID)
+    p = F.col("sp") / (F.col("n") * F.lit(g))
+    r = F.col("sr") / (F.col("n") * F.lit(g))
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("n_pred_clusters").cast("bigint"),
+        F.col("n_truth_groups").cast("bigint"),
+        F.round(p, 4).alias("bcubed_precision"),
+        F.round(r, 4).alias("bcubed_recall"),
+        F.round(F.lit(2.0) * p * r / (p + r), 4).alias("bcubed_f1"),
+    )

@@ -210,6 +210,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.relational_sub  # noqa: F401
     import env_data_pipeline_spark.plans.textstats  # noqa: F401
     import env_data_pipeline_spark.plans.graphops  # noqa: F401
+    import env_data_pipeline_spark.plans.statmining  # noqa: F401
     import env_data_pipeline_spark.plans.integrity  # noqa: F401
     import env_data_pipeline_spark.plans.entityres  # noqa: F401
     import env_data_pipeline_spark.plans.layouts  # noqa: F401

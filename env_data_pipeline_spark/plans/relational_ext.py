@@ -3995,3 +3995,152 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_kmv_set_ops — KMV/theta-sketch set algebra between event
+# types: union, intersection, and Jaccard from merged k-minimum-values
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_RANGE = 1_152_921_504_606_846_976  # 2^60, the 15-hex-digit hash range
+
+
+@query(
+    "events_kmv_set_ops",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    tp AS (SELECT DISTINCT event_type FROM d),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM tp a JOIN tp b ON a.event_type < b.event_type
+    ),
+    u AS (
+      SELECT p.type_a, p.type_b, d.h,
+             MAX(CASE WHEN d.event_type = p.type_a THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN d.event_type = p.type_b THEN 1 ELSE 0 END) AS inb
+      FROM pr p JOIN d ON d.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, d.h
+    ),
+    ranked AS (
+      SELECT type_a, type_b, h, ina, inb,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      FROM u
+    ),
+    m AS (
+      SELECT type_a, type_b, COUNT(*) AS n_m, MAX(h) AS h_k,
+             SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS n_both
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY type_a, type_b
+    ),
+    ex AS (
+      SELECT type_a, type_b,
+             SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+               AS n_exact_inter
+      FROM u GROUP BY type_a, type_b
+    )
+    SELECT m.type_a, m.type_b,
+           CAST(m.n_both AS BIGINT) AS sketch_common,
+           ROUND(CASE WHEN m.n_m < {_KMV_K} THEN m.n_m * 1.0
+                      ELSE {_KMV_K - 1}.0 * {_KMV_RANGE} / m.h_k
+                 END, 4) AS union_est,
+           ROUND(m.n_both * 1.0 / m.n_m, 4) AS jaccard_est,
+           ROUND((m.n_both * 1.0 / m.n_m)
+                 * (CASE WHEN m.n_m < {_KMV_K} THEN m.n_m * 1.0
+                         ELSE {_KMV_K - 1}.0 * {_KMV_RANGE} / m.h_k END), 4)
+               AS inter_est,
+           CAST(ex.n_exact_inter AS BIGINT) AS n_exact_inter
+    FROM m JOIN ex USING (type_a, type_b)
+    ORDER BY m.type_a, m.type_b
+    """,
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) sketch SET ALGEBRA between per-event-type
+    user populations: for every type pair, merge the two hash sets,
+    keep the k=64 smallest of the union, and read off union
+    cardinality ((k-1)*2^60/h_k), Jaccard (fraction of the merged
+    sketch present in both sets — the classic KMV Jaccard estimator),
+    and intersection (Jaccard x union). The exact intersection rides
+    along to exhibit the sketch error, as events_kmv_distinct_estimate
+    does for plain cardinality.
+
+    Why it matters at 100 TB: "users who did X AND Y" is an
+    intersection of two billion-row distinct sets; sketches answer it
+    from two k-row states that merge associatively — this query IS
+    the merge algebra, oracle-checked exactly because KMV is an order
+    statistic of a deterministic hash (bit-identical across engines).
+
+    Scale: ONE distinct over (type, user-hash), pairs fan out via a
+    10-row broadcast, the rank<=k filter compiles to WindowGroupLimit
+    (every partition keeps a 64-row heap). The exact-intersection leg
+    is test-SF-only exhibit; production drops it."""
+    ev = table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    d = ev.select("event_type", h).distinct()
+    tp = d.select("event_type").distinct()
+    pr = (
+        tp.select(F.col("event_type").alias("type_a"))
+        .join(
+            tp.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    u = (
+        d.join(
+            F.broadcast(pr),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("ina"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("inb"),
+        )
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    m = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.max("h").alias("h_k"),
+            F.sum(
+                F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    ex = u.groupBy("type_a", "type_b").agg(
+        F.sum(
+            F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+        ).alias("n_exact_inter")
+    )
+    union_est = F.when(
+        F.col("n_m") < _KMV_K, F.col("n_m") * 1.0
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h_k"))
+    jac = F.col("n_both") * 1.0 / F.col("n_m")
+    return (
+        m.join(ex, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("sketch_common"),
+            F.round(union_est, 4).alias("union_est"),
+            F.round(jac, 4).alias("jaccard_est"),
+            F.round(jac * union_est, 4).alias("inter_est"),
+            F.col("n_exact_inter").cast("bigint").alias("n_exact_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1,0 +1,578 @@
+"""Statistical mining: the hypothesis-shaped questions a warehouse
+gets asked that the aggregate/window surface didn't yet answer
+directly.
+
+- ``events_cusum_changepoint`` / ``streaming_cusum_refresh``: CUSUM
+  chart change-point per event type (argmax |cumsum(daily mean -
+  grand mean)|, Taylor's method), batch + streaming-state forms.
+- ``events_ab_test_zstat``: deterministic hash-split A/B assignment +
+  two-proportion pooled z statistic.
+- ``part_price_size_skyline``: Pareto frontier (skyline) on
+  (price, size) via a bucketed running-min plan — no self-join.
+- ``orders_ship_survival_km``: Kaplan-Meier time-to-first-shipment
+  with staggered-entry right-censoring at a calendar cutoff.
+
+Engine-native (no reference counterpart — the reference has no
+analytics surface); SURVEY §2.12 spirit.
+
+Float discipline (memory: float-grid parity): every quantity that
+feeds an ORDER BY, argmax, or comparison lives on an exact integer
+grid (1e-4 units x1000 for daily means, cents for prices); doubles
+appear only in final ROUND(...,4) projections of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.plans.registry import query
+
+# daily mean grid: value -> 1e-4 round-half-up units, then the
+# per-day mean keeps 3 more digits via *1000 before the integer
+# divide, so m sits on a value*1e7 grid. Exact BIGINT throughout.
+_VAL_UNITS_SQL = "CAST(floor(value * 10000 + 0.5) AS BIGINT)"
+_M_GRID = 10_000_000.0  # m units per 1.0 of value
+
+# A/B: a user "converts" when they make >= _AB_MIN_PURCHASES purchase
+# events — calibrated so both shipped SFs land mid-range (neither 0%
+# nor 100%, keeping the pooled z well-defined and meaningful).
+_AB_MIN_PURCHASES = 12
+_AB_Z_CRIT = 1.96
+
+# skyline price buckets: $5-wide cents ranges. Bucket count is
+# (price spread / $5) — tens to hundreds — so the bucket-summary
+# frame is always tiny relative to the part table.
+_SKY_BUCKET_CENTS = 500
+
+
+_CUSUM_ORACLE = f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             (SUM({_VAL_UNITS_SQL}) * 1000) // COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, m,
+             ROW_NUMBER() OVER w AS i,
+             SUM(m) OVER w AS cum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT event_type, SUM(m) // COUNT(*) AS mbar,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    s AS (
+      SELECT q.event_type, q.day, q.i, q.m,
+             q.cum - q.i * t.mbar AS s, t.n_days
+      FROM seq q JOIN tot t USING (event_type)
+    ),
+    cp AS (
+      SELECT event_type, day AS change_day, i AS days_before,
+             ABS(s) AS s_max_units
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY ABS(s) DESC, day) AS rk FROM s)
+      WHERE rk = 1
+    )
+    SELECT s.event_type,
+           strftime(c.change_day, '%Y-%m-%d') AS change_day,
+           CAST(c.s_max_units AS BIGINT) AS s_max_units,
+           CAST(s.n_days AS INT) AS n_days,
+           CAST(c.days_before AS INT) AS days_before,
+           ROUND(SUM(CASE WHEN s.i <= c.days_before THEN s.m END)
+                 / (c.days_before * {_M_GRID}), 4) AS mean_before,
+           CASE WHEN s.n_days > c.days_before THEN
+             ROUND(SUM(CASE WHEN s.i > c.days_before THEN s.m END)
+                   / ((s.n_days - c.days_before) * {_M_GRID}), 4)
+           END AS mean_after
+    FROM s JOIN cp c USING (event_type)
+    GROUP BY s.event_type, c.change_day, c.s_max_units, s.n_days,
+             c.days_before
+    ORDER BY s.event_type
+    """
+
+
+def cusum_report(daily: DataFrame) -> DataFrame:
+    """CUSUM change-point report from a ``(event_type, day, su, cnt)``
+    partial-aggregate frame — THE shared finalize: the batch query and
+    the streaming state refresh both call this, so the two surfaces
+    cannot drift (su = exact 1e-4-unit value sum, cnt = row count)."""
+    daily = daily.select(
+        "event_type", "day", F.expr("(su * 1000) div cnt").alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        "m",
+        F.row_number().over(w).alias("i"),
+        F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.expr("sum(m) div count(*)").alias("mbar"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    s = seq.join(F.broadcast(tot), "event_type").withColumn(
+        "s", F.col("cum") - F.col("i") * F.col("mbar")
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.abs("s").desc(), "day")
+    cp = (
+        s.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("i").alias("days_before"),
+            F.abs("s").alias("s_max_units"),
+        )
+    )
+    return (
+        s.join(F.broadcast(cp), "event_type")
+        .groupBy(
+            "event_type", "change_day", "s_max_units", "n_days", "days_before"
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("i") <= F.col("days_before"), F.col("m")))
+                / (F.col("days_before") * F.lit(_M_GRID)),
+                4,
+            ).alias("mean_before"),
+            F.when(
+                F.col("n_days") > F.col("days_before"),
+                F.round(
+                    F.sum(F.when(F.col("i") > F.col("days_before"), F.col("m")))
+                    / ((F.col("n_days") - F.col("days_before")) * F.lit(_M_GRID)),
+                    4,
+                ),
+            ).alias("mean_after"),
+        )
+        .select(
+            "event_type",
+            F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
+            F.col("s_max_units").cast("bigint").alias("s_max_units"),
+            F.col("n_days").cast("int").alias("n_days"),
+            F.col("days_before").cast("int").alias("days_before"),
+            "mean_before",
+            "mean_after",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-chart change-point detection per event type: the day d
+    maximizing |S_d|, S_d = cumsum over days of (daily mean - grand
+    mean of daily means) — Taylor's cumulative-sum method. Emits the
+    split day, |S| magnitude, and the before/after segment means whose
+    gap is the detected shift.
+
+    Exactness: daily means live on an integer value*1e7 grid (integer
+    div), S is integer cumsum in day order, the argmax compares exact
+    BIGINTs with an earliest-day tiebreak — no float enters until the
+    final ROUND projections, so both engines pick the same day on the
+    same arithmetic.
+
+    Scale: one groupBy(type, day) partial-agg shuffle over the fact
+    table, then everything downstream is days x types sized (~10^3
+    rows per year per type); the per-type windows partition on
+    event_type so no global-order bottleneck. At 100 TB the heavy
+    stage is the first agg — exactly the stage Spark map-side
+    combines."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return cusum_report(daily)
+
+
+@query("streaming_cusum_refresh", oracle=_CUSUM_ORACLE)
+def streaming_cusum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM maintenance: replay events as real
+    micro-batches; foreachBatch folds each batch's (type, day)
+    value-unit sums into the persistent daily-partial state (exact
+    BIGINT add-merge), then the final state finalizes through the
+    SAME cusum_report the batch query uses — so the result must
+    hash-equal the full recompute (this oracle IS the batch oracle),
+    which holds only if partial-sum merging commutes with batching
+    across every boundary. The monitoring shape: a control chart that
+    stays current as data lands, with |types| x |days| rows of state
+    forever.
+
+    Scaffolding (sharding, ping-pong state, at-least-once caveat):
+    streaming/incremental_refresh.py::_replay_state_refresh, shared
+    with the agg/CMS/HLL refreshes."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_cusum_state_refresh,
+    )
+
+    return streaming_cusum_state_refresh(spark, sf_dir)
+
+
+@query(
+    "events_ab_test_zstat",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) >= {_AB_MIN_PURCHASES}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+        SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_control,
+        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment,
+        SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_treatment
+      FROM u
+    )
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(conv_control AS BIGINT) AS conv_control,
+           ROUND(CAST(conv_control AS DOUBLE) / n_control, 4) AS rate_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           CAST(conv_treatment AS BIGINT) AS conv_treatment,
+           ROUND(CAST(conv_treatment AS DOUBLE) / n_treatment, 4)
+               AS rate_treatment,
+           ROUND(
+             (CAST(conv_treatment AS DOUBLE) / n_treatment
+              - CAST(conv_control AS DOUBLE) / n_control)
+             / sqrt(
+                 (CAST(conv_control + conv_treatment AS DOUBLE)
+                  / (n_control + n_treatment))
+                 * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
+                        / (n_control + n_treatment))
+                 * (1.0 / n_control + 1.0 / n_treatment)
+               ), 4) AS z_stat,
+           ABS(
+             (CAST(conv_treatment AS DOUBLE) / n_treatment
+              - CAST(conv_control AS DOUBLE) / n_control)
+             / sqrt(
+                 (CAST(conv_control + conv_treatment AS DOUBLE)
+                  / (n_control + n_treatment))
+                 * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
+                        / (n_control + n_treatment))
+                 * (1.0 / n_control + 1.0 / n_treatment)
+               )) > {_AB_Z_CRIT} AS significant
+    FROM agg
+    """,
+)
+def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users hash-split 50/50 by the
+    engine-wide md5-prefix convention (deterministic, replayable —
+    the assignment a real experimentation system derives from a user
+    id + salt), conversion = >= {12} purchase events, pooled
+    two-proportion z statistic with the 1.96 two-sided verdict.
+
+    Exactness: counts are exact integers; the z expression is a single
+    identical double formula over those integers on both engines
+    (IEEE-correctly-rounded ops), rounded at 4.
+
+    Scale: one user-keyed partial agg over the fact table, then a
+    single global 4-counter agg — the textbook map-side-combine
+    shape; nothing downstream exceeds one row."""
+    ev = table(spark, sf_dir, "events")
+    from env_data_pipeline_spark.extensions import text as TX
+
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _AB_MIN_PURCHASES,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select(
+        (TX.md5_prefix_hash(F.col("user_id").cast("string")) % 2).alias(
+            "variant"
+        ),
+        "conv",
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_control"
+        ),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias(
+            "n_treatment"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_treatment"
+        ),
+    )
+    pc = F.col("conv_control").cast("double") / F.col("n_control")
+    pt = F.col("conv_treatment").cast("double") / F.col("n_treatment")
+    pool = (F.col("conv_control") + F.col("conv_treatment")).cast("double") / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    z = (pt - pc) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_control") + F.lit(1.0) / F.col("n_treatment"))
+    )
+    return agg.select(
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("conv_control").cast("bigint").alias("conv_control"),
+        F.round(pc, 4).alias("rate_control"),
+        F.col("n_treatment").cast("bigint").alias("n_treatment"),
+        F.col("conv_treatment").cast("bigint").alias("conv_treatment"),
+        F.round(pt, 4).alias("rate_treatment"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )
+
+
+@query(
+    "part_price_size_skyline",
+    oracle="""
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.p_partkey AS partkey,
+           ROUND(a.cents / 100.0, 2) AS price,
+           CAST(a.p_size AS INT) AS size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE (q.cents < a.cents AND q.p_size <= a.p_size)
+         OR (q.cents = a.cents AND q.p_size < a.p_size)
+    )
+    ORDER BY price, size, partkey
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) on (retail price, size), both
+    minimized: parts no other part beats on one dimension without
+    losing the other — the classic multi-objective shortlist.
+
+    Plan (the 100 TB story): the textbook skyline is a quadratic
+    NOT-EXISTS self-join — the oracle runs THAT, as independent
+    evidence. The engine instead sorts once on exact integer cents,
+    bucketed: a window partitioned by $5 cents bucket computes each
+    row's min-size-among-strictly-cheaper within its bucket (parallel
+    across buckets), a bucket-level summary frame (tens-to-hundreds
+    of rows — explicitly tiny, the ONLY global-ordered window) carries
+    the running min across earlier buckets, and a per-cents partition
+    handles equal-price dominance. Total cost: two fact-sized
+    window shuffles + one broadcast of the bucket summary —
+    O(n log n), no self-join at any scale.
+
+    Exactness: dominance compares integer cents/sizes only; price is
+    a final ROUND projection of cents."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    p = p.withColumn("bucket", F.expr(f"cents div {_SKY_BUCKET_CENTS}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("cents")
+    big = F.lit(2_147_483_647)
+    scored = p.select(
+        "p_partkey",
+        "p_size",
+        "cents",
+        "bucket",
+        F.coalesce(F.min("p_size").over(w_in), big).alias("min_cheaper_in"),
+        F.min("p_size").over(w_eq).alias("min_same_cents"),
+    )
+    buckets = p.groupBy("bucket").agg(F.min("p_size").alias("bmin"))
+    w_run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prev = buckets.select(
+        "bucket", F.coalesce(F.min("bmin").over(w_run), big).alias("prev_min")
+    )
+    return (
+        scored.join(F.broadcast(prev), "bucket")
+        .filter(
+            ~(
+                (F.col("prev_min") <= F.col("p_size"))
+                | (F.col("min_cheaper_in") <= F.col("p_size"))
+                | (F.col("min_same_cents") < F.col("p_size"))
+            )
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .orderBy("price", "size", "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_ship_survival_km — Kaplan-Meier time-to-first-shipment with
+# staggered-entry right-censoring at a calendar cutoff
+# ---------------------------------------------------------------------------
+
+_KM_CUTOFF = "1998-01-01 00:00:00"
+
+
+@query(
+    "orders_ship_survival_km",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             o.o_orderdate AS od, MIN(l.l_shipdate) AS ship
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    obs AS (
+      SELECT priority,
+             CASE WHEN ship <= TIMESTAMP '{_KM_CUTOFF}'
+                  THEN date_diff('day', od, ship)
+                  ELSE date_diff('day', od, TIMESTAMP '{_KM_CUTOFF}') END AS t,
+             CASE WHEN ship <= TIMESTAMP '{_KM_CUTOFF}' THEN 1 ELSE 0 END AS ev
+      FROM s
+      WHERE od <= TIMESTAMP '{_KM_CUTOFF}' AND ship >= od
+    ),
+    grp AS (
+      SELECT priority, t, SUM(ev) AS d, COUNT(*) - SUM(ev) AS c
+      FROM obs GROUP BY 1, 2
+    ),
+    tot AS (SELECT priority, COUNT(*) AS n_total FROM obs GROUP BY 1),
+    risk AS (
+      SELECT g.priority, g.t, g.d,
+             t2.n_total
+               - COALESCE(SUM(g2.d + g2.c) OVER (
+                   PARTITION BY g.priority ORDER BY g.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grp g
+      JOIN tot t2 USING (priority)
+      -- window over the grp rows themselves
+      , LATERAL (SELECT g.d AS d, g.c AS c) g2
+    ),
+    km AS (
+      SELECT priority, t, d, n_risk,
+             MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hit_zero,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN CAST(floor(ln(1 - d * 1.0 / n_risk) * 1000000000)
+                                AS BIGINT)
+                      ELSE 0 END) OVER w AS logsurv_u
+      FROM risk
+      WINDOW w AS (PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, CAST(t AS INT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(logsurv_u / 1000000000.0), 4) END AS survival
+    FROM km
+    WHERE d > 0
+    ORDER BY priority, t_days
+    """,
+)
+def orders_ship_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-shipment per order
+    priority, right-censored at the {cutoff} observation date: orders
+    still unshipped at cutoff contribute follow-up time without an
+    event (staggered entry gives genuinely interior censoring, so
+    this is true KM, not an ECDF). The curve answers "what fraction
+    of URGENT orders are still unshipped k days after ordering?" —
+    the SLA survival question — with the censoring handled the way a
+    naive drop-the-open-orders average gets wrong.
+
+    Exactness: event/censor times are integer day diffs; risk sets
+    are exact integer cumulative counts; the product-limit estimate
+    folds as exp(sum(ln(1 - d/n))) over a window ordered by the
+    integer time, so both engines add the same doubles in the same
+    order; d = n_risk sends the curve exactly to 0 via the hit_zero
+    flag (never ln(0) — which Spark nulls and DuckDB -infs).
+
+    Scale: one orderkey groupBy (first shipdate), one (priority, t)
+    groupBy, then windows over |distinct times| rows per priority —
+    the heavy stages are the two fact-sized partial aggs. Orders
+    with shipdate noise (ship < order date, present in the synthetic
+    data) are excluded as incoherent."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_KM_CUTOFF).cast("timestamp")
+    s = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("ship"))
+    )
+    obs = s.filter(
+        (F.col("o_orderdate") <= cutoff) & (F.col("ship") >= F.col("o_orderdate"))
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(
+            F.col("ship") <= cutoff,
+            F.datediff(F.col("ship"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(cutoff, F.col("o_orderdate")))
+        .alias("t"),
+        F.when(F.col("ship") <= cutoff, 1).otherwise(0).alias("ev"),
+    )
+    grp = obs.groupBy("priority", "t").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    tot = obs.groupBy("priority").agg(F.count(F.lit(1)).alias("n_total"))
+    wprev = (
+        Window.partitionBy("priority")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = (
+        Window.partitionBy("priority")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grp.join(F.broadcast(tot), "priority").withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    km = risk.select(
+        "priority",
+        "t",
+        "d",
+        "n_risk",
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(wcur)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.floor(
+                    F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk"))
+                    * F.lit(1_000_000_000)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .over(wcur)
+        .alias("logsurv_u"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            "priority",
+            F.col("t").cast("int").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.when(F.col("hit_zero") == 1, 0.0)
+            .otherwise(
+                F.round(F.exp(F.col("logsurv_u") / F.lit(1_000_000_000.0)), 4)
+            )
+            .alias("survival"),
+        )
+        .orderBy("priority", "t_days")
+    )

@@ -670,3 +670,154 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# text_sparse_cosine_pairs — prefix-filtered sparse tf-idf cosine
+# similarity join (the inverted-index lexical sibling of the dense
+# embedding ANN and the MinHash families)
+# --------------------------------------------------------------------------
+
+# tf-idf units on a 1e3 grid (NOT the 1e6 top-terms grid): squared
+# sums must stay inside BIGINT — max unit ~ tf*(N+1)*1000, squared and
+# summed over <= _SSJ_PREFIX terms per doc.
+_SSJ_PREFIX = 8  # salient terms kept per doc (the "prefix")
+_SSJ_MAX_DF = 100  # posting-list cap: terms in more docs are dropped
+_SSJ_TAU_U = 500_000  # cosine >= 0.5 on the 1e-6 grid
+_SSJ_TOPK = 50
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               (tf.tf * (n.n_docs + 1) * 1000) // (df.df + 1) AS u
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE df.df <= {_SSJ_MAX_DF}
+    ),
+    pfx AS MATERIALIZED (
+        SELECT doc_id, token, u FROM (
+            SELECT doc_id, token, u,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY u DESC, token) AS rk
+            FROM scored)
+        WHERE rk <= {_SSJ_PREFIX}
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+        FROM pfx GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.u * b.u) AS dot, COUNT(*) AS n_shared
+        FROM pfx a JOIN pfx b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT d.doc_a, d.doc_b, d.n_shared,
+               CAST(floor(d.dot / (na.nrm * nb.nrm) * 1000000) AS BIGINT)
+                   AS cos_u
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.doc_a
+        JOIN nrm nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(cos_u / 1000000.0, 4) AS cosine_sim
+    FROM cosd
+    WHERE cos_u >= {_SSJ_TAU_U}
+    ORDER BY cos_u DESC, doc_a, doc_b
+    LIMIT {_SSJ_TOPK}
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join: top-50 document pairs by
+    cosine over tf-idf PREFIX vectors — each doc keeps only its
+    {8} most salient terms (rarest-weighted), terms appearing in more
+    than {100} docs are dropped, and candidate pairs must share a
+    surviving term. This is prefix filtering from the set-similarity-
+    join literature (Chaudhuri/Bayardo): salient terms are rare, so
+    posting lists are short and the pair space collapses from n^2 to
+    sum(postings^2) — the third similarity family next to MinHash
+    (set overlap) and embedding ANN (dense semantics).
+
+    Exactness: tf-idf units, squared norms, and dot products are
+    exact BIGINT; the only doubles are sqrt/division — IEEE-exact
+    ops that both engines round identically from identical integer
+    inputs — and the comparison/order key is the floor-quantized
+    1e-6 cosine, never a raw double.
+
+    Scale: tf and df are the same two shuffles text_tfidf_top_terms
+    pays; the prefix keeps <= 8 rows per doc; the inverted-index
+    equi-join shuffles on token with the df cap bounding every
+    posting list, and the pair aggregation is map-side combinable.
+    The df cap is the knob that holds at 100 TB: posting cost is
+    O(sum over kept terms of df^2) with df <= 100 by construction."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .filter(F.col("df") <= _SSJ_MAX_DF)
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.expr("(tf * (n_docs + 1) * 1000) div (df + 1)").alias("u"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("u"), "token")
+    pfx = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SSJ_PREFIX)
+        .select("doc_id", "token", "u")
+    )
+    nrm = pfx.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("u") * F.col("u")).cast("double")).alias("nrm")
+    )
+    a = pfx.select(
+        F.col("token"), F.col("doc_id").alias("doc_a"), F.col("u").alias("ua")
+    )
+    b = pfx.select(
+        F.col("token"), F.col("doc_id").alias("doc_b"), F.col("u").alias("ub")
+    )
+    dots = (
+        a.hint("merge")
+        .join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("ua") * F.col("ub")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos_u",
+            F.floor(
+                F.col("dot") / (F.col("na") * F.col("nb")) * F.lit(1_000_000)
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos_u") >= _SSJ_TAU_U)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("cos_u") / 1_000_000.0, 4).alias("cosine_sim"),
+            "cos_u",
+        )
+        .orderBy(F.desc("cos_u"), "doc_a", "doc_b")
+        .limit(_SSJ_TOPK)
+        .drop("cos_u")
+    )

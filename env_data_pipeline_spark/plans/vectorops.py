@@ -1755,3 +1755,158 @@ def embedding_exact_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup — SemDeDup (Abbas et al. 2023,
+# arXiv:2303.09540): k-means-cluster the embedding space, then drop
+# near-duplicates WITHIN each cluster only
+# ---------------------------------------------------------------------------
+
+_SEM_TAU_UNITS = 950_000  # keep threshold: cosine >= 0.95 on the 1e-6 grid
+
+_DUCK_COS_AB = """
+      list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))
+      / (a.nrm * b.nrm)
+"""
+
+
+def _semdedup_oracle() -> str:
+    """Training replay (shared _kmeans_ctes) + augmented-corpus cell
+    assignment + within-cell pair scan + min-id representative
+    election. The augmentation is the engine-wide planted-duplicate
+    convention (plans/extensions.py::_aug_embeddings): exact copies at
+    vec_id%50==0, first-dim +0.25 near copies at vec_id%50==25."""
+    from env_data_pipeline_spark.plans.extensions import _DUCK_AUG_EMB
+
+    ctes = _kmeans_ctes(_K, _ITERS, _INIT_STEP, final_update=True)
+    ctes.append(f"aug AS MATERIALIZED ({_DUCK_AUG_EMB})")
+    ctes.append(
+        f"""cells AS MATERIALIZED (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(range(64), i -> v[i + 1] * v[i + 1])))
+             AS nrm,
+         cluster_id AS cell
+  FROM (
+    SELECT p.vec_id, p.embedding AS v, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(floor(
+               list_sum(list_transform(range({_DIM}),
+                 i -> (p.embedding[i + 1] - c.c[i + 1])
+                    * (p.embedding[i + 1] - c.c[i + 1]))) * {_QGRID})
+               AS BIGINT), c.cluster_id
+           ) AS rn
+    FROM aug p CROSS JOIN c{_ITERS} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(({_DUCK_COS_AB}) * {_QGRID}) AS BIGINT) >= {_SEM_TAU_UNITS}
+  GROUP BY b.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT c.vec_id, CAST(c.cell AS INT) AS cluster_id,
+       d.dup_of IS NULL AS keep, d.dup_of
+FROM cells c LEFT JOIN dups d USING (vec_id)
+ORDER BY c.vec_id"""
+    )
+
+
+@query("dedup_semantic_semdedup", oracle=_semdedup_oracle())
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023):
+    k-means-partition the embedding space with the engine's trained
+    IVF machinery, then inside each cluster drop every vector whose
+    cosine to a lower-id cluster-mate clears 0.95, electing the
+    min-id vector as the representative. Emits the full per-vector
+    decision frame (vec_id, cluster, keep, dup_of) a curation
+    pipeline joins against the corpus.
+
+    This completes the dedup ladder: exact hash (X1), MinHash/SimHash
+    lexical (X2), and embedding-cosine near-dup are corpus-global;
+    SemDeDup is the SEMANTIC tier that scales because the quadratic
+    scan is confined to k-means cells — the paper's design is
+    k ~ O(sqrt(n)) clusters so cell sizes stay bounded as the corpus
+    grows, and the cell equi-join below never compares across cells.
+    Training reuses kmeans_train (2 Lloyd iterations, K=8, 1e-6 grid,
+    replayed CTE-for-CTE by the oracle); norms are computed once per
+    vector (cosine_prenormed), so scoring is one fold per pair.
+
+    Scale: centroids broadcast (K rows); the corpus shuffles ONCE on
+    cell for the merge self-join; per-cell pair work is bounded by
+    cell size — the same contract as dedup_minhash_lsh's bands. No
+    vector leaves its cell.
+
+    Corpus: the engine-wide planted-duplicate augmentation
+    (_aug_embeddings — exact + first-dim-perturbed copies); training
+    uses the RAW corpus (a real index predates the dup-laden ingest
+    batch), assignment and election run over the augmented one."""
+    from env_data_pipeline_spark.plans.extensions import _aug_embeddings
+
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = pts.filter(
+        (F.col("vec_id") % _INIT_STEP == 0) & (F.col("vec_id") < _K * _INIT_STEP)
+    ).select(
+        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
+        F.col("v").alias("c"),
+    )
+    cent = X.kmeans_train(
+        pts, init, iters=_ITERS, quant=float(_QGRID)
+    ).localCheckpoint(eager=True)
+    aug = _aug_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cells = X.coarse_assign(
+        X.coarse_scores(aug, cent, quant=float(_QGRID))
+    ).withColumn("nrm", X.norm(F.col("v")))
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dups = (
+        a.hint("merge")
+        .join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos_u",
+            F.floor(
+                X.cosine_prenormed(
+                    F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")
+                )
+                * F.lit(float(_QGRID))
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos_u") >= _SEM_TAU_UNITS)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        cells.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )

@@ -468,3 +468,40 @@ def streaming_dedup_index_refresh(spark: SparkSession, docs: DataFrame) -> DataF
     result = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_cusum_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM control-chart maintenance (see
+    plans/statmining.py::streaming_cusum_refresh for the contract):
+    state is the (event_type, day) -> (su, cnt) partial frame; batches
+    ADD-merge exact BIGINT value-unit sums; finalize is the shared
+    cusum_report."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        _VAL_UNITS_SQL,
+        cusum_report,
+    )
+
+    events = table(spark, sf_dir, "events")
+
+    def build(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("event_type", "day")
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return cusum_report(state)
+
+    return _replay_state_refresh(
+        spark, events, build, merge, finalize, "stream_cusum_refresh_"
+    )

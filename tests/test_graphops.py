@@ -189,3 +189,163 @@ def test_skew_profile_rejects_out_of_range_keys(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     with _pytest.raises(Exception, match="precondition"):
         join_key_skew_profile(spark, str(tmp_path)).collect()
+
+
+# ---------------------------------------------------------------------------
+# k-core + bounded BFS (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _support_edges_py(min_support):
+    """Pure-Python support-thresholded symmetric co-purchase edges."""
+    pair_orders = defaultdict(set)
+    for o, parts in BASKETS:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pair_orders[(a, b)].add(o)
+    return {e for e, orders in pair_orders.items() if len(orders) >= min_support}
+
+
+def _peel(edges, k):
+    """Reference peel-to-fixpoint; returns (core set, rounds used)."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    nodes, rounds = set(adj), 0
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            return nodes, rounds
+        nodes -= drop
+        rounds += 1
+
+
+def test_kcore_matches_python_peel(spark, tmp_path):
+    """Engine 3-core on the tiny basket fixture == reference peel.
+    With support>=2 only the (1,2)/(2,3) edges survive (pairs 1-2 in
+    orders 100+200, 2-3 in 100+500), so NO node reaches degree 3 and
+    the 3-core is empty — the peel must fully drain, which exercises
+    the bounded loop past its first round."""
+    from env_data_pipeline_spark.plans.graphops import (
+        _KCORE_K,
+        part_kcore_membership,
+    )
+
+    _write_lineitem(spark, tmp_path)
+    got = {
+        (r.partkey, r.core_degree)
+        for r in part_kcore_membership(spark, str(tmp_path)).collect()
+    }
+    core, _ = _peel(_support_edges_py(2), _KCORE_K)
+    assert {p for p, _ in got} == core == set()
+
+
+def test_kcore_bounded_rounds_reach_fixpoint_on_testdata(spark, sf_dir):
+    """The shipped iteration budget must cover the real data's
+    fixpoint: one MORE peel round on the engine's own edge set must
+    not change membership, so the bounded answer IS the true 3-core."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.plans.graphops import (
+        _KCORE_K,
+        _support_edges,
+        part_kcore_membership,
+    )
+
+    core = part_kcore_membership(spark, sf_dir)
+    members = core.select(F.col("partkey").alias("node"))
+    edges = _support_edges(spark, sf_dir)
+    again = (
+        edges.join(members.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(members.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .groupBy("src")
+        .count()
+        .filter(F.col("count") >= _KCORE_K)
+    )
+    assert again.count() == core.count()
+    # and every member's in-core degree satisfies the core property
+    assert core.filter(F.col("core_degree") < _KCORE_K).count() == 0
+
+
+def test_reach_3hop_matches_python_bfs(spark, tmp_path):
+    """Hop labels on the tiny fixture == reference BFS (seed rule
+    partkey % 101 == 7 hits nothing in the fixture, so plant part 7
+    via an extra basket to get a non-empty frontier)."""
+    from env_data_pipeline_spark.plans.graphops import (
+        _REACH_MOD,
+        _REACH_RES,
+        part_copurchase_reach_3hop,
+    )
+
+    baskets = BASKETS + [(600, (7, 1)), (700, (7, 1))]
+    rows = [(o, p) for o, parts in baskets for p in parts]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    pair_orders = defaultdict(set)
+    for o, parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pair_orders[(a, b)].add(o)
+    edges = {e for e, o in pair_orders.items() if len(o) >= 2}
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    seeds = {n for n in adj if n % _REACH_MOD == _REACH_RES}
+    expect, frontier = {n: 0 for n in seeds}, set(seeds)
+    for hop in (1, 2, 3):
+        frontier = {d for s in frontier for d in adj[s]}
+        for n in frontier:
+            expect.setdefault(n, hop)
+    got = {
+        (r.partkey, r.hops)
+        for r in part_copurchase_reach_3hop(spark, str(tmp_path)).collect()
+    }
+    assert got == set(expect.items())
+    assert seeds, "fixture must produce a non-empty seed set"
+
+
+def test_ppr_matches_python_reference(spark, tmp_path):
+    """Seed-teleport power iteration replayed in pure Python on the
+    basket fixture (seed planted at part 7 = 7 % 101)."""
+    from env_data_pipeline_spark.plans.graphops import (
+        _PPR_ITERS,
+        part_ppr_recommendations,
+    )
+
+    baskets = BASKETS + [(600, (7, 1)), (700, (7, 3))]
+    rows = [(o, p) for o, parts in baskets for p in parts]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    edges = set()
+    for _, parts in baskets:
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg = Counter(s for s, _ in edges)
+    seeds = [n for n in deg if n % 101 == 7]
+    assert seeds == [7]
+    r0 = _PR_MASS // len(seeds)
+    base = {n: ((15 * r0) // 100 if n in seeds else 0) for n in deg}
+    rank = {n: (r0 if n in seeds else 0) for n in deg}
+    for _ in range(_PPR_ITERS):
+        inc = Counter()
+        for s, d in edges:
+            inc[d] += rank[s] // deg[s]
+        rank = {n: base[n] + (85 * inc[n]) // 100 for n in deg}
+    expect = sorted(
+        ((n, rank[n]) for n in deg if n not in seeds and rank[n] > 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r.partkey, r.rank_units)
+        for r in part_ppr_recommendations(spark, str(tmp_path)).collect()
+    ]
+    assert got == expect[: len(got)]
+    assert got, "seed must propagate mass to neighbors"

@@ -107,6 +107,21 @@ NESTED_LOOP_OK = {
     # 1-row basket-total cross-joined into the pair stream for the
     # lift denominator
     "market_basket_lift_topk",
+    # corpus x K=8 broadcast Lloyd training + broadcast-centroid cell
+    # assignment of the augmented corpus (same class as
+    # similarity_ivf_kmeans); the pair scan itself is a cell equi-join
+    "dedup_semantic_semdedup",
+    # 1-row cluster/group counts cross-joined into the 1-row B-cubed
+    # summary (singleton-aggregate assembly)
+    "dedup_bcubed_eval",
+    # 1-row corpus count broadcast into the tf-idf unit expression
+    # (same singleton pattern as text_tfidf_top_terms)
+    "text_sparse_cosine_pairs",
+    # type-pair fan-out: a |types|^2 (=25-row) inequality self-join
+    # builds the pair dimension, then the 10-row pair frame broadcasts
+    # onto the distinct-hash stream with an OR-equi membership
+    # condition — both sides of each nested loop are constant-sized
+    "events_kmv_set_ops",
 }
 
 HEADLINE = [

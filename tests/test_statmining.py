@@ -1,0 +1,225 @@
+"""Independent (non-oracle) references for the statmining queries:
+pure-Python CUSUM / z-test / dominance checks on tiny fixtures —
+third-party to BOTH the Spark plan and the DuckDB replay, so a shared
+design bug in the two cannot hide."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from env_data_pipeline_spark.plans.statmining import (
+    _AB_MIN_PURCHASES,
+    events_ab_test_zstat,
+    events_cusum_changepoint,
+    part_price_size_skyline,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """10 days at value 10.0 then 10 days at 30.0, one event per day:
+    |S| peaks exactly at the seam (day 10), and the segment means
+    recover the two levels."""
+    rows = []
+    for d in range(20):
+        rows.append(
+            (
+                d,
+                dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                1,
+                "click",
+                10.0 if d < 10 else 30.0,
+                "{}",
+            )
+        )
+    _write_events(spark, tmp_path, rows)
+    got = events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.change_day == "2024-01-10"
+    assert r.days_before == 10 and r.n_days == 20
+    assert r.mean_before == 10.0 and r.mean_after == 30.0
+    # |S| at the seam: 10 days * (10 - 20) on the value*1e7 grid
+    assert r.s_max_units == 10 * 10 * 10_000_000
+
+
+def test_cusum_python_replay_on_irregular_days(spark, tmp_path):
+    """Multi-event days + two types: replay the integer-grid CUSUM in
+    pure Python and compare the argmax day per type."""
+    vals = {
+        "click": [3.0, 4.5, 4.5, 9.0, 9.5, 9.0, 8.5],
+        "view": [100.0, 2.0, 50.0, 49.0, 51.0, 2.0, 100.0],
+    }
+    rows, eid = [], 0
+    for typ, series in vals.items():
+        for d, v in enumerate(series):
+            for k in range(d % 3 + 1):  # 1-3 events per day
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 3, 1) + dt.timedelta(days=d),
+                        1,
+                        typ,
+                        v + k,  # intra-day spread
+                        "{}",
+                    )
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_cusum_changepoint(spark, str(tmp_path)).collect()}
+
+    for typ, series in vals.items():
+        days = {}
+        eid2 = 0
+        for d, v in enumerate(series):
+            units = [
+                math.floor((v + k) * 10000 + 0.5) for k in range(d % 3 + 1)
+            ]
+            days[d] = (sum(units) * 1000) // len(units)
+        ms = [days[d] for d in sorted(days)]
+        mbar = sum(ms) // len(ms)
+        best = None
+        cum = 0
+        for i, m in enumerate(ms, start=1):
+            cum += m
+            s = abs(cum - i * mbar)
+            if best is None or s > best[0]:
+                best = (s, i)
+        assert got[typ].days_before == best[1], typ
+        assert got[typ].s_max_units == best[0], typ
+
+
+def test_ab_zstat_matches_closed_form(spark, tmp_path):
+    """Hash-split + conversion threshold replayed in pure Python; the
+    z statistic must match the closed form to the rounded digit."""
+    rows, eid = [], 0
+    for uid in range(40):
+        n_purch = uid % 25  # users 12..24 convert in their residue class
+        for k in range(n_purch):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 5, 1, k % 24),
+                    uid,
+                    "purchase",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 5, 2), uid, "view", 1.0, "{}")
+        )
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = events_ab_test_zstat(spark, str(tmp_path)).collect()[0]
+
+    stats = {0: [0, 0], 1: [0, 0]}
+    for uid in range(40):
+        v = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16) % 2
+        stats[v][0] += 1
+        stats[v][1] += int(uid % 25 >= _AB_MIN_PURCHASES)
+    (nc, cc), (nt, ct) = stats[0], stats[1]
+    assert (got.n_control, got.conv_control) == (nc, cc)
+    assert (got.n_treatment, got.conv_treatment) == (nt, ct)
+    pool = (cc + ct) / (nc + nt)
+    z = (ct / nt - cc / nc) / math.sqrt(
+        pool * (1 - pool) * (1 / nc + 1 / nt)
+    )
+    assert got.z_stat == round(z, 4)
+    assert got.significant == (abs(z) > 1.96)
+
+
+def test_skyline_matches_bruteforce(spark, tmp_path):
+    """Windowed-bucket skyline == quadratic dominance filter, on a
+    fixture with duplicate prices, duplicate (price, size) pairs, and
+    cross-bucket dominance (bucket width is $5 = 500 cents)."""
+    parts = [
+        # (partkey, price, size)
+        (1, 900.00, 30),
+        (2, 900.00, 30),  # duplicate pair: both stay
+        (3, 900.00, 40),  # same price, bigger: dominated by 1/2
+        (4, 901.00, 25),
+        (5, 906.00, 24),  # next bucket; beats 4 on size
+        (6, 906.00, 26),  # dominated by 4 (cheaper, smaller)
+        (7, 950.00, 1),
+        (8, 960.00, 1),  # dominated by 7 across buckets
+        (9, 949.99, 2),
+        (10, 970.00, 50),  # dominated by everything cheaper+smaller
+    ]
+    rows = [(k, f"part{k}", "B", "T", s, p) for k, p, s in parts]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    got = {r.partkey for r in part_price_size_skyline(spark, str(tmp_path)).collect()}
+
+    def dominated(a):
+        ka, pa, sa = a
+        ca = math.floor(pa * 100 + 0.5)
+        for kb, pb, sb in parts:
+            cb = math.floor(pb * 100 + 0.5)
+            if (cb < ca and sb <= sa) or (cb == ca and sb < sa):
+                return True
+        return False
+
+    expect = {k for (k, p, s) in parts if not dominated((k, p, s))}
+    assert got == expect == {1, 2, 4, 5, 7, 9}
+
+
+def test_km_survival_textbook_fixture(spark, tmp_path):
+    """Hand-computed product-limit estimate on a 5-order cohort with
+    interleaved censoring (events at t=1,3,5; censored at t=2,4):
+    S(1)=4/5, S(3)=4/5*2/3, S(5)=0 (last at-risk order ships)."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import orders_ship_survival_km
+
+    day = dt.timedelta(days=1)
+    cutoff = dt.datetime(1998, 1, 1)
+    orders = [
+        (1, dt.datetime(1997, 12, 1)),   # event t=1
+        (2, cutoff - 2 * day),           # censored t=2
+        (3, dt.datetime(1997, 12, 5)),   # event t=3
+        (4, cutoff - 4 * day),           # censored t=4
+        (5, dt.datetime(1997, 12, 10)),  # event t=5
+    ]
+    ships = {
+        1: orders[0][1] + 1 * day,
+        2: cutoff + 31 * day,
+        3: orders[2][1] + 3 * day,
+        4: cutoff + 60 * day,
+        5: orders[4][1] + 5 * day,
+    }
+    spark.createDataFrame(
+        [(k, "1-URGENT", od) for k, od in orders],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, ships[k]) for k, _ in orders],
+        "l_orderkey long, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = [
+        (r.t_days, r.n_risk, r.n_events, r.survival)
+        for r in orders_ship_survival_km(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 5, 1, 0.8),
+        (3, 3, 1, round(0.8 * (2 / 3), 4)),
+        (5, 1, 1, 0.0),
+    ]

@@ -902,3 +902,19 @@ def test_ivf_drift_trajectory_matches_batch_verdict(spark, sf_dir):
     assert traj[-1]["max_shift_permille"] == drifted["max_shift_permille"]
     assert traj[-1]["verdict"] == drifted["verdict"] == "RETRAIN"
     assert batch["stationary"]["verdict"] == "KEEP"
+
+
+def test_streaming_cusum_equals_batch_report(spark, sf_dir):
+    """The streamed daily-partial state, finalized through the shared
+    cusum_report, must row-for-row equal the batch query — the
+    add-merge across micro-batch boundaries cannot move an exact
+    integer partial sum."""
+    from env_data_pipeline_spark.plans.statmining import (
+        events_cusum_changepoint,
+        streaming_cusum_refresh,
+    )
+
+    batch = sorted(map(tuple, events_cusum_changepoint(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, streaming_cusum_refresh(spark, sf_dir).collect()))
+    assert stream == batch
+    assert batch, "report must be non-empty"

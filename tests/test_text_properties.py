@@ -79,3 +79,72 @@ def test_phrase_search_counts_adjacent_occurrences(spark, tmp_path):
         for r in text_phrase_search(spark, str(tmp_path)).collect()
     }
     assert got == {0: 2, 1: 1}
+
+
+def test_sparse_cosine_pairs_matches_python_reference(spark, sf_dir):
+    """Full pure-Python replay of the prefix-filtered sparse cosine
+    join (tokenize -> tf-idf units -> df cap -> 8-term prefix ->
+    inverted index -> exact integer dot / IEEE sqrt norms) on the
+    real sf0.001 corpus."""
+    import math
+    from collections import Counter, defaultdict
+
+    from env_data_pipeline_spark.plans.textstats import (
+        _SSJ_MAX_DF,
+        _SSJ_PREFIX,
+        _SSJ_TAU_U,
+        _SSJ_TOPK,
+        text_sparse_cosine_pairs,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    tf = {
+        d: Counter(t for t in txt.split(" ") if t) for d, txt in docs.items()
+    }
+    df = Counter(t for c in tf.values() for t in c)
+    pfx = {}
+    for d, c in tf.items():
+        scored = [
+            ((cnt * (n_docs + 1) * 1000) // (df[t] + 1), t)
+            for t, cnt in c.items()
+            if df[t] <= _SSJ_MAX_DF
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        pfx[d] = {t: u for u, t in scored[:_SSJ_PREFIX]}
+    nrm = {
+        d: math.sqrt(float(sum(u * u for u in v.values())))
+        for d, v in pfx.items()
+        if v
+    }
+    post = defaultdict(list)
+    for d, v in pfx.items():
+        for t, u in v.items():
+            post[t].append((d, u))
+    dots = defaultdict(lambda: [0, 0])
+    for t, plist in post.items():
+        for i, (da, ua) in enumerate(plist):
+            for db, ub in plist[i + 1 :]:
+                a, b = (da, db) if da < db else (db, da)
+                ua2, ub2 = (ua, ub) if da < db else (ub, ua)
+                dots[(a, b)][0] += ua2 * ub2
+                dots[(a, b)][1] += 1
+    cand = []
+    for (a, b), (dot, ns) in dots.items():
+        cos_u = math.floor(dot / (nrm[a] * nrm[b]) * 1_000_000)
+        if cos_u >= _SSJ_TAU_U:
+            cand.append((-cos_u, a, b, ns))
+    cand.sort()
+    expect = [
+        (a, b, ns, round(-cu / 1_000_000.0, 4)) for cu, a, b, ns in cand
+    ][:_SSJ_TOPK]
+
+    got = [
+        (r.doc_a, r.doc_b, r.n_shared, r.cosine_sim)
+        for r in text_sparse_cosine_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got, "corpus must produce similar pairs"

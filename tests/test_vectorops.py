@@ -380,3 +380,63 @@ def test_mmr_matches_python_greedy_reference(spark, tmp_path):
     # picks differ from the plain top-K by relevance
     plain_topk = set(sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_K])
     assert set(expected) != plain_topk
+
+
+def test_semdedup_decisions_match_numpy_replay(spark, sf_dir):
+    """Replay SemDeDup's within-cluster election in numpy from the
+    engine's OWN cell assignment (so the test isolates the pair scan +
+    min-id election, the part the kmeans oracle does not cover)."""
+    import math
+
+    import numpy as np
+
+    from env_data_pipeline_spark.plans.vectorops import (
+        _QGRID,
+        _SEM_TAU_UNITS,
+        dedup_semantic_semdedup,
+    )
+
+    from env_data_pipeline_spark.plans.extensions import (
+        EXACT_COPY_OFFSET,
+        NEAR_COPY_OFFSET,
+    )
+
+    rows = dedup_semantic_semdedup(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    # replay the planted-duplicate augmentation (_aug_embeddings)
+    for vid in list(emb):
+        if vid % 50 == 0:
+            emb[vid + EXACT_COPY_OFFSET] = emb[vid].copy()
+        elif vid % 50 == 25:
+            v = emb[vid].copy()
+            v[0] += 0.25
+            emb[vid + NEAR_COPY_OFFSET] = v
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cluster_id, []).append(r.vec_id)
+
+    expect = {}
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for j, b in enumerate(ids):
+            dup = None
+            for a in ids[:j]:
+                va, vb = emb[a], emb[b]
+                cos = float(va @ vb) / (
+                    math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+                )
+                if math.floor(cos * _QGRID) >= _SEM_TAU_UNITS:
+                    dup = a
+                    break  # ids sorted -> first hit IS the min
+            expect[b] = dup
+    got = {r.vec_id: r.dup_of for r in rows}
+    assert got == expect
+    assert set(got) == set(emb), "every vector must get a decision"
+    n_drop = sum(1 for v in got.values() if v is not None)
+    assert n_drop > 0, "fixture plants near-dup vectors; none found"
+    # representatives are never themselves dropped
+    reps = {v for v in got.values() if v is not None}
+    assert all(got[r] is None for r in reps)
