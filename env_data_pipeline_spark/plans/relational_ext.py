@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import text as TX
 from env_data_pipeline_spark.operators import incremental as INC
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
@@ -1486,10 +1487,8 @@ def events_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count rides along here only to exhibit the error.
     """
     ev = table(spark, sf_dir, "events")
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h")
+    h = TX.md5_prefix_hash(F.col("user_id").cast("string"), hex_chars=15).alias(
+        "h"
     )
     d = ev.select("event_type", h).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
@@ -4079,10 +4078,8 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every partition keeps a 64-row heap). The exact-intersection leg
     is test-SF-only exhibit; production drops it."""
     ev = table(spark, sf_dir, "events")
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h")
+    h = TX.md5_prefix_hash(F.col("user_id").cast("string"), hex_chars=15).alias(
+        "h"
     )
     d = ev.select("event_type", h).distinct()
     tp = d.select("event_type").distinct()

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
-from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 # daily mean grid: value -> 1e-4 round-half-up units, then the
 # per-day mean keeps 3 more digits via *1000 before the integer
@@ -269,7 +269,7 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B test: users hash-split 50/50 by the
     engine-wide md5-prefix convention (deterministic, replayable —
     the assignment a real experimentation system derives from a user
-    id + salt), conversion = >= {12} purchase events, pooled
+    id + salt), conversion = at least 12 (_AB_MIN_PURCHASES) purchase events, pooled
     two-proportion z statistic with the 1.96 two-sided verdict.
 
     Exactness: counts are exact integers; the z expression is a single
@@ -481,7 +481,7 @@ _KM_CUTOFF = "1998-01-01 00:00:00"
 )
 def orders_ship_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival of time-to-first-shipment per order
-    priority, right-censored at the {cutoff} observation date: orders
+    priority, right-censored at the 1998-01-01 (_KM_CUTOFF) observation date: orders
     still unshipped at cutoff contribute follow-up time without an
     event (staggered entry gives genuinely interior censoring, so
     this is true KM, not an ECDF). The curve answers "what fraction
@@ -576,3 +576,6 @@ def orders_ship_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "t_days")
     )
+
+
+BENCH_EXTRA.add("orders_ship_survival_km")

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
 from env_data_pipeline_spark.extensions.text import words
-from env_data_pipeline_spark.plans.registry import query
+from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 _DUCK_TOKENS = """
     tokens AS (SELECT doc_id, u.x AS token
@@ -680,7 +680,14 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # tf-idf units on a 1e3 grid (NOT the 1e6 top-terms grid): squared
 # sums must stay inside BIGINT — max unit ~ tf*(N+1)*1000, squared and
-# summed over <= _SSJ_PREFIX terms per doc.
+# summed over <= _SSJ_PREFIX terms per doc. The bound is ENFORCED
+# engine-side (raise_error below), not just assumed: past
+# u ~ sqrt(2^63 / prefix) ≈ 1.07e9 a non-ANSI Spark long SUM would
+# wrap silently while DuckDB promotes to HUGEINT — the engine would
+# diverge from both the oracle and the truth with no error. At a
+# corpus big enough to trip it (N ~ 1e6 with df=1 tf>=3 terms), shrink
+# the unit grid or df-normalize before the prefix cut.
+_SSJ_U_LIMIT = 1_000_000_000
 _SSJ_PREFIX = 8  # salient terms kept per doc (the "prefix")
 _SSJ_MAX_DF = 100  # posting-list cap: terms in more docs are dropped
 _SSJ_TAU_U = 500_000  # cosine >= 0.5 on the 1e-6 grid
@@ -738,8 +745,8 @@ _SSJ_TOPK = 50
 def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity join: top-50 document pairs by
     cosine over tf-idf PREFIX vectors — each doc keeps only its
-    {8} most salient terms (rarest-weighted), terms appearing in more
-    than {100} docs are dropped, and candidate pairs must share a
+    8 (_SSJ_PREFIX) most salient terms (rarest-weighted), terms
+    appearing in more than 100 (_SSJ_MAX_DF) docs are dropped, and candidate pairs must share a
     surviving term. This is prefix filtering from the set-similarity-
     join literature (Chaudhuri/Bayardo): salient terms are rare, so
     posting lists are short and the pair space collapses from n^2 to
@@ -771,6 +778,18 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "token",
             F.expr("(tf * (n_docs + 1) * 1000) div (df + 1)").alias("u"),
+        )
+        .withColumn(
+            "u",
+            F.when(F.col("u") <= _SSJ_U_LIMIT, F.col("u")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "text_sparse_cosine_pairs: tf-idf unit exceeds the "
+                        f"BIGINT-safe bound {_SSJ_U_LIMIT} — norm/dot sums "
+                        "would overflow; shrink the unit grid"
+                    )
+                ).cast("bigint")
+            ),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("u"), "token")
@@ -821,3 +840,6 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SSJ_TOPK)
         .drop("cos_u")
     )
+
+
+BENCH_EXTRA.add("text_sparse_cosine_pairs")

@@ -1910,3 +1910,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+BENCH_EXTRA.add("dedup_semantic_semdedup")

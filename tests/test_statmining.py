@@ -81,7 +81,6 @@ def test_cusum_python_replay_on_irregular_days(spark, tmp_path):
 
     for typ, series in vals.items():
         days = {}
-        eid2 = 0
         for d, v in enumerate(series):
             units = [
                 math.floor((v + k) * 10000 + 0.5) for k in range(d % 3 + 1)
