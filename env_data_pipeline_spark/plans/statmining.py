@@ -330,9 +330,7 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "part_price_size_skyline",
-    oracle="""
+_SKYLINE_ORACLE = """
     WITH p AS MATERIALIZED (
       SELECT p_partkey, p_size,
              CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
@@ -348,8 +346,10 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
          OR (q.cents = a.cents AND q.p_size < a.p_size)
     )
     ORDER BY price, size, partkey
-    """,
-)
+    """
+
+
+@query("part_price_size_skyline", oracle=_SKYLINE_ORACLE)
 def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (skyline) on (retail price, size), both
     minimized: parts no other part beats on one dimension without
@@ -376,6 +376,16 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+    return _format_skyline(skyline_frame(p))
+
+
+def skyline_frame(p: DataFrame) -> DataFrame:
+    """Non-dominated subset of a (p_partkey, cents, p_size) frame —
+    THE shared skyline kernel: the batch query runs it once over the
+    part table; the streaming refresh runs it per batch AND as the
+    merge (skyline is a mergeable algebra: skyline(A ∪ B) =
+    skyline(skyline(A) ∪ B), because a dominated point can never
+    re-enter)."""
     p = p.withColumn("bucket", F.expr(f"cents div {_SKY_BUCKET_CENTS}"))
     w_in = (
         Window.partitionBy("bucket")
@@ -406,13 +416,16 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("min_same_cents") < F.col("p_size"))
             )
         )
-        .select(
-            F.col("p_partkey").alias("partkey"),
-            F.round(F.col("cents") / 100.0, 2).alias("price"),
-            F.col("p_size").cast("int").alias("size"),
-        )
-        .orderBy("price", "size", "partkey")
+        .select("p_partkey", "cents", "p_size")
     )
+
+
+def _format_skyline(sky: DataFrame) -> DataFrame:
+    return sky.select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    ).orderBy("price", "size", "partkey")
 
 
 # ---------------------------------------------------------------------------
@@ -576,6 +589,212 @@ def orders_ship_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# diversity / concentration indices: Shannon entropy of each nation's
+# revenue mix over part types, and supplier HHI per nation
+# ---------------------------------------------------------------------------
+
+_REV_UNITS_SQL = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+)
+# p*ln(p) terms land on this grid before the entropy sum
+_ENT_GRID = 1_000_000_000
+
+
+@query(
+    "nation_parttype_entropy",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+      SELECT n.n_name AS nation, p.p_type AS ptype,
+             SUM({_REV_UNITS_SQL}) AS su
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, SUM(su) AS t, COUNT(*) AS n_types
+            FROM rev GROUP BY 1),
+    terms AS (
+      SELECT r.nation, t.n_types,
+             CAST(floor((CAST(r.su AS DOUBLE) / t.t)
+                        * ln(CAST(r.su AS DOUBLE) / t.t)
+                        * {_ENT_GRID}) AS BIGINT) AS term_u
+      FROM rev r JOIN tot t USING (nation)
+    )
+    SELECT nation, CAST(n_types AS INT) AS n_types,
+           ROUND(-SUM(term_u) / {_ENT_GRID}.0, 4) AS entropy_nats,
+           CASE WHEN n_types > 1 THEN
+             ROUND((-SUM(term_u) / {_ENT_GRID}.0) / ln(n_types), 4)
+           END AS entropy_norm
+    FROM terms
+    GROUP BY nation, n_types
+    ORDER BY nation
+    """,
+)
+def nation_parttype_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each nation's revenue mix across
+    part types, plus the 0-1 normalized form (H / ln(k)): the
+    assortment-diversity index — a nation near 0 concentrates its
+    spend in few product types, near 1 spreads evenly. The
+    diversity complement of part_supplier_concentration's top-share
+    view.
+
+    Exactness: revenue shares come from exact half-up 1e-4-unit
+    BIGINT sums; each p*ln(p) term is floor-quantized onto a 1e9
+    integer grid BEFORE the entropy sum, so aggregation order cannot
+    move the result (ln is the one non-correctly-rounded op here —
+    quantizing its per-row output is the engine-parity discipline).
+
+    Scale: lineitem⋈orders co-partitions on orderkey (sort-merge —
+    both are fact tables, never broadcast); customer/nation/part are
+    true dimensions and broadcast; then one (nation, type) partial
+    agg and nation-sized frames."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
+        .agg(F.sum(F.expr(_REV_UNITS_SQL)).alias("su"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("su").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    pr = F.col("su").cast("double") / F.col("t")
+    terms = rev.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n_types",
+        F.floor(pr * F.log(pr) * F.lit(_ENT_GRID)).cast("bigint").alias("term_u"),
+    )
+    h = -F.sum("term_u") / F.lit(float(_ENT_GRID))
+    return (
+        terms.groupBy("nation", "n_types")
+        .agg(
+            F.round(h, 4).alias("entropy_nats"),
+            F.when(
+                F.col("n_types") > 1, F.round(h / F.log(F.col("n_types")), 4)
+            ).alias("entropy_norm"),
+        )
+        .select(
+            "nation",
+            F.col("n_types").cast("int").alias("n_types"),
+            "entropy_nats",
+            "entropy_norm",
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+      SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+             SUM({_REV_UNITS_SQL}) AS su
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, SUM(su) AS t, COUNT(*) AS n_suppliers
+            FROM rev GROUP BY 1),
+    shares AS (
+      SELECT r.nation, t.n_suppliers,
+             (r.su * 1000000) // t.t AS share_ppm
+      FROM rev r JOIN tot t USING (nation)
+    )
+    SELECT nation, CAST(n_suppliers AS INT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_e12,
+           ROUND(SUM(share_ppm * share_ppm) / 1000000000000.0, 4) AS hhi
+    FROM shares
+    GROUP BY nation, n_suppliers
+    ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supply revenue per
+    supplier nation: the sum of squared supplier revenue shares —
+    1/n for perfect competition, 1.0 for a monopoly supplier. The
+    antitrust-style screen over the supply base; pairs with
+    part_supplier_concentration (per-part top share) and
+    nation_parttype_entropy (demand-side diversity).
+
+    Exactness: fully integer — shares on an exact 1e6 ppm grid via
+    BIGINT floor division, HHI as the exact sum of squared ppm
+    (< 1e12, inside BIGINT); the double form is one final ROUND.
+
+    Scale: one fact-sized partial agg keyed (nation, supplier) with
+    two broadcast dims, then supplier-count-sized frames."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.expr(_REV_UNITS_SQL)).alias("su"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("su").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = rev.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n_suppliers",
+        F.expr("(su * 1000000) div t").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("nation", "n_suppliers")
+        .agg(
+            F.sum(F.col("share_ppm") * F.col("share_ppm"))
+            .cast("bigint")
+            .alias("hhi_e12")
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("int").alias("n_suppliers"),
+            "hhi_e12",
+            F.round(F.col("hhi_e12") / 1_000_000_000_000.0, 4).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query("streaming_skyline_refresh", oracle=_SKYLINE_ORACLE)
+def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Pareto-frontier maintenance: the part table replays
+    as real micro-batches; foreachBatch computes each batch's local
+    skyline and merges it into the persistent frontier state by
+    running the SAME skyline kernel over (state ∪ batch-skyline) —
+    sound because dominance is monotone: a point dominated by any
+    prefix stays dominated by every superset, so
+    skyline(A ∪ B) = skyline(skyline(A) ∪ B). The final frontier
+    must hash-equal the batch query (this oracle IS the batch
+    oracle). State is frontier-sized — typically tiny — forever; the
+    continuous form of the "current best tradeoffs" board.
+
+    Scaffolding: streaming/incremental_refresh.py::
+    _replay_state_refresh, shared with the agg/CMS/HLL/CUSUM
+    refreshes (sharded on p_partkey)."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_skyline_state_refresh,
+    )
+
+    return streaming_skyline_state_refresh(spark, sf_dir)
 
 
 BENCH_EXTRA.add("orders_ship_survival_km")

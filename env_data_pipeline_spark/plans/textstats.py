@@ -842,4 +842,124 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# text_zipf_fit — per-language Zipf power-law fit of the token
+# frequency-rank curve (log-log OLS slope)
+# --------------------------------------------------------------------------
+
+# ln values land on a 1e6 integer grid before any sum: with rank and
+# freq < ~2^31, x/y units stay < ~2.2e7, pairwise products < ~5e14,
+# and the raw SUMs over _ZIPF_MAX_RANK rows < ~2.5e18 — inside
+# BIGINT. The n*Sxy-style cross terms DO exceed BIGINT, so the final
+# slope/r2 combine the exact sums as doubles (one identical
+# expression both engines).
+_ZIPF_LN_GRID = 1_000_000
+_ZIPF_MAX_RANK = 5_000
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    freq AS (
+      SELECT d.lang, t.token, COUNT(*) AS f
+      FROM tokens t JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT lang,
+             CAST(floor(ln(r) * {_ZIPF_LN_GRID}) AS BIGINT) AS x,
+             CAST(floor(ln(f) * {_ZIPF_LN_GRID}) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_MAX_RANK}
+    ),
+    sums AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+                THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+           END AS zipf_slope,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0)
+                 AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <> 0)
+                THEN ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                     / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+           END AS r_squared
+    FROM sums
+    ORDER BY lang
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per language: OLS slope of ln(frequency)
+    against ln(rank) over the top-5000 token ranks, with r-squared.
+    Natural text sits near slope -1; a corpus segment that drifts far
+    from it (or fits poorly) is boilerplate, spam, or synthetic — the
+    cheap distributional health check a curation pipeline runs per
+    source/language before training.
+
+    Exactness: ranks and frequencies are exact integers; their ln
+    values are floor-quantized onto a 1e6 integer grid BEFORE the
+    sums, so Sx/Sxy/... are exact BIGINTs (bounds in the header
+    comment) and the slope/r2 combine those exact sums in one
+    identical double expression per engine.
+
+    Degenerate fits (a single rank, or all frequencies equal — zero
+    variance) yield NULL slope/r2 rather than a division error.
+
+    Scale: one (lang, token) partial-agg shuffle, a per-lang window
+    whose rank<=5000 filter compiles to WindowGroupLimit (every
+    partition keeps a bounded heap), then a 5-row aggregate. The
+    regression itself never sees more than MAX_RANK rows per
+    language."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(words(F.col("text"))).alias("token")
+    )
+    freq = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "token")
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_MAX_RANK)
+        .select(
+            "lang",
+            F.floor(F.log("r") * _ZIPF_LN_GRID).cast("bigint").alias("x"),
+            F.floor(F.log("f") * _ZIPF_LN_GRID).cast("bigint").alias("y"),
+        )
+    )
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = n * F.col("sxx") - sx * F.col("sx")
+    deny = n * F.col("syy") - sy * F.col("sy")
+    return sums.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.when(den != 0, F.round(num / den, 4)).alias("zipf_slope"),
+        F.when(
+            (den != 0) & (deny != 0),
+            F.round((num * num) / (den * deny), 4),
+        ).alias("r_squared"),
+    ).orderBy("lang")
+
+
 BENCH_EXTRA.add("text_sparse_cosine_pairs")

@@ -505,3 +505,37 @@ def streaming_cusum_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     return _replay_state_refresh(
         spark, events, build, merge, finalize, "stream_cusum_refresh_"
     )
+
+
+def streaming_skyline_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Pareto-frontier maintenance (see
+    plans/statmining.py::streaming_skyline_refresh for the contract):
+    state is the current (p_partkey, cents, p_size) frontier; each
+    batch folds in via the shared skyline kernel over the union."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        _format_skyline,
+        skyline_frame,
+    )
+
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+    def build(batch: DataFrame) -> DataFrame:
+        return skyline_frame(batch)
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return skyline_frame(old.unionByName(new))
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return _format_skyline(state)
+
+    return _replay_state_refresh(
+        spark, part, build, merge, finalize, "stream_skyline_refresh_",
+        shard_key="p_partkey",
+    )

@@ -222,3 +222,95 @@ def test_km_survival_textbook_fixture(spark, tmp_path):
         (3, 3, 1, round(0.8 * (2 / 3), 4)),
         (5, 1, 1, 0.0),
     ]
+
+
+def test_entropy_and_hhi_degenerate_and_uniform_cases(spark, tmp_path):
+    """Entropy/HHI sanity on planted distributions: one nation buys a
+    single part type (H=0, norm NULL), another splits revenue evenly
+    over four types (norm=1); a nation with a monopoly supplier has
+    HHI=1.0, an even 4-way split has HHI=0.25."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import (
+        nation_parttype_entropy,
+        nation_supplier_hhi,
+    )
+
+    ts = dt.datetime(1997, 1, 1)
+    spark.createDataFrame(
+        [(0, "MONO", 0), (1, "EVEN", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "B"), (2, "c2", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(10, 1, "O", 0.0, ts, "1-URGENT"), (20, 2, "O", 0.0, ts, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"p{k}", "B", f"type{k}", 1, 0.0) for k in (1, 2, 3, 4)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(s, f"s{s}", 0 if s == 1 else 1, 0.0) for s in (1, 2, 3, 4, 5)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    # MONO nation (cust 1): 4 lines all of part 1, supplier 1.
+    # EVEN nation (cust 2): one line in each of parts 1-4 at equal
+    # revenue, suppliers 2-5.
+    li = [(10, 1, 1, i, 1.0, 100.0, 0.0, 0.0, "N", "O", ts) for i in range(4)]
+    li += [(20, k, k + 1, k, 1.0, 100.0, 0.0, 0.0, "N", "O", ts) for k in (1, 2, 3, 4)]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    ent = {r.nation: r for r in nation_parttype_entropy(spark, str(tmp_path)).collect()}
+    assert ent["MONO"].n_types == 1
+    assert ent["MONO"].entropy_nats == -0.0 or ent["MONO"].entropy_nats == 0.0
+    assert ent["MONO"].entropy_norm is None
+    assert ent["EVEN"].n_types == 4
+    assert ent["EVEN"].entropy_norm == 1.0
+
+    hhi = {r.nation: r for r in nation_supplier_hhi(spark, str(tmp_path)).collect()}
+    assert hhi["MONO"].n_suppliers == 1 and hhi["MONO"].hhi == 1.0
+    assert hhi["EVEN"].n_suppliers == 4 and hhi["EVEN"].hhi == 0.25
+
+
+def test_zipf_slope_on_synthetic_power_law(spark, tmp_path):
+    """A corpus built with token frequencies f(r) = 1000/r must fit
+    slope ~ -1 with r^2 ~ 1; a uniform corpus fits slope ~ 0."""
+    from env_data_pipeline_spark.plans.textstats import text_zipf_fit
+
+    docs = []
+    words_pl = []
+    for r in range(1, 41):
+        words_pl += [f"w{r:03d}"] * (1000 // r)
+    docs.append((1, " ".join(words_pl), "pl", "s", len(words_pl)))
+    uni = []
+    for r in range(40):
+        uni += [f"u{r:03d}"] * 25
+    docs.append((2, " ".join(uni), "un", "s", len(uni)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.lang: r for r in text_zipf_fit(spark, str(tmp_path)).collect()}
+    assert -1.05 < got["pl"].zipf_slope < -0.95
+    assert got["pl"].r_squared > 0.99
+    assert abs(got["un"].zipf_slope) < 0.01

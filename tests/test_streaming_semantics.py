@@ -918,3 +918,17 @@ def test_streaming_cusum_equals_batch_report(spark, sf_dir):
     stream = sorted(map(tuple, streaming_cusum_refresh(spark, sf_dir).collect()))
     assert stream == batch
     assert batch, "report must be non-empty"
+
+
+def test_streaming_skyline_equals_batch_frontier(spark, sf_dir):
+    """skyline(A ∪ B) = skyline(skyline(A) ∪ B): the streamed
+    frontier must row-for-row equal the batch skyline."""
+    from env_data_pipeline_spark.plans.statmining import (
+        part_price_size_skyline,
+        streaming_skyline_refresh,
+    )
+
+    batch = sorted(map(tuple, part_price_size_skyline(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, streaming_skyline_refresh(spark, sf_dir).collect()))
+    assert stream == batch
+    assert batch, "frontier must be non-empty"
