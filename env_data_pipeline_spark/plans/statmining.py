@@ -11,6 +11,11 @@ directly.
   (price, size) via a bucketed running-min plan — no self-join.
 - ``orders_ship_survival_km``: Kaplan-Meier time-to-first-shipment
   with staggered-entry right-censoring at a calendar cutoff.
+- ``nation_parttype_entropy`` / ``nation_supplier_hhi``: Shannon
+  diversity of each nation's revenue mix; Herfindahl-Hirschman
+  supplier concentration in integer ppm arithmetic.
+- ``streaming_skyline_refresh``: the frontier maintained as
+  mergeable streaming state (skyline(A∪B) = skyline(skyline(A)∪B)).
 
 Engine-native (no reference counterpart — the reference has no
 analytics surface); SURVEY §2.12 spirit.
@@ -369,14 +374,21 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: dominance compares integer cents/sizes only; price is
     a final ROUND projection of cents."""
-    p = table(spark, sf_dir, "part").select(
+    return _format_skyline(skyline_frame(skyline_source(spark, sf_dir)))
+
+
+def skyline_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (p_partkey, cents, p_size) projection both skyline surfaces
+    start from — ONE home for the cents-grid rule, so the batch query
+    and the streaming state builder cannot drift onto different
+    grids."""
+    return table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
         F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         ),
     )
-    return _format_skyline(skyline_frame(p))
 
 
 def skyline_frame(p: DataFrame) -> DataFrame:
@@ -646,8 +658,11 @@ def nation_parttype_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue shares come from exact half-up 1e-4-unit
     BIGINT sums; each p*ln(p) term is floor-quantized onto a 1e9
     integer grid BEFORE the entropy sum, so aggregation order cannot
-    move the result (ln is the one non-correctly-rounded op here —
-    quantizing its per-row output is the engine-parity discipline).
+    move the result. ln is the one non-correctly-rounded op here;
+    quantizing its per-row output bounds libm's 1-ulp slack to a
+    ~1e-9-wide knife-edge per term that also needs the final ROUND
+    to sit within 1e-9 of a half boundary — the same accepted risk
+    class as the Kaplan-Meier and Zipf grids.
 
     Scale: lineitem⋈orders co-partitions on orderkey (sort-merge —
     both are fact tables, never broadcast); customer/nation/part are

@@ -10,9 +10,15 @@ score that feeds a RANKING is either (a) exact integer arithmetic
 operands used here), or (b) built from +,-,*,/ doubles ONLY with
 explicit parenthesization and fixed summation order (conditional
 pivots, never group-order-dependent SUMs), which IEEE 754 evaluates
-bit-identically on the JVM and in DuckDB. No ln/exp/pow anywhere near
-a comparison — transcendentals are the one class libm implementations
-may round differently.
+bit-identically on the JVM and in DuckDB, or (c) transcendental
+outputs floor-quantized onto an integer grid BEFORE any sum or
+comparison (text_zipf_fit's ln terms) — libm's 1-ulp slack then
+flips a grid unit only when the true value sits within ~1e-9 of a
+grid line, and a single unit shifts the final ROUND(,4) statistic by
+~1e-10, so a cross-engine flip needs two independent knife-edges at
+once (probability ~1e-6 per corpus, the same accepted bound as the
+Kaplan-Meier and haversine grids elsewhere). Raw (unquantized)
+transcendentals still never feed a SUM or a comparison.
 """
 
 from __future__ import annotations

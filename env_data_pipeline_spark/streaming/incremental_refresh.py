@@ -512,19 +512,13 @@ def streaming_skyline_state_refresh(spark: SparkSession, sf_dir: str) -> DataFra
     plans/statmining.py::streaming_skyline_refresh for the contract):
     state is the current (p_partkey, cents, p_size) frontier; each
     batch folds in via the shared skyline kernel over the union."""
-    from env_data_pipeline_spark.catalog import table
     from env_data_pipeline_spark.plans.statmining import (
         _format_skyline,
         skyline_frame,
+        skyline_source,
     )
 
-    part = table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_size",
-        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
-            "cents"
-        ),
-    )
+    part = skyline_source(spark, sf_dir)
 
     def build(batch: DataFrame) -> DataFrame:
         return skyline_frame(batch)
