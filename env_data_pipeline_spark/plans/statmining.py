@@ -812,4 +812,133 @@ def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_skyline_state_refresh(spark, sf_dir)
 
 
+@query(
+    "events_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             (SUM({_VAL_UNITS_SQL}) * 1000) // COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.m > a.m THEN 1
+                  WHEN b.m < a.m THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    sstat AS (SELECT event_type, SUM(sg) AS s FROM pairs GROUP BY 1),
+    nn AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie_adj
+      FROM (SELECT event_type, m, COUNT(*) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    v AS (
+      SELECT n.event_type, s.s, n.n,
+             CAST(n.n AS BIGINT) * (n.n - 1) * (2 * n.n + 5)
+               - COALESCE(t.tie_adj, 0) AS var18
+      FROM nn n
+      JOIN sstat s USING (event_type)
+      LEFT JOIN ties t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(n AS INT) AS n_days,
+           CASE WHEN var18 > 0 THEN
+             ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                        WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                        ELSE 0.0 END, 4)
+           END AS z_stat,
+           CASE WHEN var18 <= 0 THEN 'degenerate'
+                WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                           WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                           ELSE 0.0 END) > {_AB_Z_CRIT} THEN 'increasing'
+                WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                           WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                           ELSE 0.0 END) < -{_AB_Z_CRIT} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    ORDER BY event_type
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the
+    daily mean value series: S = sum over day pairs i<j of
+    sign(m_j - m_i), variance with the standard tie correction,
+    continuity-corrected z, and the increasing / decreasing /
+    no_trend verdict at 1.96. The NONPARAMETRIC complement to
+    events_cusum_changepoint — CUSUM locates a level SHIFT, MK
+    detects a monotonic DRIFT without assuming any distribution.
+
+    Exactness: daily means on the shared value*1e7 integer grid; S
+    and the tie-corrected variance*18 are exact BIGINTs (signs via
+    explicit CASE — Spark's signum returns a double, DuckDB's sign
+    an integer, so neither is used); z is one identical double
+    expression; zero variance (all days tied) yields NULL z and a
+    'degenerate' verdict, never a division error.
+
+    Scale: the pair join is DAY-grain — (days choose 2) rows per
+    type, bounded by the calendar (6.6M pairs for a decade), never
+    by the fact table; the only fact-sized stage is the first
+    groupBy, shared shape with CUSUM."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("event_type", "day", F.expr("(su * 1000) div cnt").alias("m"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("m").alias("ma"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("m").alias("mb"))
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    sstat = pairs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("mb") > F.col("ma"), 1)
+            .when(F.col("mb") < F.col("ma"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    v = (
+        nn.join(sstat, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn(
+            "var18",
+            F.col("n").cast("bigint") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.coalesce("tie_adj", F.lit(0)),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var18") / 18.0))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var18") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.col("n").cast("int").alias("n_days"),
+        F.when(F.col("var18") > 0, F.round(z, 4)).alias("z_stat"),
+        F.when(F.col("var18") <= 0, F.lit("degenerate"))
+        .when(z > _AB_Z_CRIT, F.lit("increasing"))
+        .when(z < -_AB_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
 BENCH_EXTRA.add("orders_ship_survival_km")

@@ -968,4 +968,165 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+# --------------------------------------------------------------------------
+# text_heaps_fit — Heaps'-law vocabulary-growth fit per source
+# --------------------------------------------------------------------------
+
+# points are capped per source so the OLS sums stay inside BIGINT at
+# any corpus size (x,y <= ln(2^63)*1e6 ~ 4.4e7; x*y <= 2e15; summed
+# over <= _HEAPS_MAX_DOCS rows < 1e19 would overflow — 5e3 keeps the
+# sums < 1e19/2^.. safely at ~1e19/1000). 5000 prefix points more
+# than saturate a two-parameter fit.
+_HEAPS_MAX_DOCS = 5_000
+
+
+@query(
+    "text_heaps_fit",
+    oracle=f"""
+    WITH {_DUCK_TOKENS},
+    per_doc AS MATERIALIZED (
+      SELECT t.doc_id, d.source, COUNT(*) AS n_tok
+      FROM tokens t JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    firsts AS MATERIALIZED (
+      SELECT source, first_doc, COUNT(*) AS n_new FROM (
+        SELECT d.source, t.token, MIN(t.doc_id) AS first_doc
+        FROM tokens t JOIN documents d USING (doc_id)
+        GROUP BY 1, 2)
+      GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT p.source,
+             ROW_NUMBER() OVER w AS rk,
+             SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+             SUM(COALESCE(f.n_new, 0)) OVER (PARTITION BY p.source
+                 ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+      FROM per_doc p
+      LEFT JOIN firsts f
+        ON f.source = p.source AND f.first_doc = p.doc_id
+      WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id)
+    ),
+    pts AS (
+      SELECT source,
+             CAST(floor(ln(cum_tok) * {_ZIPF_LN_GRID}) AS BIGINT) AS x,
+             CAST(floor(ln(cum_vocab) * {_ZIPF_LN_GRID}) AS BIGINT) AS y
+      FROM series
+      WHERE rk <= {_HEAPS_MAX_DOCS} AND cum_tok > 0 AND cum_vocab > 0
+    ),
+    sums AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+                THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+           END AS heaps_beta,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+                THEN ROUND(exp(
+                  (CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                     * sx)
+                  / n / {_ZIPF_LN_GRID}), 4)
+           END AS heaps_k
+    FROM sums
+    ORDER BY source
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per source: vocabulary growth V(n) ~ K * n^beta
+    from the cumulative (tokens seen, distinct tokens seen) curve in
+    doc_id order — natural text sits at beta ~ 0.4-0.6; beta near 1
+    means vocabulary grows as fast as the text (noise / unique-id
+    spam), beta near 0 means a closed template vocabulary
+    (boilerplate). With text_zipf_fit this completes the two
+    classic distributional health checks for a training corpus.
+
+    Exactness: cumulative token/vocab counts are exact integer
+    window sums in a deterministic (doc_id) order; ln values
+    floor-quantize onto the shared 1e6 grid before the OLS sums
+    (exact BIGINT, bounds in the header comment); beta/K combine
+    those sums in one identical double expression per engine, with
+    degenerate fits NULL.
+
+    Scale: first-occurrence attribution is one (source, token)
+    groupBy min; the series window is per-source doc-grain; the fit
+    caps at 5000 prefix points per source, so the OLS never grows
+    with the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("token")
+    )
+    per_doc = tokens.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    firsts = (
+        tokens.groupBy("source", "token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("source", "first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    series = (
+        per_doc.join(
+            firsts,
+            (per_doc["source"] == firsts["source"])
+            & (per_doc["doc_id"] == firsts["first_doc"]),
+            "left",
+        )
+        .select(
+            per_doc["source"].alias("source"),
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "source",
+            F.row_number().over(wr).alias("rk"),
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+    )
+    pts = series.filter(
+        (F.col("rk") <= _HEAPS_MAX_DOCS)
+        & (F.col("cum_tok") > 0)
+        & (F.col("cum_vocab") > 0)
+    ).select(
+        "source",
+        F.floor(F.log("cum_tok") * _ZIPF_LN_GRID).cast("bigint").alias("x"),
+        F.floor(F.log("cum_vocab") * _ZIPF_LN_GRID).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = n * F.col("sxx") - sx * F.col("sx")
+    beta = num / den
+    k = F.exp((sy - beta * sx) / n / F.lit(float(_ZIPF_LN_GRID)))
+    return sums.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.when(den != 0, F.round(beta, 4)).alias("heaps_beta"),
+        F.when(den != 0, F.round(k, 4)).alias("heaps_k"),
+    ).orderBy("source")
+
+
 BENCH_EXTRA.add("text_sparse_cosine_pairs")

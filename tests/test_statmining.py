@@ -314,3 +314,81 @@ def test_zipf_slope_on_synthetic_power_law(spark, tmp_path):
     assert -1.05 < got["pl"].zipf_slope < -0.95
     assert got["pl"].r_squared > 0.99
     assert abs(got["un"].zipf_slope) < 0.01
+
+
+def test_mann_kendall_matches_python_reference(spark, tmp_path):
+    """Planted monotonic and flat series, with a pure-Python S /
+    tie-corrected variance / z replay: an increasing series must be
+    flagged, a constant one must be degenerate."""
+    import math
+
+    from env_data_pipeline_spark.plans.statmining import (
+        events_mann_kendall_trend,
+    )
+
+    series = {
+        "up": [1.0 * d for d in range(25)],       # strictly increasing
+        "flat": [5.0] * 25,                       # all tied -> degenerate
+        "wiggle": [3.0, 7.0, 1.0, 9.0, 2.0] * 5,  # no trend
+    }
+    rows, eid = [], 0
+    for typ, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append(
+                (eid, dt.datetime(2024, 6, 1) + dt.timedelta(days=d), 1, typ, v, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_mann_kendall_trend(spark, str(tmp_path)).collect()}
+
+    for typ, vals in series.items():
+        ms = [math.floor(v * 10000 + 0.5) * 1000 for v in vals]
+        n = len(ms)
+        s = sum(
+            (1 if ms[j] > ms[i] else -1 if ms[j] < ms[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = {}
+        for m in ms:
+            ties[m] = ties.get(m, 0) + 1
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        r = got[typ]
+        assert r.s_stat == s and r.n_days == n
+        if var18 <= 0:
+            assert r.trend == "degenerate" and r.z_stat is None
+        else:
+            z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var18 / 18.0) if s else 0.0
+            assert r.z_stat == round(z, 4)
+    assert got["up"].trend == "increasing"
+    assert got["flat"].trend == "degenerate"
+    assert got["wiggle"].trend == "no_trend"
+
+
+def test_heaps_fit_on_synthetic_growth(spark, tmp_path):
+    """A source whose every token is globally unique fits beta ~ 1
+    (vocabulary == text); a source cycling a fixed 20-word vocabulary
+    over many docs fits beta near 0."""
+    from env_data_pipeline_spark.plans.textstats import text_heaps_fit
+
+    docs, did = [], 0
+    tok = 0
+    for _ in range(30):
+        words_u = [f"u{tok + i}" for i in range(20)]
+        tok += 20
+        docs.append((did, " ".join(words_u), "en", "uniq", 0))
+        did += 1
+    fixed = [f"f{i}" for i in range(20)]
+    for d in range(30):
+        docs.append((did, " ".join(fixed), "en", "tmpl", 0))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.source: r for r in text_heaps_fit(spark, str(tmp_path)).collect()}
+    assert got["uniq"].heaps_beta > 0.98
+    assert got["tmpl"].heaps_beta < 0.2
