@@ -53,12 +53,35 @@ _AB_Z_CRIT = 1.96
 _SKY_BUCKET_CENTS = 500
 
 
-_CUSUM_ORACLE = f"""
-    WITH daily AS MATERIALIZED (
+# THE daily-mean grid, one home for both engines: (event_type, day)
+# value-unit sums -> integer m on the value*1e7 grid. CUSUM and
+# Mann-Kendall both consume it; change it in one place only.
+_DAILY_M_CTE = f"""daily AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS day,
              (SUM({_VAL_UNITS_SQL}) * 1000) // COUNT(*) AS m
       FROM events GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _daily_partials(ev: DataFrame) -> DataFrame:
+    """(event_type, day, su, cnt) partial-aggregate frame — the Spark
+    side of _DAILY_M_CTE before the m projection (streaming keeps the
+    partials mergeable; cusum_report/_daily_means derive m)."""
+    return ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _daily_means(ev: DataFrame) -> DataFrame:
+    """(event_type, day, m) on the value*1e7 integer grid."""
+    return _daily_partials(ev).select(
+        "event_type", "day", F.expr("(su * 1000) div cnt").alias("m")
+    )
+
+
+_CUSUM_ORACLE = f"""
+    WITH {_DAILY_M_CTE},
     seq AS (
       SELECT event_type, day, m,
              ROW_NUMBER() OVER w AS i,
@@ -189,12 +212,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type so no global-order bottleneck. At 100 TB the heavy
     stage is the first agg — exactly the stage Spark map-side
     combines."""
-    ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    return cusum_report(daily)
+    return cusum_report(_daily_partials(table(spark, sf_dir, "events")))
 
 
 @query("streaming_cusum_refresh", oracle=_CUSUM_ORACLE)
@@ -815,11 +833,7 @@ def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_mann_kendall_trend",
     oracle=f"""
-    WITH daily AS MATERIALIZED (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             (SUM({_VAL_UNITS_SQL}) * 1000) // COUNT(*) AS m
-      FROM events GROUP BY 1, 2
-    ),
+    WITH {_DAILY_M_CTE},
     pairs AS (
       SELECT a.event_type,
              CASE WHEN b.m > a.m THEN 1
@@ -837,11 +851,14 @@ def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     v AS (
-      SELECT n.event_type, s.s, n.n,
+      -- LEFT join: a type whose days produce zero (da < db) pairs
+      -- (all events on one day) has no sstat row but must still
+      -- surface as 'degenerate', not vanish
+      SELECT n.event_type, COALESCE(s.s, 0) AS s, n.n,
              CAST(n.n AS BIGINT) * (n.n - 1) * (2 * n.n + 5)
                - COALESCE(t.tie_adj, 0) AS var18
       FROM nn n
-      JOIN sstat s USING (event_type)
+      LEFT JOIN sstat s USING (event_type)
       LEFT JOIN ties t USING (event_type)
     )
     SELECT event_type,
@@ -877,22 +894,15 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the tie-corrected variance*18 are exact BIGINTs (signs via
     explicit CASE — Spark's signum returns a double, DuckDB's sign
     an integer, so neither is used); z is one identical double
-    expression; zero variance (all days tied) yields NULL z and a
-    'degenerate' verdict, never a division error.
+    expression; zero variance (all days tied, or a type whose events
+    all fall on one day — kept via a LEFT join, never dropped) yields
+    NULL z and a 'degenerate' verdict, never a division error.
 
     Scale: the pair join is DAY-grain — (days choose 2) rows per
     type, bounded by the calendar (6.6M pairs for a decade), never
     by the fact table; the only fact-sized stage is the first
     groupBy, shared shape with CUSUM."""
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .select("event_type", "day", F.expr("(su * 1000) div cnt").alias("m"))
-    )
+    daily = _daily_means(table(spark, sf_dir, "events"))
     a = daily.select("event_type", F.col("day").alias("da"), F.col("m").alias("ma"))
     b = daily.select("event_type", F.col("day").alias("db"), F.col("m").alias("mb"))
     pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
@@ -915,8 +925,9 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = (
-        nn.join(sstat, "event_type")
+        nn.join(sstat, "event_type", "left")
         .join(ties, "event_type", "left")
+        .withColumn("s", F.coalesce("s", F.lit(0)))
         .withColumn(
             "var18",
             F.col("n").cast("bigint") * (F.col("n") - 1) * (2 * F.col("n") + 5)

@@ -862,6 +862,23 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_LN_GRID = 1_000_000
 _ZIPF_MAX_RANK = 5_000
 
+# Shared log-log OLS-from-sums machinery (text_zipf_fit and
+# text_heaps_fit): both engines combine the exact BIGINT sums
+# (n, sx, sy, sxy, sxx[, syy]) in ONE identical double expression.
+_OLS_NUM_SQL = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+_OLS_DEN_SQL = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+
+
+def _ols_cols(sums):
+    """(num, den) slope columns from an OLS sums frame — the Spark
+    twin of _OLS_NUM_SQL/_OLS_DEN_SQL."""
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = n * F.col("sxx") - sx * F.col("sx")
+    return num, den
+
 
 @query(
     "text_zipf_fit",
@@ -891,15 +908,13 @@ _ZIPF_MAX_RANK = 5_000
       FROM pts GROUP BY 1
     )
     SELECT lang, CAST(n AS BIGINT) AS n_ranks,
-           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
-                THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+           CASE WHEN {_OLS_DEN_SQL} <> 0
+                THEN ROUND({_OLS_NUM_SQL} / {_OLS_DEN_SQL}, 4)
            END AS zipf_slope,
-           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0)
+           CASE WHEN ({_OLS_DEN_SQL} <> 0)
                  AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <> 0)
-                THEN ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                       * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-                     / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                THEN ROUND(({_OLS_NUM_SQL} * {_OLS_NUM_SQL})
+                     / ({_OLS_DEN_SQL}
                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
            END AS r_squared
     FROM sums
@@ -951,12 +966,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    num = n * F.col("sxy") - sx * F.col("sy")
-    den = n * F.col("sxx") - sx * F.col("sx")
-    deny = n * F.col("syy") - sy * F.col("sy")
+    num, den = _ols_cols(sums)
+    deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
     return sums.select(
         "lang",
         F.col("n").cast("bigint").alias("n_ranks"),
@@ -973,11 +986,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # points are capped per source so the OLS sums stay inside BIGINT at
-# any corpus size (x,y <= ln(2^63)*1e6 ~ 4.4e7; x*y <= 2e15; summed
-# over <= _HEAPS_MAX_DOCS rows < 1e19 would overflow — 5e3 keeps the
-# sums < 1e19/2^.. safely at ~1e19/1000). 5000 prefix points more
-# than saturate a two-parameter fit.
-_HEAPS_MAX_DOCS = 5_000
+# ANY corpus size: cum counts are < 2^63, so x,y <= ln(2^63)*1e6 ~
+# 4.37e7 and x*y <= 1.91e15; SUM over 4000 points <= 7.7e18 < 2^63-1
+# ~ 9.22e18 (a 5000-point cap would NOT hold: 9.53e18 overflows).
+# 4000 prefix points more than saturate a two-parameter fit.
+_HEAPS_MAX_DOCS = 4_000
 
 
 @query(
@@ -1023,16 +1036,13 @@ _HEAPS_MAX_DOCS = 5_000
       FROM pts GROUP BY 1
     )
     SELECT source, CAST(n AS BIGINT) AS n_points,
-           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
-                THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+           CASE WHEN {_OLS_DEN_SQL} <> 0
+                THEN ROUND({_OLS_NUM_SQL} / {_OLS_DEN_SQL}, 4)
            END AS heaps_beta,
-           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+           CASE WHEN {_OLS_DEN_SQL} <> 0
                 THEN ROUND(exp(
                   (CAST(sy AS DOUBLE)
-                   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
-                     * sx)
+                   - ({_OLS_NUM_SQL} / {_OLS_DEN_SQL}) * CAST(sx AS DOUBLE))
                   / n / {_ZIPF_LN_GRID}), 4)
            END AS heaps_k
     FROM sums
@@ -1057,7 +1067,7 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: first-occurrence attribution is one (source, token)
     groupBy min; the series window is per-source doc-grain; the fit
-    caps at 5000 prefix points per source, so the OLS never grows
+    caps at 4000 prefix points per source, so the OLS never grows
     with the corpus."""
     docs = table(spark, sf_dir, "documents")
     tokens = docs.select(
@@ -1114,13 +1124,13 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    num = n * F.col("sxy") - sx * F.col("sy")
-    den = n * F.col("sxx") - sx * F.col("sx")
+    num, den = _ols_cols(sums)
     beta = num / den
-    k = F.exp((sy - beta * sx) / n / F.lit(float(_ZIPF_LN_GRID)))
+    k = F.exp(
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(float(_ZIPF_LN_GRID))
+    )
     return sums.select(
         "source",
         F.col("n").cast("bigint").alias("n_points"),

@@ -478,19 +478,14 @@ def streaming_cusum_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     cusum_report."""
     from env_data_pipeline_spark.catalog import table
     from env_data_pipeline_spark.plans.statmining import (
-        _VAL_UNITS_SQL,
+        _daily_partials,
         cusum_report,
     )
 
     events = table(spark, sf_dir, "events")
 
     def build(batch: DataFrame) -> DataFrame:
-        return batch.groupBy(
-            "event_type", F.to_date("ts").alias("day")
-        ).agg(
-            F.sum(F.expr(_VAL_UNITS_SQL)).alias("su"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+        return _daily_partials(batch)
 
     def merge(old: DataFrame, new: DataFrame) -> DataFrame:
         return (

@@ -330,6 +330,7 @@ def test_mann_kendall_matches_python_reference(spark, tmp_path):
         "up": [1.0 * d for d in range(25)],       # strictly increasing
         "flat": [5.0] * 25,                       # all tied -> degenerate
         "wiggle": [3.0, 7.0, 1.0, 9.0, 2.0] * 5,  # no trend
+        "oneday": [4.0],                          # single day: no pairs
     }
     rows, eid = [], 0
     for typ, vals in series.items():
@@ -365,6 +366,9 @@ def test_mann_kendall_matches_python_reference(spark, tmp_path):
     assert got["up"].trend == "increasing"
     assert got["flat"].trend == "degenerate"
     assert got["wiggle"].trend == "no_trend"
+    # a type with zero day pairs must surface as degenerate, not vanish
+    assert got["oneday"].trend == "degenerate"
+    assert got["oneday"].s_stat == 0 and got["oneday"].n_days == 1
 
 
 def test_heaps_fit_on_synthetic_growth(spark, tmp_path):
