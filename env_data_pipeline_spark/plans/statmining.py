@@ -830,9 +830,7 @@ def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_skyline_state_refresh(spark, sf_dir)
 
 
-@query(
-    "events_mann_kendall_trend",
-    oracle=f"""
+_MK_ORACLE = f"""
     WITH {_DAILY_M_CTE},
     pairs AS (
       SELECT a.event_type,
@@ -879,8 +877,10 @@ def streaming_skyline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'no_trend' END AS trend
     FROM v
     ORDER BY event_type
-    """,
-)
+    """
+
+
+@query("events_mann_kendall_trend", oracle=_MK_ORACLE)
 def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotonic-trend test per event type over the
     daily mean value series: S = sum over day pairs i<j of
@@ -902,7 +902,13 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, bounded by the calendar (6.6M pairs for a decade), never
     by the fact table; the only fact-sized stage is the first
     groupBy, shared shape with CUSUM."""
-    daily = _daily_means(table(spark, sf_dir, "events"))
+    return mann_kendall_report(_daily_means(table(spark, sf_dir, "events")))
+
+
+def mann_kendall_report(daily: DataFrame) -> DataFrame:
+    """Mann-Kendall report from an (event_type, day, m) daily-mean
+    frame — THE shared finalize: the batch query and the streaming
+    state refresh both call this, so the two surfaces cannot drift."""
     a = daily.select("event_type", F.col("day").alias("da"), F.col("m").alias("ma"))
     b = daily.select("event_type", F.col("day").alias("db"), F.col("m").alias("mb"))
     pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
@@ -950,6 +956,26 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     ).orderBy("event_type")
+
+
+@query("streaming_mann_kendall_refresh", oracle=_MK_ORACLE)
+def streaming_mann_kendall_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Kendall maintenance: the same (event_type, day)
+    value-unit partial state the CUSUM refresh merges (exact BIGINT
+    add-merge across real micro-batches), finalized through the
+    SHARED mann_kendall_report — so the drift verdict stays current
+    as data lands and must hash-equal the batch query (this oracle IS
+    the batch oracle). One state table now serves BOTH control
+    charts; the day-grain pair scan runs only at read time.
+
+    Scaffolding: streaming/incremental_refresh.py::
+    _replay_state_refresh, shared with the agg/CMS/HLL/CUSUM/skyline
+    refreshes."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_mann_kendall_state_refresh,
+    )
+
+    return streaming_mann_kendall_state_refresh(spark, sf_dir)
 
 
 BENCH_EXTRA.add("orders_ship_survival_km")

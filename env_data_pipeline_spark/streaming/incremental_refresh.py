@@ -528,3 +528,40 @@ def streaming_skyline_state_refresh(spark: SparkSession, sf_dir: str) -> DataFra
         spark, part, build, merge, finalize, "stream_skyline_refresh_",
         shard_key="p_partkey",
     )
+
+
+def streaming_mann_kendall_state_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Mann-Kendall maintenance (see plans/statmining.py::
+    streaming_mann_kendall_refresh for the contract): the SAME
+    (event_type, day) -> (su, cnt) add-merge state as the CUSUM
+    refresh, finalized through the shared mann_kendall_report."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        _daily_partials,
+        mann_kendall_report,
+    )
+
+    events = table(spark, sf_dir, "events")
+
+    def build(batch: DataFrame) -> DataFrame:
+        return _daily_partials(batch)
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("event_type", "day")
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return mann_kendall_report(
+            state.select(
+                "event_type", "day", F.expr("(su * 1000) div cnt").alias("m")
+            )
+        )
+
+    return _replay_state_refresh(
+        spark, events, build, merge, finalize, "stream_mk_refresh_"
+    )

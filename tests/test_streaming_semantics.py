@@ -932,3 +932,19 @@ def test_streaming_skyline_equals_batch_frontier(spark, sf_dir):
     stream = sorted(map(tuple, streaming_skyline_refresh(spark, sf_dir).collect()))
     assert stream == batch
     assert batch, "frontier must be non-empty"
+
+
+def test_streaming_mann_kendall_equals_batch_report(spark, sf_dir):
+    """The streamed daily-partial state, finalized through the shared
+    mann_kendall_report, must row-for-row equal the batch query."""
+    from env_data_pipeline_spark.plans.statmining import (
+        events_mann_kendall_trend,
+        streaming_mann_kendall_refresh,
+    )
+
+    batch = sorted(map(tuple, events_mann_kendall_trend(spark, sf_dir).collect()))
+    stream = sorted(
+        map(tuple, streaming_mann_kendall_refresh(spark, sf_dir).collect())
+    )
+    assert stream == batch
+    assert batch, "report must be non-empty"
