@@ -731,9 +731,7 @@ def nation_parttype_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "nation_supplier_hhi",
-    oracle=f"""
+_HHI_ORACLE = f"""
     WITH rev AS MATERIALIZED (
       SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
              SUM({_REV_UNITS_SQL}) AS su
@@ -755,33 +753,13 @@ def nation_parttype_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shares
     GROUP BY nation, n_suppliers
     ORDER BY nation
-    """,
-)
-def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Herfindahl-Hirschman concentration index of supply revenue per
-    supplier nation: the sum of squared supplier revenue shares —
-    1/n for perfect competition, 1.0 for a monopoly supplier. The
-    antitrust-style screen over the supply base; pairs with
-    part_supplier_concentration (per-part top share) and
-    nation_parttype_entropy (demand-side diversity).
+    """
 
-    Exactness: fully integer — shares on an exact 1e6 ppm grid via
-    BIGINT floor division, HHI as the exact sum of squared ppm
-    (< 1e12, inside BIGINT); the double form is one final ROUND.
 
-    Scale: one fact-sized partial agg keyed (nation, supplier) with
-    two broadcast dims, then supplier-count-sized frames."""
-    li = table(spark, sf_dir, "lineitem")
-    sup = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    rev = (
-        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
-                li["l_suppkey"] == F.col("s_suppkey"))
-        .join(F.broadcast(n.select("n_nationkey", "n_name")),
-              F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
-        .agg(F.sum(F.expr(_REV_UNITS_SQL)).alias("su"))
-    )
+def hhi_report(rev: DataFrame) -> DataFrame:
+    """HHI report from a (nation, suppkey, su) revenue-partial frame —
+    THE shared finalize for the batch query and the streaming state
+    refresh (su = exact 1e-4-unit revenue sum per supplier)."""
     tot = rev.groupBy("nation").agg(
         F.sum("su").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
     )
@@ -805,6 +783,62 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def supplier_revenue_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, suppkey, su) exact revenue partials — the shared
+    source for both HHI surfaces (and the add-merge streaming
+    state)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.expr(_REV_UNITS_SQL)).alias("su"))
+    )
+
+
+@query("nation_supplier_hhi", oracle=_HHI_ORACLE)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supply revenue per
+    supplier nation: the sum of squared supplier revenue shares —
+    1/n for perfect competition, 1.0 for a monopoly supplier. The
+    antitrust-style screen over the supply base; pairs with
+    part_supplier_concentration (per-part top share) and
+    nation_parttype_entropy (demand-side diversity).
+
+    Exactness: fully integer — shares on an exact 1e6 ppm grid via
+    BIGINT floor division, HHI as the exact sum of squared ppm
+    (< 1e12, inside BIGINT); the double form is one final ROUND.
+
+    Scale: one fact-sized partial agg keyed (nation, supplier) with
+    two broadcast dims, then supplier-count-sized frames."""
+    return hhi_report(supplier_revenue_partials(spark, sf_dir))
+
+
+@query("streaming_hhi_refresh", oracle=_HHI_ORACLE)
+def streaming_hhi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming supplier-concentration maintenance: the lineitem
+    fact stream replays as real micro-batches; foreachBatch enriches
+    each batch with the broadcast supplier/nation dims, reduces to
+    (nation, suppkey) exact revenue-unit partials, and ADD-merges
+    them into the persistent state; the final state finalizes through
+    the SHARED hhi_report — hash-equal to the batch query (this
+    oracle IS the batch oracle). The antitrust screen kept current as
+    sales land; state is |suppliers| rows forever.
+
+    Scaffolding: streaming/incremental_refresh.py::
+    _replay_state_refresh, shared with the agg/CMS/HLL/CUSUM/MK/
+    skyline refreshes (sharded on l_orderkey)."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_hhi_state_refresh,
+    )
+
+    return streaming_hhi_state_refresh(spark, sf_dir)
 
 
 @query("streaming_skyline_refresh", oracle=_SKYLINE_ORACLE)

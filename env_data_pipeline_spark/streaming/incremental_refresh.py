@@ -565,3 +565,50 @@ def streaming_mann_kendall_state_refresh(
     return _replay_state_refresh(
         spark, events, build, merge, finalize, "stream_mk_refresh_"
     )
+
+
+def streaming_hhi_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming supplier-HHI maintenance (see plans/statmining.py::
+    streaming_hhi_refresh for the contract): state is the
+    (nation, suppkey) -> su revenue-partial frame; batches stream-
+    static join the broadcast dims and ADD-merge exact BIGINT unit
+    sums; finalize is the shared hhi_report."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        _REV_UNITS_SQL,
+        hhi_report,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def build(batch: DataFrame) -> DataFrame:
+        return (
+            batch.join(
+                F.broadcast(sup), batch["l_suppkey"] == F.col("s_suppkey")
+            )
+            .join(
+                F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+            )
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.col("l_suppkey").alias("suppkey"),
+            )
+            .agg(F.sum(F.expr(_REV_UNITS_SQL)).alias("su"))
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("nation", "suppkey")
+            .agg(F.sum("su").alias("su"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return hhi_report(state)
+
+    return _replay_state_refresh(
+        spark, li, build, merge, finalize, "stream_hhi_refresh_",
+        shard_key="l_orderkey",
+    )

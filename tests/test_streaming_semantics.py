@@ -948,3 +948,18 @@ def test_streaming_mann_kendall_equals_batch_report(spark, sf_dir):
     )
     assert stream == batch
     assert batch, "report must be non-empty"
+
+
+def test_streaming_hhi_equals_batch_report(spark, sf_dir):
+    """The streamed (nation, supplier) revenue-partial state,
+    finalized through the shared hhi_report, must row-for-row equal
+    the batch concentration query."""
+    from env_data_pipeline_spark.plans.statmining import (
+        nation_supplier_hhi,
+        streaming_hhi_refresh,
+    )
+
+    batch = sorted(map(tuple, nation_supplier_hhi(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, streaming_hhi_refresh(spark, sf_dir).collect()))
+    assert stream == batch
+    assert batch, "report must be non-empty"
