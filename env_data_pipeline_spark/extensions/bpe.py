@@ -12,8 +12,10 @@ Everything is relational + HOFs — no Python UDF anywhere:
 
 1. ``steps``: for every (distinct word, position), the length of the
    longest vocab piece matching there (>= 1: single characters are in
-   the vocab). A candidate explode of |words| x positions x 4 piece
-   lengths, hash-joined against the broadcast vocab.
+   the vocab). A candidate explode of |words| x positions x
+   MAX_PIECE_LEN piece lengths, hash-joined against the broadcast
+   vocab (the PIECE table is bounded — fixture merges or <=24 learned
+   merges + alphabet — unlike the word table).
 2. the greedy WALK: per word, fold a bounded ``sequence`` through
    ``F.aggregate`` carrying (pos, count) state — pos advances by the
    matched step each iteration, so the fold is the exact greedy
@@ -23,8 +25,10 @@ The DuckDB oracle replays the identical walk as MAX_WORD_LEN chained
 CTEs (the Lloyd-unroll style); ``duck_wordtok_ctes`` emits that block
 so every token-denominated oracle shares one definition. Distinct
 words are vocabulary-scale (tens at test SF, O(millions) at 100 TB),
-so tokenization never touches the corpus — word INSTANCES join the
-tiny (word, n_bpe) table broadcast-side.
+so tokenization never touches the corpus — word INSTANCES
+shuffle_hash-join the (word, n_bpe) table, which is the hash build
+side but is never BROADCAST (it grows with the corpus per Heaps'
+law — ADVICE r9 family fix).
 """
 
 from __future__ import annotations
@@ -35,6 +39,14 @@ from pyspark.sql import functions as F
 # hard bound on word length the walk unrolls to; the testdata pin
 # (tests/test_testdata_contract.py) keeps the corpus inside it
 MAX_WORD_LEN = 16
+
+# longest vocab piece the greedy walk probes for at each position.
+# The bpe_vocab fixture tops out at 4-grams, but the r10 in-engine
+# trainer (plans/bpetrain.py) learns merged pieces up to this length
+# — the walk probes 1..MAX_PIECE_LEN so EITHER table drops in
+# unchanged (probing lengths the vocab lacks finds no hit and costs
+# only candidate rows on the vocabulary-sized word set).
+MAX_PIECE_LEN = 8
 
 
 def duck_wordtok_ctes() -> str:
@@ -58,7 +70,7 @@ def duck_wordtok_ctes() -> str:
                   CAST(l.range AS INT)) AS sub
     FROM bwords w
     CROSS JOIN range({MAX_WORD_LEN}) p
-    CROSS JOIN range(1, 5) l
+    CROSS JOIN range(1, {MAX_PIECE_LEN + 1}) l
     WHERE p.range < length(w.word)
       AND p.range + l.range <= length(w.word)
   ) c LEFT JOIN bpe_vocab v ON v.piece = c.sub
@@ -101,9 +113,11 @@ def word_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         grid.select(
             "word",
             "pos",
-            F.explode(F.array(*[F.lit(l) for l in (1, 2, 3, 4)])).alias(
-                "l"
-            ),
+            F.explode(
+                F.array(
+                    *[F.lit(l) for l in range(1, MAX_PIECE_LEN + 1)]
+                )
+            ).alias("l"),
         )
         .filter(F.col("pos") + F.col("l") <= F.length("word"))
         .withColumn("sub", F.expr("substr(word, pos + 1, l)"))
@@ -157,14 +171,17 @@ def word_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 def doc_tokens(docs: DataFrame, wordtok: DataFrame) -> DataFrame:
     """(doc_id, n_bpe_tokens): per-document BPE token counts — word
-    instances broadcast-joined to the tiny word table, one groupBy.
-    Documents with no non-empty word drop out; callers that need
-    every doc should left-join back."""
+    instances shuffle_hash-joined to the (word, n_bpe) table (the
+    distinct-word vocabulary grows with the corpus per Heaps' law, so
+    it is never broadcast — ADVICE r9 family fix; wordtok is the hash
+    build side, always the smaller leg), one groupBy. Documents with
+    no non-empty word drop out; callers that need every doc should
+    left-join back."""
     inst = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.length("word") > 0)
     return (
-        inst.join(F.broadcast(wordtok), "word")
+        inst.join(wordtok.hint("shuffle_hash"), "word")
         .groupBy("doc_id")
         .agg(F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"))
     )
@@ -185,8 +202,9 @@ def word_tokens_for(spark, sf_dir: str) -> DataFrame:
 
 
 def group_tokens(docs: DataFrame, wordtok: DataFrame, *keys: str) -> DataFrame:
-    """Per-``keys`` word/token mass: explode word instances, broadcast
-    the vocabulary-scale (word, n_bpe) table, one hash agg — columns
+    """Per-``keys`` word/token mass: explode word instances,
+    shuffle_hash-join the vocabulary-scale (word, n_bpe) table (never
+    broadcast — it grows with the corpus), one hash agg — columns
     (``*keys``, n_words, n_bpe_tokens). Groups whose documents carry
     no non-empty word drop out (inner join), matching the shared
     oracle's ``dg JOIN wtok`` shape."""
@@ -194,7 +212,7 @@ def group_tokens(docs: DataFrame, wordtok: DataFrame, *keys: str) -> DataFrame:
         *keys, F.explode(F.split("text", " ")).alias("word")
     ).filter(F.length("word") > 0)
     return (
-        inst.join(F.broadcast(wordtok), "word")
+        inst.join(wordtok.hint("shuffle_hash"), "word")
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

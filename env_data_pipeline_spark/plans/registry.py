@@ -188,6 +188,35 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "text_tfidf_top_terms", "text_vocab_coverage",
         "top_revenue_supplier", "top_value_partkeys",
         "user_deletion_impact_audit",
+        # --- stamped by the round-9 driver window (CORRECTNESS_r09,
+        # 50/50 green; the 9 re-stamps — corpus_pack_sequences,
+        # corpus_temperature_weights, corpus_mixture_summary,
+        # multimodal_phash_near_dups, corpus_token_budget etc. — were
+        # already listed above or are first-time stamps below) ---
+        "corpus_dedup_survivorship_funnel", "corpus_mixture_summary",
+        "corpus_pack_sequences", "corpus_temperature_weights",
+        "corpus_token_budget", "customer_balance_deciles",
+        "dedup_bcubed_eval", "dedup_semantic_semdedup",
+        "embedding_exact_dup_vectors",
+        # events_ab_test_zstat deliberately NOT stamped: r10 added the
+        # degenerate-arm guard + `degenerate` column (ADVICE r9), so
+        # the window must re-sample the schema the stamp describes
+        "events_cusum_changepoint", "events_dau_wau_stickiness",
+        "events_kmv_set_ops", "events_mann_kendall_trend",
+        "events_user_value_gini", "ivf_drift_retrain_verdict",
+        "lineitem_dpp_month_revenue", "lineitem_return_rate_by_brand",
+        "market_basket_lift_topk", "multimodal_phash_near_dups",
+        "nation_parttype_entropy", "nation_ship_latency_p90",
+        "nation_supplier_hhi", "nation_trade_balance",
+        "orders_reorder_interval_stats", "orders_ship_survival_km",
+        "part_copurchase_reach_3hop", "part_kcore_membership",
+        "part_ppr_recommendations", "part_price_size_skyline",
+        "requests_spatial_neighbor_pairs", "requests_user_trajectory",
+        "streaming_cusum_refresh", "streaming_hhi_refresh",
+        "streaming_ivf_drift_refresh", "streaming_mann_kendall_refresh",
+        "streaming_skyline_refresh", "streaming_token_budget_refresh",
+        "text_heaps_fit", "text_sparse_cosine_pairs",
+        "text_zipf_fit",
     }
 )
 
@@ -209,6 +238,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.relational_ext  # noqa: F401
     import env_data_pipeline_spark.plans.relational_sub  # noqa: F401
     import env_data_pipeline_spark.plans.textstats  # noqa: F401
+    import env_data_pipeline_spark.plans.bpetrain  # noqa: F401
     import env_data_pipeline_spark.plans.graphops  # noqa: F401
     import env_data_pipeline_spark.plans.statmining  # noqa: F401
     import env_data_pipeline_spark.plans.integrity  # noqa: F401

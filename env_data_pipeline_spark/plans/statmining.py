@@ -260,11 +260,18 @@ def streaming_cusum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n_control AS BIGINT) AS n_control,
            CAST(conv_control AS BIGINT) AS conv_control,
-           ROUND(CAST(conv_control AS DOUBLE) / n_control, 4) AS rate_control,
+           CASE WHEN n_control > 0 THEN
+             ROUND(CAST(conv_control AS DOUBLE) / n_control, 4)
+           END AS rate_control,
            CAST(n_treatment AS BIGINT) AS n_treatment,
            CAST(conv_treatment AS BIGINT) AS conv_treatment,
-           ROUND(CAST(conv_treatment AS DOUBLE) / n_treatment, 4)
-               AS rate_treatment,
+           CASE WHEN n_treatment > 0 THEN
+             ROUND(CAST(conv_treatment AS DOUBLE) / n_treatment, 4)
+           END AS rate_treatment,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND conv_control + conv_treatment > 0
+                 AND conv_control + conv_treatment
+                     < n_control + n_treatment THEN
            ROUND(
              (CAST(conv_treatment AS DOUBLE) / n_treatment
               - CAST(conv_control AS DOUBLE) / n_control)
@@ -274,7 +281,12 @@ def streaming_cusum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
                         / (n_control + n_treatment))
                  * (1.0 / n_control + 1.0 / n_treatment)
-               ), 4) AS z_stat,
+               ), 4)
+           END AS z_stat,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND conv_control + conv_treatment > 0
+                 AND conv_control + conv_treatment
+                     < n_control + n_treatment THEN
            ABS(
              (CAST(conv_treatment AS DOUBLE) / n_treatment
               - CAST(conv_control AS DOUBLE) / n_control)
@@ -284,7 +296,12 @@ def streaming_cusum_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
                         / (n_control + n_treatment))
                  * (1.0 / n_control + 1.0 / n_treatment)
-               )) > {_AB_Z_CRIT} AS significant
+               )) > {_AB_Z_CRIT}
+           END AS significant,
+           NOT (n_control > 0 AND n_treatment > 0
+                AND conv_control + conv_treatment > 0
+                AND conv_control + conv_treatment
+                    < n_control + n_treatment) AS degenerate
     FROM agg
     """,
 )
@@ -341,15 +358,31 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - pool)
         * (F.lit(1.0) / F.col("n_control") + F.lit(1.0) / F.col("n_treatment"))
     )
+    # Degenerate-input guard (mirrored in the oracle): an empty arm or
+    # a zero pooled variance (all-convert / none-convert) has no
+    # defined z — emit NULL stats plus an explicit verdict flag rather
+    # than NULL/NaN leaking out of a division by zero, matching the
+    # discipline of Mann-Kendall ('degenerate') and the Zipf fit.
+    conv_total = F.col("conv_control") + F.col("conv_treatment")
+    n_total = F.col("n_control") + F.col("n_treatment")
+    z_ok = (
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & (conv_total > 0)
+        & (conv_total < n_total)
+    )
     return agg.select(
         F.col("n_control").cast("bigint").alias("n_control"),
         F.col("conv_control").cast("bigint").alias("conv_control"),
-        F.round(pc, 4).alias("rate_control"),
+        F.when(F.col("n_control") > 0, F.round(pc, 4)).alias("rate_control"),
         F.col("n_treatment").cast("bigint").alias("n_treatment"),
         F.col("conv_treatment").cast("bigint").alias("conv_treatment"),
-        F.round(pt, 4).alias("rate_treatment"),
-        F.round(z, 4).alias("z_stat"),
-        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+        F.when(F.col("n_treatment") > 0, F.round(pt, 4)).alias(
+            "rate_treatment"
+        ),
+        F.when(z_ok, F.round(z, 4)).alias("z_stat"),
+        F.when(z_ok, F.abs(z) > _AB_Z_CRIT).alias("significant"),
+        (~z_ok).alias("degenerate"),
     )
 
 

@@ -79,11 +79,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking.
 
     Scale: one (doc, token) shuffle for tf (map-side combined), one
-    token shuffle for df; df re-joins tf on token — Zipf keeps the
-    vocabulary broadcastable, and the one-row corpus count broadcasts.
-    The per-doc top-k is a WindowGroupLimit: rank-filter pushes the
-    k-limit into the window sort, so no doc materializes its full
-    vocabulary past the operator.
+    token shuffle for df; df re-joins tf on token via a shuffle_hash
+    join — the vocabulary GROWS with the corpus (Heaps' law, measured
+    by text_heaps_fit), so it is never broadcast (ADVICE r9); only
+    the one-row corpus count broadcasts. The per-doc top-k is a
+    WindowGroupLimit: rank-filter pushes the k-limit into the window
+    sort, so no doc materializes its full vocabulary past the
+    operator.
     """
     docs = table(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
@@ -91,7 +93,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "token")
+        tf.join(df_counts.hint("shuffle_hash"), "token")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score_units",
@@ -215,8 +217,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("token") == term, idf * tf_part)), F.lit(0.0)
         )
 
+    # df_counts is vocabulary-sized (grows with the corpus) — shuffle
+    # join, never broadcast (ADVICE r9); the singletons still broadcast
     scored = (
-        tf.join(F.broadcast(df_counts), "token")
+        tf.join(df_counts.hint("shuffle_hash"), "token")
         .join(d, "doc_id")
         .join(F.broadcast(n_docs))
         .join(F.broadcast(avgdl))
@@ -318,12 +322,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifted = (
         bi.withColumn("w1", split_col.getItem(0))
         .withColumn("w2", split_col.getItem(1))
+        # uni is the unigram vocabulary — data-sized, so both lookups
+        # are shuffle_hash joins, not broadcasts (ADVICE r9 family fix)
         .join(
-            F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))),
+            uni.select(
+                F.col("token").alias("w1"), F.col("c").alias("c1")
+            ).hint("shuffle_hash"),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))),
+            uni.select(
+                F.col("token").alias("w2"), F.col("c").alias("c2")
+            ).hint("shuffle_hash"),
             "w2",
         )
         .join(F.broadcast(total))
@@ -776,8 +786,13 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df_counts is VOCABULARY-sized — it grows with the corpus (the
+    # very curve text_heaps_fit measures), so it is never broadcast
+    # (ADVICE r9): shuffle_hash on token, with the df frame as the
+    # hash build side (one row per distinct token vs tf's one row per
+    # (doc, token) — always the smaller leg).
     scored = (
-        tf.join(F.broadcast(df_counts), "token")
+        tf.join(df_counts.hint("shuffle_hash"), "token")
         .filter(F.col("df") <= _SSJ_MAX_DF)
         .join(F.broadcast(n_docs))
         .select(

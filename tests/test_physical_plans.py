@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.plans import registry
+from env_data_pipeline_spark.plans.graphops import _PR_ITERS
 
 registry.load_all()
 
@@ -667,14 +668,22 @@ def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir):
     )
 
 
-def test_pmi_and_boilerplate_broadcast_vocab(spark, sf_dir):
-    """PMI joins the unigram vocabulary back twice and boilerplate
-    joins its gram set back — all as broadcasts (Zipf keeps both
-    sides small); the corpus token/gram stream is never re-shuffled
-    for the join."""
-    for name in ("text_pmi_collocations", "corpus_boilerplate_scrub"):
-        plan = formatted_plan(spark, name, sf_dir)
-        assert "BroadcastHashJoin" in plan, name
+def test_pmi_shuffle_joins_vocab(spark, sf_dir):
+    """PMI joins the unigram vocabulary back twice — as shuffle_hash
+    joins, NOT broadcasts (ADVICE r9: the vocabulary grows with the
+    corpus per Heaps' law); only the two 1-row totals broadcast."""
+    plan = formatted_plan(spark, "text_pmi_collocations", sf_dir)
+    assert plan.count("ShuffledHashJoin") >= 2, plan.count("ShuffledHashJoin")
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_boilerplate_broadcasts_gram_set(spark, sf_dir):
+    """Boilerplate joins its FREQUENT-gram set back as a broadcast —
+    unlike the raw vocabulary, the df-threshold caps that set at
+    |corpus| / threshold, so it stays bounded relative to the gram
+    stream it prunes."""
+    plan = formatted_plan(spark, "corpus_boilerplate_scrub", sf_dir)
+    assert "BroadcastHashJoin" in plan
 
 
 def test_embedding_outliers_broadcast_centroids(spark, sf_dir):
@@ -761,13 +770,31 @@ def test_shard_balance_prunes_scan(spark, sf_dir):
     assert "text" not in schemas[0], schemas[0]
 
 
-def test_pagerank_broadcast_rank_state(spark, sf_dir):
-    """Each power iteration distributes contributions via a BROADCAST
-    of the |parts|-sized rank/contrib table onto the edge stream —
-    the edge set itself is never re-partitioned per iteration, and no
-    Window node appears anywhere."""
+def test_pagerank_never_broadcasts_node_state(spark, sf_dir):
+    """Each power iteration distributes contributions via a
+    co-partitioned SHUFFLE_HASH join of the |parts|-sized
+    contrib/inc frames onto the src-partitioned edge set (ADVICE r9:
+    those frames grow with the data, so a broadcast — the pre-r10
+    design — would detonate at scale). The only BroadcastHashJoin
+    allowed is the 1-row n-nodes singleton init; no Window node
+    appears anywhere."""
     plan = formatted_plan(spark, "part_pagerank_copurchase", sf_dir)
-    assert "BroadcastHashJoin" in plan
+    # the every-other-iteration localCheckpoint truncates the visible
+    # plan to the LAST two iterations — 2 joins each, all shuffled-hash
+    assert plan.count("ShuffledHashJoin") >= 4, plan.count(
+        "ShuffledHashJoin"
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ppr_never_broadcasts_node_state(spark, sf_dir):
+    """Same pin for the seed-teleport variant — it shares
+    _power_iterate with global PageRank."""
+    plan = formatted_plan(spark, "part_ppr_recommendations", sf_dir)
+    assert plan.count("ShuffledHashJoin") >= 4
+    assert "BroadcastHashJoin" not in plan
     assert not re.findall(r"\(\d+\) Window\b", plan)
     assert "TakeOrderedAndProject" in plan
 

@@ -138,6 +138,29 @@ def test_ab_zstat_matches_closed_form(spark, tmp_path):
     )
     assert got.z_stat == round(z, 4)
     assert got.significant == (abs(z) > 1.96)
+    assert got.degenerate is False
+
+
+def test_ab_zstat_empty_arm_is_degenerate(spark, tmp_path):
+    """A corpus whose md5 split leaves one arm empty must yield NULL
+    rate/z/significant plus degenerate=true — not NaN from a division
+    by zero (ADVICE r9)."""
+    # uid=0 hashes to variant 1 (treatment); a single-user corpus
+    # leaves the control arm empty.
+    assert int(hashlib.md5(b"0").hexdigest()[:12], 16) % 2 == 1
+    rows = [
+        (k, dt.datetime(2024, 5, 1, k % 24), 0, "purchase", 1.0, "{}")
+        for k in range(_AB_MIN_PURCHASES)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = events_ab_test_zstat(spark, str(tmp_path)).collect()[0]
+    assert (got.n_control, got.conv_control) == (0, 0)
+    assert (got.n_treatment, got.conv_treatment) == (1, 1)
+    assert got.rate_treatment == 1.0
+    assert got.rate_control is None
+    assert got.z_stat is None
+    assert got.significant is None
+    assert got.degenerate is True
 
 
 def test_skyline_matches_bruteforce(spark, tmp_path):
