@@ -2308,6 +2308,143 @@ def streaming_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# dedup_paragraph_exact: paragraph-grain exact dedup (r10 — the tier
+# production web pipelines run FIRST: RefinedWeb/Gopher drop repeated
+# paragraphs before any fuzzy matching)
+# --------------------------------------------------------------------------
+
+# paragraph surrogate: the synthetic corpus is a single line of
+# space-separated words (no newlines, no punctuation — verified
+# against the shipped parquet), so "paragraphs" are NON-OVERLAPPING
+# _PARA_W-word windows; on a real crawl the same kernel runs with
+# split(text, '\n') as the paragraph source and nothing else changes.
+# Window alignment makes this tier deliberately alignment-SENSITIVE:
+# it catches copy-paste duplication (exact copies, aligned
+# boilerplate blocks) and leaves shifted/perturbed near-duplicates to
+# the MinHash tier below it — which is why it sits between
+# canonical-text and LSH in the ladder.
+_PARA_W = 8
+# drop a doc when more than this fraction (permille) of its
+# paragraphs also occur elsewhere in the corpus — the RefinedWeb
+# "document is mostly duplicated paragraphs" rule
+_PARA_DROP_PERMILLE = 600
+
+# funnel plant class for the paragraph stage: a fixed boilerplate
+# paragraph repeated 8 aligned times (8 duplicated windows) plus the
+# source doc's first window as a unique tail -> 888 permille, dropped
+# by the paragraph stage; byte/canonically unique (survives stages
+# 1-2), and its boilerplate vocabulary is disjoint from the corpus so
+# no organic window collides. doc_id % 50 == 37 is disjoint from the
+# exact (0) and near (25) plants, and CRT-disjoint from the canonical
+# plants (13 mod 40).
+PARA_COPY_OFFSET = 30_000_000
+_PARA_MOD = 50
+_PARA_REM = 37
+_PARA_BOILER = "subscribe to our newsletter for daily updates now"
+_PARA_BOILER_BLOCK = " ".join([_PARA_BOILER] * _PARA_W)
+
+
+def paragraph_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, ph): one md5 per non-overlapping _PARA_W-word window.
+    Only the 16-byte digest ever shuffles, never paragraph text."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(ws) - 1) div {_PARA_W}),"
+                f" k -> md5(array_join("
+                f"slice(ws, 1 + k * {_PARA_W}, {_PARA_W}), ' ')))"
+            )
+        ).alias("ph"),
+    )
+
+
+def paragraph_doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc paragraph-duplication accounting: (doc_id, n_paras,
+    n_dup_paras, dup_permille, dropped). THE shared kernel — the
+    standalone query and the funnel stage both run it.
+
+    Scale: one digest shuffle to count window occurrences, one
+    shuffle_hash join back onto the window stream (the count table is
+    distinct-paragraph-sized — data-sized, never broadcast), one
+    per-doc agg. Pure explode + groupBy; no self-join at any scale."""
+    pw = paragraph_hashes(docs)
+    pc = pw.groupBy("ph").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pw.join(pc.hint("shuffle_hash"), "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.col("n_dup").cast("bigint").alias("n_dup_paras"),
+            F.expr("1000 * n_dup div n_paras")
+            .cast("bigint")
+            .alias("dup_permille"),
+            (
+                F.expr("1000 * n_dup div n_paras") > _PARA_DROP_PERMILLE
+            ).alias("dropped"),
+        )
+    )
+
+
+def _duck_para_ctes(src: str) -> str:
+    """DuckDB CTE block ending in ``pd_stats`` — the oracle mirror of
+    paragraph_doc_stats over corpus CTE ``src``."""
+    return f"""
+    pw AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               lst[1 + k * {_PARA_W} : {_PARA_W} + k * {_PARA_W}], ' '))
+                 AS ph
+      FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM {src}),
+           unnest(generate_series(0, (len(lst) - 1) // {_PARA_W}))
+             AS t(k)
+    ),
+    pc AS (SELECT ph, COUNT(*) AS cnt FROM pw GROUP BY 1),
+    pd_stats AS (
+      SELECT pw.doc_id, COUNT(*) AS n_paras,
+             SUM(CASE WHEN pc.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM pw JOIN pc USING (ph) GROUP BY 1
+    )"""
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH aug AS ({_DUCK_AUG}),
+    {_duck_para_ctes("aug")}
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_dup AS BIGINT) AS n_dup_paras,
+           CAST(1000 * n_dup // n_paras AS BIGINT) AS dup_permille,
+           1000 * n_dup // n_paras > {_PARA_DROP_PERMILLE} AS dropped
+    FROM pd_stats WHERE n_dup > 0 ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup over the augmented corpus: every
+    doc with at least one window also occurring elsewhere, its
+    duplicated-window permille, and the RefinedWeb-style drop verdict
+    (> {_PARA_DROP_PERMILLE} permille duplicated mass). Exact copies
+    read 1000; shift-by-one near copies read ~0 here (alignment) and
+    are the MinHash tier's job — see the _PARA_W comment for why that
+    split is deliberate."""
+    return (
+        paragraph_doc_stats(_aug_docs(spark, sf_dir))
+        .filter(F.col("n_dup_paras") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # corpus_dedup_survivorship_funnel: staged curation accounting (r9)
 # --------------------------------------------------------------------------
 
@@ -2316,7 +2453,9 @@ def _funnel_oracle() -> str:
     """Stage-by-stage replay: the shared LSH CTE chain provides
     lsh_pairs over the standard augmented corpus; the funnel corpus
     additionally carries the canonical plants (byte-distinct,
-    canonically identical), which the canonical stage must drop."""
+    canonically identical, dropped by the canonical stage) and the
+    boilerplate plants (r10 — mostly one repeated boilerplate
+    paragraph plus a unique tail, dropped by the paragraph stage)."""
     return f"""
     WITH {_DUCK_LSH_CTES},
     aug2 AS (
@@ -2324,6 +2463,11 @@ def _funnel_oracle() -> str:
       UNION ALL
       SELECT doc_id + {CANON_COPY_OFFSET}, '  ' || upper(text) || ' !!!'
       FROM documents WHERE doc_id % {_CANON_MOD} = {_CANON_REM}
+      UNION ALL
+      SELECT doc_id + {PARA_COPY_OFFSET},
+             '{_PARA_BOILER_BLOCK}' || ' ' ||
+             array_to_string(string_split(text, ' ')[1:{_PARA_W}], ' ')
+      FROM documents WHERE doc_id % {_PARA_MOD} = {_PARA_REM}
     ),
     ex AS (SELECT doc_id, text,
                   min(doc_id) OVER (PARTITION BY md5(text)) AS rep
@@ -2335,9 +2479,14 @@ def _funnel_oracle() -> str:
                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS rep
            FROM s1),
     s2 AS (SELECT doc_id, text FROM cn WHERE doc_id = rep),
+    {_duck_para_ctes("s2")},
+    sp AS (SELECT s2.doc_id, s2.text FROM s2
+           JOIN pd_stats pd ON pd.doc_id = s2.doc_id
+           WHERE 1000 * pd.n_dup // pd.n_paras
+                 <= {_PARA_DROP_PERMILLE}),
     near AS (SELECT DISTINCT doc_b FROM lsh_pairs),
-    s3 AS (SELECT s2.doc_id, s2.text FROM s2
-           LEFT JOIN near n ON n.doc_b = s2.doc_id
+    s3 AS (SELECT sp.doc_id, sp.text FROM sp
+           LEFT JOIN near n ON n.doc_b = sp.doc_id
            WHERE n.doc_b IS NULL),
     w3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s3),
     tw3 AS (SELECT doc_id, max(c) AS topc FROM (
@@ -2358,8 +2507,9 @@ def _funnel_oracle() -> str:
              (SELECT COUNT(*) FROM aug2) AS n_out
       UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
       UNION ALL SELECT 2, 'canonical_dedup', (SELECT COUNT(*) FROM s2)
-      UNION ALL SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM s3)
-      UNION ALL SELECT 4, 'quality_gate', (SELECT COUNT(*) FROM s4)
+      UNION ALL SELECT 3, 'paragraph_dedup', (SELECT COUNT(*) FROM sp)
+      UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 5, 'quality_gate', (SELECT COUNT(*) FROM s4)
     )
     SELECT stage_id, stage,
            CAST(COALESCE(lag(n_out) OVER (ORDER BY stage_id), n_out)
@@ -2382,17 +2532,21 @@ def corpus_dedup_survivorship_funnel(
     """The curation pipeline as ONE staged accounting query — the
     report a data-pipeline owner actually reads before a training
     run: ingested -> exact dedup (md5 groups) -> canonical dedup
-    (casefold/punct/space key) -> near dedup (MinHash-LSH doc_b
-    drops, the corpus_dedup_keep rule) -> quality gate (drop
-    HIGH_REPETITION: dup-bigram > 0.05 or top-word > 0.15). Each
-    stage reports in/dropped/out and the exact integer drop
-    permille; every planted duplicate class (exact, near, canonical)
-    is dropped by exactly its own stage.
+    (casefold/punct/space key) -> paragraph dedup (r10: drop docs
+    whose duplicated-window mass exceeds {_PARA_DROP_PERMILLE}
+    permille — the RefinedWeb first-tier rule, paragraph_doc_stats)
+    -> near dedup (MinHash-LSH doc_b drops, the corpus_dedup_keep
+    rule) -> quality gate (drop HIGH_REPETITION: dup-bigram > 0.05 or
+    top-word > 0.15). Each stage reports in/dropped/out and the exact
+    integer drop permille; every planted duplicate class (exact,
+    canonical, boilerplate-paragraph, near) is dropped by exactly its
+    own stage — the shift-by-one near plants are alignment-invisible
+    to the window-grain paragraph stage by construction.
 
     Scale: the stages are the SAME kernels the standalone dedup
     queries run (one digest shuffle each; the LSH chain is banded,
     never all-pairs); stage counts are 1-row aggregates unioned into
-    a 5-row frame — the funnel adds accounting, not new corpus-sized
+    a 6-row frame — the funnel adds accounting, not new corpus-sized
     work."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     plants = docs.filter(
@@ -2403,7 +2557,18 @@ def corpus_dedup_survivorship_funnel(
             "text"
         ),
     )
-    corpus = _aug_docs(spark, sf_dir).unionByName(plants)
+    boiler = docs.filter(F.col("doc_id") % _PARA_MOD == _PARA_REM).select(
+        (F.col("doc_id") + PARA_COPY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit(_PARA_BOILER_BLOCK + " "),
+            F.expr(
+                f"array_join(slice(split(text, ' '), 1, {_PARA_W}), ' ')"
+            ),
+        ).alias("text"),
+    )
+    corpus = (
+        _aug_docs(spark, sf_dir).unionByName(plants).unionByName(boiler)
+    )
     from pyspark.sql import Window
 
     ex = corpus.withColumn(
@@ -2423,12 +2588,16 @@ def corpus_dedup_survivorship_funnel(
         "rep", F.min("doc_id").over(Window.partitionBy(canon_key))
     )
     s2 = cn.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    para_drops = paragraph_doc_stats(s2).filter(F.col("dropped")).select(
+        "doc_id"
+    )
+    sp = s2.join(para_drops, "doc_id", "left_anti")
     near = (
         _lsh_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(near, "doc_id", "left_anti")
+    s3 = sp.join(near, "doc_id", "left_anti")
     rep = L_rep.repetition_profile(s3)
     s4 = rep.filter(F.col("repetition_bucket") != "HIGH_REPETITION")
 
@@ -2436,8 +2605,9 @@ def corpus_dedup_survivorship_funnel(
         (0, "ingested", corpus),
         (1, "exact_dedup", s1),
         (2, "canonical_dedup", s2),
-        (3, "near_dedup", s3),
-        (4, "quality_gate", s4),
+        (3, "paragraph_dedup", sp),
+        (4, "near_dedup", s3),
+        (5, "quality_gate", s4),
     ]
     cts = None
     for sid, label, frame in stages:
@@ -2469,100 +2639,31 @@ def corpus_dedup_survivorship_funnel(
 _B3_GRID = 1_000_000  # per-item P/R land on this integer grid pre-sum
 
 
-@query(
-    "dedup_bcubed_eval",
-    oracle=f"""
-    WITH RECURSIVE {_DUCK_LSH_CTES},
-    edges AS (
-      SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
-      UNION
-      SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
-    ),
-    walk(node, reach) AS (
-      SELECT s, s FROM edges
-      UNION
-      SELECT wk.node, e.d FROM walk wk JOIN edges e ON e.s = wk.reach
-    ),
-    lab AS (
-      SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
-    ),
-    items AS MATERIALIZED (
-      SELECT a.doc_id,
-             COALESCE(l.cluster_id, a.doc_id) AS pred,
-             CASE WHEN a.doc_id >= {NEAR_COPY_OFFSET}
-                    THEN a.doc_id - {NEAR_COPY_OFFSET}
-                  WHEN a.doc_id >= {EXACT_COPY_OFFSET}
-                    THEN a.doc_id - {EXACT_COPY_OFFSET}
-                  ELSE a.doc_id END AS truth
-      FROM aug a LEFT JOIN lab l USING (doc_id)
-    ),
-    ct AS (SELECT pred, truth, COUNT(*) AS n_ct FROM items GROUP BY 1, 2),
-    cs AS (SELECT pred, COUNT(*) AS n_c FROM items GROUP BY 1),
-    ts AS (SELECT truth, COUNT(*) AS n_t FROM items GROUP BY 1),
-    per AS (
-      SELECT i.doc_id,
-             (c.n_ct * {_B3_GRID}) // s.n_c AS p_u,
-             (c.n_ct * {_B3_GRID}) // t.n_t AS r_u
-      FROM items i
-      JOIN ct c ON c.pred = i.pred AND c.truth = i.truth
-      JOIN cs s ON s.pred = i.pred
-      JOIN ts t ON t.truth = i.truth
-    ),
-    tot AS (
-      SELECT COUNT(*) AS n, SUM(p_u) AS sp, SUM(r_u) AS sr,
-             (SELECT COUNT(*) FROM cs) AS n_pred,
-             (SELECT COUNT(*) FROM ts) AS n_truth
-      FROM per
+def _planted_truth(item_id):
+    """Ground-truth group of an augmented id under the engine-wide
+    planted-duplicate convention: +EXACT/+NEAR copies map back to
+    their base id (same rule for doc_ids and vec_ids)."""
+    return (
+        F.when(item_id >= NEAR_COPY_OFFSET, item_id - NEAR_COPY_OFFSET)
+        .when(item_id >= EXACT_COPY_OFFSET, item_id - EXACT_COPY_OFFSET)
+        .otherwise(item_id)
     )
-    SELECT CAST(n AS BIGINT) AS n_items,
-           CAST(n_pred AS BIGINT) AS n_pred_clusters,
-           CAST(n_truth AS BIGINT) AS n_truth_groups,
-           ROUND(sp / (n * {_B3_GRID}.0), 4) AS bcubed_precision,
-           ROUND(sr / (n * {_B3_GRID}.0), 4) AS bcubed_recall,
-           ROUND(2.0 * (sp / (n * {_B3_GRID}.0)) * (sr / (n * {_B3_GRID}.0))
-                 / ((sp / (n * {_B3_GRID}.0)) + (sr / (n * {_B3_GRID}.0))), 4)
-               AS bcubed_f1
-    FROM tot
-    """,
-)
-def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline QA for the dedup stack: B-cubed precision/recall/F1
-    (Bagga & Baldwin 1998; the clustering-eval standard from the
-    entity-resolution literature) of the MinHash-LSH connected-
-    component clusters against the planted-duplicate ground truth the
-    augmentation defines (base id <-> +EXACT/+NEAR copies). Unclustered
-    docs count as singletons on BOTH sides, so over-merging lowers
-    precision and missed dups lower recall — the two failure modes a
-    production dedup rollout must monitor before dropping data.
+
+
+def bcubed_metrics(items: DataFrame) -> DataFrame:
+    """THE B-cubed kernel (Bagga & Baldwin 1998): a (pred, truth)
+    item frame in, the 1-row metrics frame out — shared by the LSH
+    grading (dedup_bcubed_eval) and the semantic-tier grading
+    (dedup_semantic_bcubed, r10).
 
     Exactness: per-item precision/recall land on an integer 1e-6 grid
     (bigint div) BEFORE summation, so the averages are exact integer
     sums — aggregation order cannot move them; the only doubles are
     the final three ROUND projections.
 
-    Scale: items/ct/cs/ts are all corpus-keyed groupBys (the pred key
-    reuses one partitioning across ct/cs and the final join); cluster
-    labels come from the iterative min-label propagation — nothing
-    here exceeds the corpus in size, and nothing is quadratic."""
-    aug = _aug_docs(spark, sf_dir).select("doc_id")
-    labels = D.connected_components(_lsh_pairs(spark, sf_dir))
-    items = (
-        aug.join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("pred"),
-            F.when(
-                F.col("doc_id") >= NEAR_COPY_OFFSET,
-                F.col("doc_id") - NEAR_COPY_OFFSET,
-            )
-            .when(
-                F.col("doc_id") >= EXACT_COPY_OFFSET,
-                F.col("doc_id") - EXACT_COPY_OFFSET,
-            )
-            .otherwise(F.col("doc_id"))
-            .alias("truth"),
-        )
-    )
+    Scale: ct/cs/ts are all corpus-keyed groupBys (the pred key
+    reuses one partitioning across ct/cs and the final join);
+    nothing here exceeds the corpus in size, nothing is quadratic."""
     ct = items.groupBy("pred", "truth").agg(F.count(F.lit(1)).alias("n_ct"))
     cs = items.groupBy("pred").agg(F.count(F.lit(1)).alias("n_c"))
     ts = items.groupBy("truth").agg(F.count(F.lit(1)).alias("n_t"))
@@ -2597,3 +2698,91 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 4).alias("bcubed_recall"),
         F.round(F.lit(2.0) * p * r / (p + r), 4).alias("bcubed_f1"),
     )
+
+
+def duck_bcubed_tail(items: str) -> str:
+    """Oracle mirror of bcubed_metrics: CTE block + final SELECT over
+    an in-scope (pred, truth) item CTE named ``items``."""
+    return f"""
+    ct AS (SELECT pred, truth, COUNT(*) AS n_ct FROM {items} GROUP BY 1, 2),
+    cs AS (SELECT pred, COUNT(*) AS n_c FROM {items} GROUP BY 1),
+    ts AS (SELECT truth, COUNT(*) AS n_t FROM {items} GROUP BY 1),
+    per AS (
+      SELECT (c.n_ct * {_B3_GRID}) // s.n_c AS p_u,
+             (c.n_ct * {_B3_GRID}) // t.n_t AS r_u
+      FROM {items} i
+      JOIN ct c ON c.pred = i.pred AND c.truth = i.truth
+      JOIN cs s ON s.pred = i.pred
+      JOIN ts t ON t.truth = i.truth
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(p_u) AS sp, SUM(r_u) AS sr,
+             (SELECT COUNT(*) FROM cs) AS n_pred,
+             (SELECT COUNT(*) FROM ts) AS n_truth
+      FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n_pred AS BIGINT) AS n_pred_clusters,
+           CAST(n_truth AS BIGINT) AS n_truth_groups,
+           ROUND(sp / (n * {_B3_GRID}.0), 4) AS bcubed_precision,
+           ROUND(sr / (n * {_B3_GRID}.0), 4) AS bcubed_recall,
+           ROUND(2.0 * (sp / (n * {_B3_GRID}.0)) * (sr / (n * {_B3_GRID}.0))
+                 / ((sp / (n * {_B3_GRID}.0)) + (sr / (n * {_B3_GRID}.0))), 4)
+               AS bcubed_f1
+    FROM tot
+    """
+
+
+@query(
+    "dedup_bcubed_eval",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LSH_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+    ),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT wk.node, e.d FROM walk wk JOIN edges e ON e.s = wk.reach
+    ),
+    lab AS (
+      SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    items AS MATERIALIZED (
+      SELECT COALESCE(l.cluster_id, a.doc_id) AS pred,
+             CASE WHEN a.doc_id >= {NEAR_COPY_OFFSET}
+                    THEN a.doc_id - {NEAR_COPY_OFFSET}
+                  WHEN a.doc_id >= {EXACT_COPY_OFFSET}
+                    THEN a.doc_id - {EXACT_COPY_OFFSET}
+                  ELSE a.doc_id END AS truth
+      FROM aug a LEFT JOIN lab l USING (doc_id)
+    ),
+    {duck_bcubed_tail("items")}
+    """,
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline QA for the dedup stack: B-cubed precision/recall/F1
+    (Bagga & Baldwin 1998; the clustering-eval standard from the
+    entity-resolution literature) of the MinHash-LSH connected-
+    component clusters against the planted-duplicate ground truth the
+    augmentation defines (base id <-> +EXACT/+NEAR copies). Unclustered
+    docs count as singletons on BOTH sides, so over-merging lowers
+    precision and missed dups lower recall — the two failure modes a
+    production dedup rollout must monitor before dropping data.
+
+    Exactness and scale: see bcubed_metrics (the shared kernel);
+    cluster labels come from the iterative min-label propagation —
+    nothing here exceeds the corpus in size, and nothing is
+    quadratic."""
+    aug = _aug_docs(spark, sf_dir).select("doc_id")
+    labels = D.connected_components(_lsh_pairs(spark, sf_dir))
+    items = (
+        aug.join(labels, "doc_id", "left")
+        .select(
+            F.coalesce("cluster_id", "doc_id").alias("pred"),
+            _planted_truth(F.col("doc_id")).alias("truth"),
+        )
+    )
+    return bcubed_metrics(items)

@@ -193,7 +193,10 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         # corpus_temperature_weights, corpus_mixture_summary,
         # multimodal_phash_near_dups, corpus_token_budget etc. — were
         # already listed above or are first-time stamps below) ---
-        "corpus_dedup_survivorship_funnel", "corpus_mixture_summary",
+        # corpus_dedup_survivorship_funnel deliberately NOT stamped:
+        # r10 inserted the paragraph_dedup stage + boilerplate plant
+        # class, so the window must re-sample the 6-stage definition
+        "corpus_mixture_summary",
         "corpus_pack_sequences", "corpus_temperature_weights",
         "corpus_token_budget", "customer_balance_deciles",
         "dedup_bcubed_eval", "dedup_semantic_semdedup",

@@ -1364,13 +1364,15 @@ def test_survivorship_funnel_stage_semantics(spark, sf_dir):
     """Funnel invariants on the real corpus: counts chain
     (n_out[k] == n_in[k+1]), every stage drops a non-negative count,
     every PLANTED class is gone by its own stage — exact plants
-    (offset 1e7) by stage 1, canonical plants (9e6) by stage 2, near
-    plants (2e7) by stage 3 — and the planted drop counts are lower
-    bounds on each stage's n_dropped."""
+    (offset 1e7) by stage 1, canonical plants (9e6) by stage 2,
+    boilerplate-paragraph plants (3e7, r10) by stage 3, near plants
+    (2e7) by stage 4 — and the planted drop counts are lower bounds
+    on each stage's n_dropped."""
     from env_data_pipeline_spark.plans.extensions import (
-        CANON_COPY_OFFSET,
         _CANON_MOD,
         _CANON_REM,
+        _PARA_MOD,
+        _PARA_REM,
     )
     from env_data_pipeline_spark.catalog import table
     from pyspark.sql import functions as F
@@ -1381,8 +1383,8 @@ def test_survivorship_funnel_stage_semantics(spark, sf_dir):
             spark, sf_dir
         ).collect()
     }
-    assert sorted(rows) == [0, 1, 2, 3, 4]
-    for k in range(4):
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    for k in range(5):
         assert rows[k]["n_out"] == rows[k + 1]["n_in"]
     assert rows[0]["n_dropped"] == 0
     assert all(rows[k]["n_dropped"] >= 0 for k in rows)
@@ -1393,9 +1395,55 @@ def test_survivorship_funnel_stage_semantics(spark, sf_dir):
     n_canon = docs.filter(
         F.col("doc_id") % _CANON_MOD == _CANON_REM
     ).count()
+    n_boiler = docs.filter(
+        F.col("doc_id") % _PARA_MOD == _PARA_REM
+    ).count()
+    assert n_boiler > 0
     assert rows[1]["n_dropped"] >= n_exact
     assert rows[2]["n_dropped"] >= n_canon
-    assert rows[3]["n_dropped"] >= n_near
+    assert rows[3]["n_dropped"] >= n_boiler
+    assert rows[4]["n_dropped"] >= n_near
+
+
+def test_paragraph_dedup_alignment_semantics(spark, tmp_path):
+    """Window-grain paragraph dedup on a handcrafted corpus: an exact
+    copy reads 1000 permille (dropped); a shift-by-one copy shares NO
+    aligned window (absent from the dup report — that near-dup is the
+    MinHash tier's job); a doc that repeats one boilerplate window
+    internally registers it; unique docs are absent."""
+    from env_data_pipeline_spark.plans.extensions import (
+        _PARA_W,
+        paragraph_doc_stats,
+    )
+
+    w = [f"w{i}" for i in range(_PARA_W * 3)]
+    base = " ".join(w)  # 3 windows
+    shifted = " ".join(w[1:])  # same words, alignment broken
+    boiler = " ".join(w[:_PARA_W])
+    selfrep = " ".join([boiler] * 2 + ["tail"])  # window repeated 2x
+    docs = [
+        (0, base),
+        (1, base),  # exact copy of 0
+        (2, shifted),
+        (3, selfrep),
+        (4, "completely different words here padding " + " ".join(
+            f"u{i}" for i in range(_PARA_W)
+        )),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_permille, r.dropped)
+        for r in paragraph_doc_stats(df).collect()
+    }
+    assert got[0] == (3, 3, 1000, True)
+    assert got[1] == (3, 3, 1000, True)
+    assert got[2][1] == 0  # shifted: no aligned window collides
+    # selfrep: 3 windows (boiler, boiler, tail-with-'tail'... the 2nd
+    # window is boiler again only if alignment holds: words are
+    # [boiler x8, boiler x8, tail] -> windows 1,2 = boiler, 3 = tail
+    assert got[3][0] == 3 and got[3][1] == 2
+    assert got[3][2] == 666 and got[3][3] is True
+    assert got[4][1] == 0
 
 
 def test_spatial_neighbor_pairs_vs_bruteforce(spark, sf_dir):
