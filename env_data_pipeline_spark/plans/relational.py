@@ -622,6 +622,95 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_skewed_tenant_profile",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN user_id ELSE 0 END AS tenant,
+             event_type
+      FROM events
+    ),
+    cust AS (
+      SELECT c_custkey AS tenant,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    SELECT ev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(cust.bal_cents) AS BIGINT) AS n_identified,
+           CAST(COALESCE(SUM(cust.bal_cents), 0) AS BIGINT)
+               AS identified_bal_cents_total
+    FROM ev LEFT JOIN cust USING (tenant)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_skewed_tenant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately SKEWED fact-fact join (SURVEY.md §4's join-side
+    skew story, complementing events_salted_type_stats' agg-side
+    salting): events are attributed to an account — logged-out
+    traffic (user_id % 10 != 0, ~90% of rows) lands on the shared
+    anonymous pool, tenant 0 — and each event is left-joined to the
+    customer table on that key to profile, per event type, how much
+    of the traffic is identified and the average account balance
+    behind it (the "which event types do signed-in, high-balance
+    accounts drive" monitor; anonymous rows keep a NULL balance).
+
+    The enrichment join shuffles the raw event stream on tenant, so
+    ONE partition carries ~90% of the fact table — the textbook skew
+    shape salting cannot fix on a JOIN (splitting the probe stream is
+    the runtime's job). The plan relies on AQE's skew-join splitting:
+    at 100 TB the tenant-0 partition blows past
+    spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes
+    (256 MB default) and factor 5x-median, and AQE splits it into
+    advisory-sized chunks, replicating the matching build blocks
+    (tests/test_physical_plans.py::test_skewed_tenant_join_aqe_split
+    pins the skew=true marker on the executed SMJ with the thresholds
+    scaled down to test SF). Three shape constraints make the split
+    LEGAL, found the hard way and pinned here so they are not
+    refactored away: (1) both SMJ children must be bare
+    Sort(ShuffleQueryStage) with ENSURE_REQUIREMENTS shuffle origin —
+    an aggregate or explicit repartition on either side disqualifies
+    the rule, which is why the build side is a plain customer
+    scan/projection; (2) LeftOuter lets AQE split the (skewed) left
+    stream side; (3) the downstream aggregate keys on event_type —
+    NOT on tenant — so the join's output partitioning is not reused
+    downstream. Both legs merge-hinted: customer grows with SF,
+    fact-fact, never broadcast (AQE hazard).
+
+    Exactness: counts and the integer-cent balance div are exact
+    BIGINTs (a total rather than an integer-div average: balances
+    can be negative, where Spark div truncates and DuckDB // floors)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 == 0, F.col("user_id"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("tenant"),
+        "event_type",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("tenant"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "bal_cents"
+        ),
+    )
+    return (
+        ev.hint("merge")
+        .join(cust.hint("merge"), "tenant", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("bal_cents").cast("bigint").alias("n_identified"),
+            # total, not avg: acctbal can be negative and Spark's div
+            # truncates where DuckDB's // floors (float-grid memory) —
+            # an exact BIGINT total sidesteps the negative-div hazard
+            F.coalesce(F.sum("bal_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("identified_bal_cents_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "revenue_rollup_region_nation",
     oracle="""
     SELECT coalesce(r.r_name, 'ALL') AS region,

@@ -115,6 +115,9 @@ NESTED_LOOP_OK = {
     # 1-row cluster/group counts cross-joined into the 1-row B-cubed
     # summary (singleton-aggregate assembly)
     "dedup_bcubed_eval",
+    # rides the dedup_semantic_semdedup decision plan (Lloyd
+    # assignment, see above) + the same 1-row B-cubed assembly
+    "dedup_semantic_bcubed",
     # 1-row corpus count broadcast into the tf-idf unit expression
     # (same singleton pattern as text_tfidf_top_terms)
     "text_sparse_cosine_pairs",
@@ -797,6 +800,69 @@ def test_ppr_never_broadcasts_node_state(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert not re.findall(r"\(\d+\) Window\b", plan)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skewed_tenant_join_aqe_split(spark, sf_dir, tmp_path):
+    """AQE skew-join splitting, demonstrated and pinned (VERDICT r9
+    item 4 — the one Catalyst scale feature without a pin next to
+    DPP/bloom/bucketing): events_skewed_tenant_profile shuffles ~90%
+    of the fact stream into the tenant-0 partition; with the skew
+    thresholds scaled from their production defaults (256 MB
+    threshold / 64 MB advisory / factor 5) down to test-SF bytes
+    (4 KB / 2 KB / factor 2 — same ratios; the compressed sf0.1 hot
+    block is ~100 KB), the EXECUTED sort-merge join must carry the
+    skew=true marker, i.e. AQE split the hot partition into
+    advisory-sized chunks at runtime. autoBroadcastJoinThreshold is
+    disabled for the run so AQE cannot demote the merge-hinted SMJ
+    to a broadcast join at test SF (the AQE-hazard discipline).
+    Found the hard way, recorded here: the rule also requires BOTH
+    SMJ children to be bare ENSURE_REQUIREMENTS shuffle stages and
+    >= 2 mapper chunks per skewed partition (see the query docstring
+    and the re-materialization below)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # coalescing first would merge the tiny non-skewed partitions
+        # into blocks comparable to the hot one and mask the skew
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    # skew splits happen at MAPPER-chunk granularity: a production
+    # scan has thousands of row groups, but the shipped testdata is
+    # ONE row group = one mapper, making the hot reduce block a
+    # single indivisible chunk no threshold can split — so the test
+    # re-materializes sf0.1 events across 16 files to give the scan
+    # the mapper parallelism the real deployment has.
+    spark.read.parquet("/root/testdata/sf0.1/events.parquet").repartition(
+        16
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.read.parquet("/root/testdata/sf0.1/customer.parquet").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset key
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = registry.QUERIES["events_skewed_tenant_profile"](
+            spark, str(tmp_path)
+        )
+        rows = df.collect()
+        assert len(rows) == 5  # five event types
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_skew_profile_prunes_scans(spark, sf_dir):
