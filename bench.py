@@ -56,6 +56,48 @@ HEADLINE = [
 # tables whose row counts define the data-scale ratio per query family
 _SCALE_TABLES = ("lineitem", "events", "documents", "embeddings")
 
+# sf1-equivalent (x10) tier: how many of the slowest headliners get a
+# timing one decade past the shipped data, and which headliners are
+# eligible — every input table must be one the probe tier replicates
+# honestly (benchscale generates documents/embeddings/lineitem/events;
+# dims and fixtures stay sf0.1-sized, so queries joining them would
+# time a partially-scaled hybrid).
+_SF1_COUNT = 10
+SF1_ELIGIBLE = {
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
+    "decontaminate_eval_overlap",
+    "dedup_delta_vs_corpus",
+    "dedup_paragraph_exact",
+    "multimodal_phash_near_dups",
+    "text_sparse_cosine_pairs",
+    "corpus_curation_verdict",
+    "text_repetition_profile",
+    "text_quality_profile",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_ivf_kmeans",
+    "embedding_pq_reconstruction",
+    "similarity_topk_pq",
+    "similarity_topk_ivf_served",
+    "similarity_topk_ivfpq_served",
+    "market_basket_part_pairs",
+    "part_triangle_count_sampled",
+    "events_rapid_repeat_pairs",
+    "events_asof_last_touch",
+    "events_sessionized_stats",
+}
+SF1_EXCLUDED = {
+    # K=8 cells are the sf0.1 training contract; an honest x10 run
+    # needs K ~ sqrt(n) retraining or the in-cell pair scan is
+    # deliberately quadratic (the SemDeDup paper's own knob) — noted,
+    # not timed, so the tier never records a misconfigured index
+    "dedup_semantic_semdedup": (
+        "K=8 cell contract is sf0.1-sized; x10 needs K~sqrt(n) "
+        "retrain — excluded rather than timing a misconfigured index"
+    ),
+}
+
 
 _N_RUNS = 5  # timed runs per query; reported time is the MEDIAN
 # Adaptive noise control (VERDICT r7 item 4): a day's noisy query is
@@ -86,7 +128,13 @@ def _stats(rs: list[float]) -> tuple[float, float]:
     return med, ((rs[-1] - rs[0]) / med if med else 0.0)
 
 
-def _measure_query(spark, name: str, sf_dir: str) -> tuple[list[float], dict]:
+def _measure_query(
+    spark,
+    name: str,
+    sf_dir: str,
+    batch: int | None = None,
+    topup: bool = True,
+) -> tuple[list[float], dict]:
     """One query's timing protocol (VERDICT r9 item 3 rework): one
     untimed warm-up (whole-stage-codegen compilation, broadcast
     build, parquet footers, fixture snapshot on a cold cache —
@@ -114,6 +162,7 @@ def _measure_query(spark, name: str, sf_dir: str) -> tuple[list[float], dict]:
     a shared hypervisor) that no in-process protocol removes — the
     calibration probe (_calibrate) makes that drift visible and
     quantified in the artifact instead."""
+    b = _BATCH if batch is None else batch
     registry.QUERIES[name](spark, sf_dir).count()
     # drop warm-up garbage (broadcast blocks, shuffle files are
     # released via weak refs on GC) outside the timing window
@@ -122,15 +171,15 @@ def _measure_query(spark, name: str, sf_dir: str) -> tuple[list[float], dict]:
 
     def one_batch() -> float:
         t0 = time.perf_counter()
-        for _ in range(_BATCH):
+        for _ in range(b):
             n = registry.QUERIES[name](spark, sf_dir).count()
             assert n >= 0
-        return (time.perf_counter() - t0) / _BATCH
+        return (time.perf_counter() - t0) / b
 
     for _ in range(_N_RUNS):
         runs.append(one_batch())
     _, spread = _stats(runs)
-    while spread > _NOISY_SPREAD and len(runs) < _MAX_RUNS:
+    while topup and spread > _NOISY_SPREAD and len(runs) < _MAX_RUNS:
         spark.sparkContext._jvm.System.gc()
         runs.append(one_batch())
         runs.append(one_batch())
@@ -272,7 +321,8 @@ def main() -> None:
     # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
     # 4: "per-query times AND captured plans") — a side artifact, so
     # stdout stays the one-JSON-line driver contract
-    _dump_plans(spark, names, sf_dir)
+    if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
+        _dump_plans(spark, names, sf_dir)
 
     # "rel_spread" = (max-min)/median of the timed runs.
     result = {
@@ -408,6 +458,50 @@ def main() -> None:
             }
         result["scale_probe"] = probe
 
+        # sf1-EQUIVALENT TIER (VERDICT r9 item 6): the slowest
+        # headliners timed one decade past the shipped data, same
+        # median+spread estimator (single-exec runs: x10 executions
+        # are seconds each, batching buys nothing at that grain).
+        # Eligibility is explicit, never silent: a headliner is timed
+        # at x10 only when every table it reads is one the tier
+        # replicates honestly (documents/embeddings/lineitem/events);
+        # everything ranked above the cut but not timed is listed in
+        # sf1_skipped with its reason.
+        ranked = sorted(names, key=lambda n: timings.get(n, 0.0), reverse=True)
+        chosen: list[str] = []
+        skipped: dict[str, str] = {}
+        for n in ranked:
+            if len(chosen) >= _SF1_COUNT:
+                break
+            if n in SF1_EXCLUDED:
+                skipped[n] = SF1_EXCLUDED[n]
+            elif n in SF1_ELIGIBLE:
+                chosen.append(n)
+            else:
+                skipped[n] = (
+                    "inputs beyond the x10-replicated fact tables "
+                    "(dims/fixtures do not grow in the probe tier)"
+                )
+        # no adaptive top-up at x10: a noisy 11-second query would
+        # otherwise accrue 13 executions and blow the bench window —
+        # the spread is recorded instead and reads as what it is
+        sf1_t, sf1_sp, _sf1_sh, sf1_runs = _fold_runs(
+            {
+                n: _measure_query(spark, n, x10_dir, batch=1, topup=False)
+                for n in chosen
+            }
+        )
+        result["tiers"]["1.0"] = sf1_t
+        result["tiers_spread"]["1.0"] = sf1_sp
+        result["sf1_skipped"] = skipped
+        # per-decade slope vs the sf0.1 median: log10(t_x10 / t_sf01);
+        # 1.0 = linear in data, < 1 sublinear (all four driving tables
+        # replicate exactly 10x)
+        result["sf1_slope"] = {
+            n: round(math.log10(max(sf1_t[n], 1e-4) / max(timings[n], 1e-4)), 3)
+            for n in chosen
+        }
+
     # The driver keeps only the LAST ~2000 characters of stdout and
     # json-parses the final line — every round where the single rich
     # JSON line outgrew that window (r2/r4/r5/r6) was recorded with
@@ -417,8 +511,13 @@ def main() -> None:
     # printed as the first stdout line for log capture, and (3) the
     # FINAL line is a compact contract line — metric/value/unit/
     # queries/sf — guaranteed to fit the tail window.
+    # the FAST smoke run must never clobber the committed full-run
+    # artifact (it lacks tiers/probes and its timings are not a
+    # record) — it writes a sibling file instead
+    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FAST.json" if fast else "BENCH_FULL.json",
     )
     tmp = full_path + ".tmp"
     with open(tmp, "w") as fh:

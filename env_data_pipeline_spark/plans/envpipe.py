@@ -904,6 +904,101 @@ def requests_spatial_neighbor_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# requests_density_hotspots: 3x3 box-kernel smoothed cell density (r10)
+# --------------------------------------------------------------------------
+
+_DENS_TOPK = 25
+
+
+@query(
+    "requests_density_hotspots",
+    oracle=f"""
+    {duck_with("requests")},
+    cells AS (
+      SELECT (CAST(floor(longitude * 1000000) AS BIGINT) + 180000000)
+                 // {_GEO_CELL} AS cx,
+             (CAST(floor(latitude * 1000000) AS BIGINT) + 90000000)
+                 // {_GEO_CELL} AS cy,
+             COUNT(*) AS n
+      FROM requests
+      WHERE latitude BETWEEN -90 AND 90
+        AND longitude BETWEEN -180 AND 180
+      GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT c.cx + dx.range AS cx, c.cy + dy.range AS cy, c.n
+      FROM cells c
+      CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
+    ),
+    sm AS (SELECT cx, cy, SUM(n) AS smoothed FROM contrib GROUP BY 1, 2)
+    SELECT c.cx, c.cy,
+           CAST(c.n AS BIGINT) AS n_requests,
+           CAST(s.smoothed AS BIGINT) AS smoothed_density
+    FROM cells c JOIN sm s USING (cx, cy)
+    ORDER BY smoothed_density DESC, cx, cy
+    LIMIT {_DENS_TOPK}
+    """,
+)
+def requests_density_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-smoothed request density: per 0.25-degree cell, the
+    request count plus a 3x3 box-kernel smoothed density (each cell's
+    neighborhood mass), top-25 hotspots — the coverage heat map an
+    ingestion planner reads to place regional caches, robust to
+    single-cell spikes because the kernel pools neighbors. Reuses the
+    neighbor-pairs grid convention (shift-positive, floor cell ids).
+
+    Exactness: counts and sums are exact BIGINTs end to end; the
+    hotspot ordering ties break on the integer cell id pair.
+
+    Scale: density lives on the CELL vocabulary (bounded by the
+    coordinate domain / cell size, not by traffic); the kernel is a
+    9-way explode of the cell frame + one map-side-combined groupBy —
+    no join against the raw request stream and no pairwise work. The
+    result join (cells x smoothed) is cell-keyed; only cell-grain
+    rows ever shuffle."""
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    req = spark.table("requests")
+    cells = (
+        req.filter(
+            F.col("latitude").between(-90, 90)
+            & F.col("longitude").between(-180, 180)
+        )
+        .groupBy(
+            F.expr(
+                "(CAST(floor(longitude * 1000000) AS BIGINT)"
+                f" + 180000000) div {_GEO_CELL}"
+            ).alias("cx"),
+            F.expr(
+                "(CAST(floor(latitude * 1000000) AS BIGINT)"
+                f" + 90000000) div {_GEO_CELL}"
+            ).alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    contrib = cells.select("cx", "cy", "n", offsets.alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "n",
+    )
+    sm = contrib.groupBy("cx", "cy").agg(F.sum("n").alias("smoothed"))
+    return (
+        cells.join(sm.hint("shuffle_hash"), ["cx", "cy"])
+        .select(
+            "cx",
+            "cy",
+            F.col("n").cast("bigint").alias("n_requests"),
+            F.col("smoothed").cast("bigint").alias("smoothed_density"),
+        )
+        .orderBy(F.desc("smoothed_density"), "cx", "cy")
+        .limit(_DENS_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # user trajectory accounting (round 9): haversine leg distances
 # ---------------------------------------------------------------------------

@@ -1283,7 +1283,9 @@ BENCH_EXTRA.update(
      "text_quality_profile", "dedup_substring_spans",
      # r8 operator classes: incremental delta-probe dedup and the
      # Arrow-binary-kernel banding near-dup path
-     "dedup_delta_vs_corpus", "multimodal_phash_near_dups"}
+     "dedup_delta_vs_corpus", "multimodal_phash_near_dups",
+     # r10: the RefinedWeb paragraph tier (explode + digest groupBy)
+     "dedup_paragraph_exact"}
 )
 
 
@@ -2344,13 +2346,16 @@ _PARA_BOILER = "subscribe to our newsletter for daily updates now"
 _PARA_BOILER_BLOCK = " ".join([_PARA_BOILER] * _PARA_W)
 
 
-def paragraph_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, ph): one md5 per non-overlapping _PARA_W-word window.
-    Only the 16-byte digest ever shuffles, never paragraph text."""
+def paragraph_hashes(docs: DataFrame, *keys: str) -> DataFrame:
+    """(*keys, ph): one md5 per non-overlapping _PARA_W-word window.
+    Only the 16-byte digest ever shuffles, never paragraph text.
+    ``keys`` defaults to doc grain; the streaming refresh passes
+    source grain instead."""
+    cols = list(keys) or ["doc_id"]
     return docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("ws")
+        *cols, F.split(F.col("text"), " ").alias("ws")
     ).select(
-        "doc_id",
+        *cols,
         F.explode(
             F.expr(
                 f"transform(sequence(0, (size(ws) - 1) div {_PARA_W}),"
@@ -2442,6 +2447,47 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dup_paras") > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "streaming_paragraph_dedup_refresh",
+    oracle=f"""
+    WITH pw AS (
+      SELECT source,
+             md5(array_to_string(
+               lst[1 + k * {_PARA_W} : {_PARA_W} + k * {_PARA_W}], ' '))
+                 AS ph
+      FROM (SELECT source, string_split(text, ' ') AS lst
+            FROM documents),
+           unnest(generate_series(0, (len(lst) - 1) // {_PARA_W}))
+             AS t(k)
+    ),
+    pc AS (SELECT source, ph, COUNT(*) AS cnt FROM pw GROUP BY 1, 2),
+    g AS (SELECT ph, SUM(cnt) AS gcnt FROM pc GROUP BY 1)
+    SELECT pc.source,
+           CAST(SUM(pc.cnt) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN g.gcnt > 1 THEN pc.cnt ELSE 0 END)
+                AS BIGINT) AS n_dup_windows,
+           CAST(1000 * SUM(CASE WHEN g.gcnt > 1 THEN pc.cnt ELSE 0 END)
+                // SUM(pc.cnt) AS BIGINT) AS dup_permille
+    FROM pc JOIN g USING (ph)
+    GROUP BY pc.source ORDER BY pc.source
+    """,
+)
+def streaming_paragraph_dedup_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standing per-source paragraph-duplication monitor maintained
+    across real micro-batches — the streaming form of the paragraph
+    tier: state is the additive (source, window-hash) count frame, so
+    the final report is order-independent and hash-equal to the
+    one-shot batch computation (the oracle). Scaffolding and scale:
+    streaming/incremental_refresh.py::streaming_paragraph_state_refresh."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_paragraph_state_refresh,
+    )
+
+    return streaming_paragraph_state_refresh(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

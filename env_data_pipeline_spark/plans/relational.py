@@ -405,6 +405,8 @@ def events_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_EXTRA.add("events_asof_last_touch")
+# r10: the AQE skew-join demonstration query (90%-hot tenant key)
+BENCH_EXTRA.add("events_skewed_tenant_profile")
 
 
 @query(

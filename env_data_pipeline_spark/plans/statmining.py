@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from env_data_pipeline_spark.catalog import table
+from env_data_pipeline_spark.extensions import text as TX
 from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
 
 # daily mean grid: value -> 1e-4 round-half-up units, then the
@@ -1043,6 +1044,486 @@ def streaming_mann_kendall_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return streaming_mann_kendall_state_refresh(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# events_holt_trend_forecast — Holt double exponential smoothing over
+# the shared daily-mean grid (r10): level + trend + 7-day forecast
+# ---------------------------------------------------------------------------
+
+# forecast horizon (days past the last observation)
+_HOLT_H = 7
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE {_DAILY_M_CTE},
+    seq AS MATERIALIZED (
+      SELECT event_type, m,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn
+      FROM daily
+    ),
+    nd AS (SELECT event_type, MAX(rn) AS nd FROM seq GROUP BY 1),
+    hw AS (
+      SELECT event_type, 1 AS rn, m AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT h.event_type, h.rn + 1,
+             (s.m + h.l + h.b) // 2,
+             (((s.m + h.l + h.b) // 2) - h.l + h.b) // 2
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1
+    )
+    SELECT h.event_type, CAST(n.nd AS BIGINT) AS n_days,
+           ROUND(h.l / 10000000.0, 4) AS level,
+           ROUND(h.b / 10000000.0, 4) AS trend_per_day,
+           ROUND((h.l + {_HOLT_H} * h.b) / 10000000.0, 4)
+               AS forecast_{_HOLT_H}d
+    FROM hw h JOIN nd n
+      ON n.event_type = h.event_type AND h.rn = n.nd
+    ORDER BY h.event_type
+    """
+
+
+def holt_report(daily: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing (alpha = beta = 1/2) over a
+    (event_type, day, m) frame — THE shared kernel: the batch query
+    and the streaming refresh both finalize through it.
+
+    With alpha = beta = 1/2 every update is a dyadic rational, so the
+    whole recursion stays on the exact 1e7 integer grid: l_t =
+    (m_t + l_(t-1) + b_(t-1)) div 2 and b_t = (l_t - l_(t-1) +
+    b_(t-1)) div 2, init l_1 = m_1, b_1 = 0. Spark's `div` and
+    DuckDB's `//` BOTH truncate toward zero (verified on negatives —
+    the trend term can dip below zero), so the fold is bit-identical;
+    doubles appear only in the final ROUND projections.
+
+    Scale: one groupBy per type collecting the day-ordered mean array
+    (calendar-bounded — days, not events), one O(days) fold per type;
+    the fact table is touched only by the daily partial aggregate."""
+    arr = F.array_sort(F.collect_list(F.struct("day", "m")))
+    fold = F.expr(
+        "aggregate(slice(arr, 2, size(arr) - 1), "
+        "named_struct('l', arr[0].m, 'b', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'l', (x.m + acc.l + acc.b) div 2, "
+        "'b', (((x.m + acc.l + acc.b) div 2) - acc.l + acc.b) div 2))"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(arr.alias("arr"))
+        .select(
+            "event_type",
+            F.size("arr").cast("bigint").alias("n_days"),
+            fold.alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.l") / 1e7, 4).alias("level"),
+            F.round(F.col("st.b") / 1e7, 4).alias("trend_per_day"),
+            F.round(
+                (F.col("st.l") + _HOLT_H * F.col("st.b")) / 1e7, 4
+            ).alias(f"forecast_{_HOLT_H}d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("events_holt_trend_forecast", oracle=_HOLT_ORACLE)
+def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per event type: smoothed level,
+    per-day trend, and the 7-day-ahead point forecast over
+    the SHARED daily-mean grid (the same _DAILY_M_CTE frame CUSUM and
+    Mann-Kendall consume — change the grid in one place only). The
+    operational reading: Mann-Kendall says WHETHER a metric drifts,
+    CUSUM says WHEN it broke, Holt says WHERE it is heading — the
+    three views a capacity/quality dashboard runs side by side.
+
+    A single-day type degenerates cleanly: level = its one mean,
+    trend = 0, forecast = level (the fold runs over an empty tail).
+
+    Exactness/scale: holt_report. The oracle replays the identical
+    recursion as a recursive CTE over the row-numbered day sequence."""
+    return holt_report(_daily_means(table(spark, sf_dir, "events")))
+
+
+@query("streaming_holt_refresh", oracle=_HOLT_ORACLE)
+def streaming_holt_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt maintenance: the SAME (event_type, day)
+    value-unit partial state the CUSUM and Mann-Kendall refreshes
+    add-merge across real micro-batches now also serves the forecast
+    — three standing control charts off one state table, finalized
+    through the shared holt_report, hash-equal to the batch query by
+    construction (this oracle IS the batch oracle).
+
+    Scaffolding: streaming/incremental_refresh.py::
+    _replay_state_refresh via streaming_daily_state_refresh."""
+    from env_data_pipeline_spark.streaming.incremental_refresh import (
+        streaming_holt_state_refresh,
+    )
+
+    return streaming_holt_state_refresh(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# promo_did_uplift — difference-in-differences promo effect (r10)
+# ---------------------------------------------------------------------------
+
+# policy date splitting the panel into pre/post periods (TPC-H ship
+# dates span 1992-1998; mid-1995 splits the mass roughly in half)
+_DID_CUTOFF = "1995-06-01"
+_REV_1E4_SQL = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "promo_did_uplift",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treat,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             {_REV_1E4_SQL} AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_t_pre,
+        SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_t_post,
+        SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_c_pre,
+        SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_c_post,
+        SUM(CASE WHEN treat = 1 AND post = 0 THEN rev ELSE 0 END)
+            // NULLIF(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1
+                              ELSE 0 END), 0) AS m_t_pre,
+        SUM(CASE WHEN treat = 1 AND post = 1 THEN rev ELSE 0 END)
+            // NULLIF(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1
+                              ELSE 0 END), 0) AS m_t_post,
+        SUM(CASE WHEN treat = 0 AND post = 0 THEN rev ELSE 0 END)
+            // NULLIF(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1
+                              ELSE 0 END), 0) AS m_c_pre,
+        SUM(CASE WHEN treat = 0 AND post = 1 THEN rev ELSE 0 END)
+            // NULLIF(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1
+                              ELSE 0 END), 0) AS m_c_post
+      FROM cells
+    )
+    SELECT CAST(n_t_pre AS BIGINT) AS n_treat_pre,
+           CAST(n_t_post AS BIGINT) AS n_treat_post,
+           CAST(n_c_pre AS BIGINT) AS n_control_pre,
+           CAST(n_c_post AS BIGINT) AS n_control_post,
+           ROUND(m_t_pre / 10000.0, 4) AS mean_treat_pre,
+           ROUND(m_t_post / 10000.0, 4) AS mean_treat_post,
+           ROUND(m_c_pre / 10000.0, 4) AS mean_control_pre,
+           ROUND(m_c_post / 10000.0, 4) AS mean_control_post,
+           ROUND(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 / 10000.0, 4) AS did_uplift
+    FROM agg
+    """,
+)
+def promo_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the PROMO part-type
+    effect on per-lineitem revenue: treatment = PROMO-type parts,
+    control = everything else, pre/post split at the 1995-06-01
+    policy date — DiD = (treat-post − treat-pre) − (control-post −
+    control-pre), the standard panel estimator that nets out both the
+    level difference between the groups and the common time trend
+    (the causal-reading companion to the purely descriptive A/B
+    z-test above).
+
+    Exactness: revenue folds on the exact 1e-4 unit grid; cell means
+    are integer division of non-negative sums; the DiD combines the
+    four exact means by subtraction only. NULLIF guards an empty cell
+    (NULL mean + NULL uplift rather than a division error).
+
+    Scale: one broadcast of the part dim's (key, treat) projection
+    onto the fact scan, then a single 8-counter global aggregate —
+    map-side combined, nothing downstream exceeds one row."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").cast("int").alias("treat"),
+    )
+    cells = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select(
+        "treat",
+        (F.col("l_shipdate") >= F.lit(f"{_DID_CUTOFF} 00:00:00").cast(
+            "timestamp"
+        ))
+        .cast("int")
+        .alias("post"),
+        F.expr(_REV_1E4_SQL).alias("rev"),
+    )
+
+    def n_of(t: int, s: int):
+        return F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == s), 1).otherwise(0)
+        )
+
+    def sum_of(t: int, s: int):
+        return F.sum(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == s), F.col("rev")
+            ).otherwise(0)
+        )
+
+    agg = cells.agg(
+        n_of(1, 0).alias("n_t_pre"),
+        n_of(1, 1).alias("n_t_post"),
+        n_of(0, 0).alias("n_c_pre"),
+        n_of(0, 1).alias("n_c_post"),
+        sum_of(1, 0).alias("s_t_pre"),
+        sum_of(1, 1).alias("s_t_post"),
+        sum_of(0, 0).alias("s_c_pre"),
+        sum_of(0, 1).alias("s_c_post"),
+    ).select(
+        "*",
+        F.expr("s_t_pre div nullif(n_t_pre, 0)").alias("m_t_pre"),
+        F.expr("s_t_post div nullif(n_t_post, 0)").alias("m_t_post"),
+        F.expr("s_c_pre div nullif(n_c_pre, 0)").alias("m_c_pre"),
+        F.expr("s_c_post div nullif(n_c_post, 0)").alias("m_c_post"),
+    )
+    return agg.select(
+        F.col("n_t_pre").cast("bigint").alias("n_treat_pre"),
+        F.col("n_t_post").cast("bigint").alias("n_treat_post"),
+        F.col("n_c_pre").cast("bigint").alias("n_control_pre"),
+        F.col("n_c_post").cast("bigint").alias("n_control_post"),
+        F.round(F.col("m_t_pre") / 1e4, 4).alias("mean_treat_pre"),
+        F.round(F.col("m_t_post") / 1e4, 4).alias("mean_treat_post"),
+        F.round(F.col("m_c_pre") / 1e4, 4).alias("mean_control_pre"),
+        F.round(F.col("m_c_post") / 1e4, 4).alias("mean_control_post"),
+        F.round(
+            (
+                (F.col("m_t_post") - F.col("m_t_pre"))
+                - (F.col("m_c_post") - F.col("m_c_pre"))
+            )
+            / 1e4,
+            4,
+        ).alias("did_uplift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_price_elasticity — per-brand log-log demand curve (r10):
+# ln(total qty) ~ ln(avg price) OLS across a brand's parts
+# ---------------------------------------------------------------------------
+
+# ln values floor-quantize onto a 1e5 integer grid before any sum:
+# x, y < ~2.8e6 (ln of cent/qty magnitudes), x*y < ~8e12, and the
+# per-brand sums stay inside BIGINT up to ~1e6 parts per brand
+# (sf ~100+); past that the grid must shrink a decade (documented
+# bound, same pattern as the Zipf grid).
+_ELAS_LN_GRID = 100_000
+
+
+def _elasticity_oracle() -> str:
+    from env_data_pipeline_spark.plans.textstats import (
+        _OLS_DEN_SQL,
+        _OLS_NUM_SQL,
+    )
+
+    return f"""
+    WITH pp AS (
+      SELECT p.p_brand AS brand,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS q,
+             SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                 // COUNT(*) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_partkey, p.p_brand
+    ),
+    pts AS (
+      SELECT brand,
+             CAST(floor(ln(cents) * {_ELAS_LN_GRID}) AS BIGINT) AS x,
+             CAST(floor(ln(q) * {_ELAS_LN_GRID}) AS BIGINT) AS y
+      FROM pp WHERE q > 0 AND cents > 0
+    ),
+    sums AS (
+      SELECT brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_parts,
+           CASE WHEN {_OLS_DEN_SQL} <> 0
+                THEN ROUND({_OLS_NUM_SQL} / {_OLS_DEN_SQL}, 4)
+           END AS elasticity,
+           CASE WHEN ({_OLS_DEN_SQL} <> 0)
+                 AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <> 0)
+                THEN ROUND(({_OLS_NUM_SQL} * {_OLS_NUM_SQL})
+                     / ({_OLS_DEN_SQL}
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 4)
+           END AS r_squared
+    FROM sums
+    ORDER BY brand
+    """
+
+
+@query("part_price_elasticity", oracle=_elasticity_oracle())
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of
+    ln(total quantity sold) against ln(average unit price in cents)
+    across each brand's parts, with r-squared — the log-log demand
+    curve a pricing team fits before a discount policy; slope near
+    -1 reads "revenue-neutral repricing band". Reuses the engine-wide
+    log-log OLS-from-exact-sums machinery (textstats._ols_cols /
+    _OLS_NUM_SQL): ln values floor-quantize onto the 1e5 integer grid
+    BEFORE the sums, so Sx/Sxy/... are exact BIGINTs and the slope is
+    one identical double expression per engine; degenerate brands
+    (zero variance) yield NULL.
+
+    Scale: one fact-side partial agg keyed on (partkey, brand) — the
+    broadcast-dim top-supplier shape — then 25 brand-grain OLS sums;
+    the regression never sees more than |parts| rows and the grid
+    bound is documented at the constant."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+            F.expr(
+                "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " div count(1)"
+            ).alias("cents"),
+        )
+    )
+    pts = pp.filter((F.col("q") > 0) & (F.col("cents") > 0)).select(
+        "brand",
+        F.floor(F.log("cents") * _ELAS_LN_GRID).cast("bigint").alias("x"),
+        F.floor(F.log("q") * _ELAS_LN_GRID).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    from env_data_pipeline_spark.plans.textstats import _ols_cols
+
+    num, den = _ols_cols(sums)
+    deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return sums.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.when(den != 0, F.round(num / den, 4)).alias("elasticity"),
+        F.when(
+            (den != 0) & (deny != 0),
+            F.round((num * num) / (den * deny), 4),
+        ).alias("r_squared"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# lineitem_priority_sample_estimate — Duffield-Lund-Thorup priority
+# sampling (r10): weighted sample + unbiased subset-sum estimator
+# ---------------------------------------------------------------------------
+
+_PRI_K = 1_000
+_PRI_U_GRID = 1_000_000  # md5-derived uniform on a 1e-6 integer grid
+
+
+@query(
+    "lineitem_priority_sample_estimate",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_orderkey * 10 + l_linenumber AS item_id,
+             {_REV_1E4_SQL} AS wt,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                           AS VARCHAR)), 1, 12)) AS BIGINT)
+                 % {_PRI_U_GRID} + 1 AS u
+      FROM lineitem
+    ),
+    q AS (SELECT item_id, wt, (wt * {_PRI_U_GRID}) // u AS pri FROM w),
+    ranked AS (
+      SELECT wt, pri, ROW_NUMBER() OVER (ORDER BY pri DESC, item_id) AS rk
+      FROM q
+    ),
+    tau AS (SELECT pri AS tau FROM ranked WHERE rk = {_PRI_K} + 1),
+    est AS (
+      SELECT SUM(CASE WHEN wt > (SELECT tau FROM tau) THEN wt
+                      ELSE (SELECT tau FROM tau) END) AS est_units
+      FROM ranked WHERE rk <= {_PRI_K}
+    ),
+    exact AS (SELECT SUM(wt) AS total_units FROM w)
+    SELECT {_PRI_K} AS k,
+           CAST(exact.total_units AS BIGINT) AS exact_units,
+           CAST(est.est_units AS BIGINT) AS estimate_units,
+           CAST(ABS(est.est_units - exact.total_units) * 1000
+                // exact.total_units AS BIGINT) AS err_permille
+    FROM est, exact
+    """,
+)
+def lineitem_priority_sample_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a k-item
+    weighted sample that supports UNBIASED subset-sum estimation —
+    the sampling primitive a 100 TB pipeline uses to audit revenue
+    totals without scanning everything twice. Each lineitem gets
+    priority w/u (u a deterministic md5-derived uniform on the 1e-6
+    grid — replayable, like every engine sampler); the top-k by
+    priority form the sample, tau is the (k+1)-th priority, and the
+    estimator sums max(w, tau) over the sample. The query reports the
+    estimate NEXT TO the exact total as its own error exhibit (same
+    pattern as the KMV set-ops query).
+
+    Exactness: weights are exact 1e-4 revenue units; priorities are
+    integer division of BIGINT-safe products (w <= ~1e9 units times
+    1e6 grid < 2^63); tau/top-k tie-break on (priority, item_id) is
+    total; the estimator is a conditional integer sum.
+
+    Scale: priorities are per-row projections; the top-(k+1) is one
+    TakeOrdered pass (k+1 rows kept per partition, no global sort);
+    the exact total is the map-side-combined scan the estimator is
+    meant to replace — shipped here only as the accuracy exhibit."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("item_id"),
+        F.expr(_REV_1E4_SQL).alias("wt"),
+    ).select(
+        "item_id",
+        "wt",
+        (
+            TX.md5_prefix_hash(F.col("item_id").cast("string"))
+            % _PRI_U_GRID
+            + 1
+        ).alias("u"),
+    )
+    q = w.select(
+        "item_id", "wt", F.expr(f"(wt * {_PRI_U_GRID}) div u").alias("pri")
+    )
+    topk1 = q.orderBy(F.desc("pri"), "item_id").limit(_PRI_K + 1)
+    wnd = Window.orderBy(F.desc("pri"), "item_id")
+    ranked = topk1.withColumn("rk", F.row_number().over(wnd))
+    tau = ranked.filter(F.col("rk") == _PRI_K + 1).select(
+        F.col("pri").alias("tau")
+    )
+    est = (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(
+                F.when(F.col("wt") > F.col("tau"), F.col("wt")).otherwise(
+                    F.col("tau")
+                )
+            ).alias("est_units")
+        )
+    )
+    exact = w.agg(F.sum("wt").alias("total_units"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(_PRI_K).alias("k"),
+        F.col("total_units").cast("bigint").alias("exact_units"),
+        F.col("est_units").cast("bigint").alias("estimate_units"),
+        F.expr("abs(est_units - total_units) * 1000 div total_units")
+        .cast("bigint")
+        .alias("err_permille"),
+    )
 
 
 BENCH_EXTRA.add("orders_ship_survival_km")

@@ -612,3 +612,105 @@ def streaming_hhi_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, li, build, merge, finalize, "stream_hhi_refresh_",
         shard_key="l_orderkey",
     )
+
+
+def streaming_paragraph_state_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming paragraph-duplication monitoring (r10, paired with
+    plans/extensions.py::dedup_paragraph_exact): state is the
+    (source, paragraph-hash) -> count frame — a MERGEABLE additive
+    algebra, so the final report is batch-order-independent and must
+    hash-equal the one-shot batch computation the oracle runs.
+    Batches contribute their window counts; finalize computes each
+    source's share of window instances whose text occurs more than
+    once ANYWHERE in the corpus (the cross-source boilerplate
+    monitor a crawl ingest dashboard actually shows).
+
+    Scale: state is distinct-(source, window)-sized — the paragraph
+    vocabulary, Heaps-sublinear in the corpus; merge is one additive
+    groupBy per batch; finalize is one window-hash-keyed aggregate +
+    a source-grain rollup. Only 16-byte digests ever sit in state."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.extensions import paragraph_hashes
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def build(batch: DataFrame) -> DataFrame:
+        return (
+            paragraph_hashes(batch, "source")
+            .groupBy("source", "ph")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("source", "ph")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        g = state.groupBy("ph").agg(F.sum("cnt").alias("gcnt"))
+        return (
+            state.join(g.hint("shuffle_hash"), "ph")
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_windows"),
+                F.sum(F.when(F.col("gcnt") > 1, F.col("cnt")).otherwise(0))
+                .cast("bigint")
+                .alias("n_dup_windows"),
+            )
+            .select(
+                "source",
+                "n_windows",
+                "n_dup_windows",
+                F.expr("1000 * n_dup_windows div n_windows")
+                .cast("bigint")
+                .alias("dup_permille"),
+            )
+            .orderBy("source")
+        )
+
+    return _replay_state_refresh(
+        spark, docs, build, merge, finalize, "stream_para_refresh_",
+        shard_key="doc_id",
+    )
+
+
+def streaming_holt_state_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-forecast maintenance (see plans/statmining.py::
+    streaming_holt_refresh for the contract): the SAME
+    (event_type, day) -> (su, cnt) add-merge state as the CUSUM and
+    Mann-Kendall refreshes, finalized through the shared
+    holt_report."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        _daily_partials,
+        holt_report,
+    )
+
+    events = table(spark, sf_dir, "events")
+
+    def build(batch: DataFrame) -> DataFrame:
+        return _daily_partials(batch)
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("event_type", "day")
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+        )
+
+    def finalize(_spark: SparkSession, state: DataFrame) -> DataFrame:
+        return holt_report(
+            state.select(
+                "event_type", "day", F.expr("(su * 1000) div cnt").alias("m")
+            )
+        )
+
+    return _replay_state_refresh(
+        spark, events, build, merge, finalize, "stream_holt_refresh_"
+    )

@@ -205,3 +205,31 @@ def test_lineitem_events_probe_tier_is_honest(spark):
         != F.floor(F.col("user_id") / benchscale._USER_STRIDE)
     ).count()
     assert umis == 0
+
+
+def test_sf1_tier_slopes_within_linear_bound():
+    """The committed BENCH_FULL.json must carry the sf1-equivalent
+    (x10) tier for the slowest eligible headliners (VERDICT r9 item
+    6), and every per-decade slope log10(t_x10/t_sf0.1) must stay
+    under 1.3 — linear-in-data plus harness noise; a quadratic stage
+    reads ~2.0. Skips (with a loud reason) when the artifact on disk
+    came from a probe-disabled quick run — the round-end clean bench
+    regenerates the full block."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    full = json.load(open(os.path.join(root, "BENCH_FULL.json")))
+    tiers = full.get("tiers") or {}
+    if "1.0" not in tiers:
+        pytest.skip(
+            "BENCH_FULL.json lacks the sf1 tier (probe-disabled quick "
+            "run on disk) — rerun the FULL bench before committing"
+        )
+    slopes = full.get("sf1_slope") or {}
+    assert slopes, "sf1 tier present but sf1_slope block missing"
+    bad = {n: s for n, s in slopes.items() if s > 1.3}
+    assert not bad, f"x10-tier slopes past linear+noise: {bad}"
+    # the skip ledger must exist (no silent caps): every slower-ranked
+    # headliner not timed at x10 carries a recorded reason
+    assert isinstance(full.get("sf1_skipped"), dict)

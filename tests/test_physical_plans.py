@@ -115,6 +115,9 @@ NESTED_LOOP_OK = {
     # 1-row cluster/group counts cross-joined into the 1-row B-cubed
     # summary (singleton-aggregate assembly)
     "dedup_bcubed_eval",
+    # 1-row tau (the (k+1)-th priority) and 1-row exact total
+    # cross-joined into the single estimator row
+    "lineitem_priority_sample_estimate",
     # rides the dedup_semantic_semdedup decision plan (Lloyd
     # assignment, see above) + the same 1-row B-cubed assembly
     "dedup_semantic_bcubed",

@@ -1492,3 +1492,76 @@ def test_spatial_neighbor_pairs_vs_bruteforce(spark, sf_dir):
         ).collect()
     ]
     assert got == ref
+
+
+def test_density_hotspots_python_replay(spark, sf_dir):
+    """3x3 box-kernel smoothed cell density replayed in pure Python
+    from the same requests fixture — grid ids, kernel mass, and the
+    (smoothed DESC, cx, cy) top-k order must match exactly."""
+    import math
+    from collections import Counter
+
+    from env_data_pipeline_spark.plans.envpipe import (
+        _DENS_TOPK,
+        _GEO_CELL,
+        requests_density_hotspots,
+    )
+    from env_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(spark, sf_dir, ("requests",))
+    pts = spark.table("requests").select("latitude", "longitude").collect()
+    cells: Counter = Counter()
+    for r in pts:
+        la, lo = r["latitude"], r["longitude"]
+        if la is None or lo is None:
+            continue
+        if -90 <= la <= 90 and -180 <= lo <= 180:
+            cx = (math.floor(lo * 1e6) + 180_000_000) // _GEO_CELL
+            cy = (math.floor(la * 1e6) + 90_000_000) // _GEO_CELL
+            cells[(cx, cy)] += 1
+    sm: Counter = Counter()
+    for (cx, cy), n in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                sm[(cx + dx, cy + dy)] += n
+    want = sorted(
+        ((c, cells[c], sm[c]) for c in cells),
+        key=lambda t: (-t[2], t[0][0], t[0][1]),
+    )[:_DENS_TOPK]
+    got = [
+        ((r.cx, r.cy), r.n_requests, r.smoothed_density)
+        for r in requests_density_hotspots(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_streaming_paragraph_refresh_equals_batch(spark, sf_dir):
+    """The paragraph-index refresh state is an additive algebra, so
+    the drained-stream report must equal a pure-Python one-shot
+    recomputation from the same documents table."""
+    from collections import Counter, defaultdict
+
+    from env_data_pipeline_spark.plans.extensions import _PARA_W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    per_src: dict = defaultdict(Counter)
+    for r in docs:
+        ws = r.text.split(" ")
+        for k in range((len(ws) - 1) // _PARA_W + 1):
+            w = " ".join(ws[k * _PARA_W : (k + 1) * _PARA_W])
+            per_src[r.source][w] += 1
+    glob: Counter = Counter()
+    for c in per_src.values():
+        glob.update(c)
+    want = []
+    for src in sorted(per_src):
+        n = sum(per_src[src].values())
+        dup = sum(v for w, v in per_src[src].items() if glob[w] > 1)
+        want.append((src, n, dup, 1000 * dup // n))
+    got = [
+        (r.source, r.n_windows, r.n_dup_windows, r.dup_permille)
+        for r in registry.QUERIES["streaming_paragraph_dedup_refresh"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want

@@ -419,3 +419,196 @@ def test_heaps_fit_on_synthetic_growth(spark, tmp_path):
     got = {r.source: r for r in text_heaps_fit(spark, str(tmp_path)).collect()}
     assert got["uniq"].heaps_beta > 0.98
     assert got["tmpl"].heaps_beta < 0.2
+
+
+def _truncdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark `div` and DuckDB
+    `//` semantics (both verified on negative operands in r10)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_holt_matches_python_fold(spark, tmp_path):
+    """Holt recursion replayed in pure Python (truncating dyadic
+    updates on the 1e7 grid) on a two-type fixture with an up-trend
+    and a noisy flat series; single-day degenerate type included."""
+    import math as _m
+
+    from env_data_pipeline_spark.plans.statmining import (
+        _HOLT_H,
+        events_holt_trend_forecast,
+    )
+
+    vals = {
+        "click": [10.0, 12.0, 14.5, 16.0, 18.5, 20.0],
+        "view": [50.0, 48.0, 51.5, 49.0, 50.5],
+        "signup": [7.25],
+    }
+    rows, eid = [], 0
+    for typ, series in vals.items():
+        for d, v in enumerate(series):
+            for k in range(d % 2 + 1):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 2, 1) + dt.timedelta(days=d),
+                        1,
+                        typ,
+                        v + k,
+                        "{}",
+                    )
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in events_holt_trend_forecast(spark, str(tmp_path)).collect()
+    }
+    for typ, series in vals.items():
+        ms = []
+        for d, v in enumerate(series):
+            units = [
+                _m.floor((v + k) * 10000 + 0.5) for k in range(d % 2 + 1)
+            ]
+            ms.append(_truncdiv(sum(units) * 1000, len(units)))
+        l, b = ms[0], 0
+        for x in ms[1:]:
+            l_new = _truncdiv(x + l + b, 2)
+            b = _truncdiv(l_new - l + b, 2)
+            l = l_new
+        r = got[typ]
+        assert r.n_days == len(series), typ
+        assert r.level == round(l / 1e7, 4), typ
+        assert r.trend_per_day == round(b / 1e7, 4), typ
+        assert getattr(r, f"forecast_{_HOLT_H}d") == round(
+            (l + _HOLT_H * b) / 1e7, 4
+        ), typ
+    # the up-trend must register positive, the flat one near zero
+    assert got["click"].trend_per_day > 0.5
+    assert abs(got["view"].trend_per_day) < 1.0
+    assert got["signup"].trend_per_day == 0.0
+    assert got["signup"].level == got["signup"].forecast_7d
+
+
+def test_did_uplift_matches_cell_means(spark, tmp_path):
+    """Planted 2x2 panel: control flat at 100->110 (+10 trend),
+    treatment 200->260 (+60) -> DiD = +50 exactly."""
+    from env_data_pipeline_spark.plans.statmining import promo_did_uplift
+
+    parts = [(1, "PROMO BRUSHED"), (2, "STANDARD POLISHED")]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    pre = dt.datetime(1994, 1, 1)
+    post = dt.datetime(1996, 1, 1)
+    li = [
+        # (partkey, shipdate, extprice, discount)
+        (1, pre, 200.0, 0.0),
+        (1, pre, 200.0, 0.0),
+        (1, post, 260.0, 0.0),
+        (2, pre, 100.0, 0.0),
+        (2, post, 110.0, 0.0),
+        (2, post, 110.0, 0.0),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_shipdate timestamp, l_extendedprice double,"
+        " l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = promo_did_uplift(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat_pre, r.n_treat_post) == (2, 1)
+    assert (r.n_control_pre, r.n_control_post) == (1, 2)
+    assert r.mean_treat_pre == 200.0 and r.mean_treat_post == 260.0
+    assert r.mean_control_pre == 100.0 and r.mean_control_post == 110.0
+    assert r.did_uplift == 50.0
+
+
+def test_priority_sample_exact_when_k_covers_all(spark, tmp_path):
+    """With fewer items than k there is no tau row — the estimator
+    must degrade to the exact sum (sample IS the population)...
+    except the current contract REQUIRES a (k+1)-th row; this fixture
+    instead plants k+1 <= n items and checks the DLT invariants:
+    estimate >= sample weight sum, err_permille consistent, and the
+    Python replay of priorities/tau/estimator matches exactly."""
+    from env_data_pipeline_spark.plans.statmining import (
+        _PRI_K,
+        _PRI_U_GRID,
+        lineitem_priority_sample_estimate,
+    )
+
+    n = _PRI_K + 200
+    li = [
+        (i, 1, 10.0 + (i % 97), 0.0)
+        for i in range(1, n + 1)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_linenumber long, l_extendedprice double,"
+        " l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = lineitem_priority_sample_estimate(spark, str(tmp_path)).collect()[0]
+
+    items = []
+    total = 0
+    for okey, ln, price, disc in li:
+        item_id = okey * 10 + ln
+        wt = math.floor(price * (1 - disc) * 10000 + 0.5)
+        total += wt
+        u = (
+            int(hashlib.md5(str(item_id).encode()).hexdigest()[:12], 16)
+            % _PRI_U_GRID
+            + 1
+        )
+        items.append((item_id, wt, (wt * _PRI_U_GRID) // u))
+    items.sort(key=lambda t: (-t[2], t[0]))
+    tau = items[_PRI_K][2]
+    est = sum(max(wt, tau) for _, wt, _ in items[:_PRI_K])
+    assert r.exact_units == total
+    assert r.estimate_units == est
+    assert r.err_permille == abs(est - total) * 1000 // total
+    # sanity: a 1000-of-1200 priority sample estimates within 25%
+    assert r.err_permille <= 250
+
+
+def test_price_elasticity_matches_numpy(spark, tmp_path):
+    """Planted constant-elasticity demand (q = C * p^-1.5 exactly at
+    integer grid points): the per-brand OLS must recover the slope to
+    the quantization error, matching a numpy polyfit replay of the
+    identical quantized points."""
+    import numpy as np
+
+    from env_data_pipeline_spark.plans.statmining import (
+        _ELAS_LN_GRID,
+        part_price_elasticity,
+    )
+
+    parts, li = [], []
+    lid = 0
+    for pk, cents in enumerate([10000, 20000, 40000, 80000, 160000], 1):
+        parts.append((pk, "Brand#11"))
+        price = cents / 100.0
+        q = round(1e9 / (cents ** 1.5))
+        for _ in range(2):  # two lineitems per part, same price
+            li.append((pk, price, q / 2.0))
+            lid += 1
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        li, "l_partkey long, l_extendedprice double, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = part_price_elasticity(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0].brand == "Brand#11"
+
+    xs, ys = [], []
+    for pk, cents in enumerate([10000, 20000, 40000, 80000, 160000], 1):
+        # engine casts each q/2 half to BIGINT before summing (odd q
+        # truncates one unit per half) — replay the identical rule
+        q_total = int(round(1e9 / (cents ** 1.5)) / 2) * 2
+        xs.append(math.floor(math.log(cents) * _ELAS_LN_GRID))
+        ys.append(math.floor(math.log(q_total) * _ELAS_LN_GRID))
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert r[0].n_parts == 5
+    assert abs(r[0].elasticity - (-1.5)) < 0.01
+    assert abs(r[0].elasticity - slope) < 1e-3
+    assert r[0].r_squared > 0.999
