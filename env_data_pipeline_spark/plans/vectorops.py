@@ -1978,3 +1978,225 @@ def dedup_semantic_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_truth(F.col("vec_id")).alias("truth"),
     )
     return bcubed_metrics(items)
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration_pc1 — top principal direction via
+# matrix-free power iteration (r10)
+# ---------------------------------------------------------------------------
+
+_PC1_ITERS = 24
+_PC1_GRID = 1_000_000
+
+
+def _pc1_oracle() -> str:
+    """Unroll the 8 power iterations as chained MATERIALIZED CTEs —
+    the same generated-by-one-loop discipline as k-means/PageRank."""
+    init_v = ", ".join(
+        f"({j}, {_PC1_GRID // 8})" for j in range(_DIM)
+    )
+    ctes = [
+        f"""elong AS MATERIALIZED (
+          SELECT vec_id, t.k - 1 AS j,
+                 CAST(floor(CAST(embedding[t.k] AS DOUBLE) * {_PC1_GRID})
+                      AS BIGINT) AS xq
+          FROM embeddings, unnest(generate_series(1, {_DIM})) AS t(k)
+        )""",
+        f"v0 AS (SELECT * FROM (VALUES {init_v}) AS t(j, vj))",
+    ]
+    for t in range(_PC1_ITERS):
+        ctes.append(
+            f"""s{t} AS (
+              SELECT e.vec_id,
+                     SUM(e.xq * v.vj) // {_PC1_GRID} AS sp
+              FROM elong e JOIN v{t} v USING (j) GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+              SELECT e.j, SUM(s.sp * e.xq) AS w
+              FROM elong e JOIN s{t} s USING (vec_id) GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""n{t} AS (
+              SELECT sqrt(list_reduce(
+                       list_transform(list(CAST(w AS DOUBLE) ORDER BY j),
+                                      x -> x * x),
+                       (a, b) -> a + b)) AS nrm
+              FROM w{t}
+            )"""
+        )
+        ctes.append(
+            f"""v{t + 1} AS MATERIALIZED (
+              SELECT j, CAST(floor(CAST(w AS DOUBLE)
+                             / (SELECT nrm FROM n{t})
+                             * {_PC1_GRID}) AS BIGINT) AS vj
+              FROM w{t}
+            )"""
+        )
+    # self-reported convergence: quantized cos(v_(T-1), v_T) — 1e6
+    # units; flat spectra (tiny eigengap) read < 1e6 and the consumer
+    # SEES the residual instead of trusting an unconverged direction
+    ctes.append(
+        f"""conv AS (
+          SELECT CAST(floor(
+                   SUM(a.vj * b.vj)
+                   / (sqrt((SELECT list_reduce(
+                        list_transform(list(CAST(vj AS DOUBLE) ORDER BY j),
+                                       x -> x * x), (p, q) -> p + q)
+                        FROM v{_PC1_ITERS - 1}))
+                      * sqrt((SELECT list_reduce(
+                        list_transform(list(CAST(vj AS DOUBLE) ORDER BY j),
+                                       x -> x * x), (p, q) -> p + q)
+                        FROM v{_PC1_ITERS})))
+                   * {_PC1_GRID}) AS BIGINT) AS cos_unit
+          FROM v{_PC1_ITERS - 1} a JOIN v{_PC1_ITERS} b USING (j)
+        )"""
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(v.j AS INT) AS j, CAST(v.vj AS BIGINT) AS pc1_unit,
+           ROUND(v.vj / {_PC1_GRID}.0, 4) AS pc1,
+           c.cos_unit AS converged_cos_unit
+    FROM v{_PC1_ITERS} v CROSS JOIN conv c
+    ORDER BY j
+    """
+
+
+@query("embedding_power_iteration_pc1", oracle=_pc1_oracle())
+def embedding_power_iteration_pc1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the embedding corpus via MATRIX-FREE
+    power iteration: v <- normalize(X^T (X v)), 8 fixed iterations
+    from the uniform start — the 64-float direction an embedding-drift
+    monitor tracks (a rotating PC1 between two snapshots means the
+    encoder or the corpus changed; compare ivf_drift_retrain_verdict,
+    which watches cell occupancy instead). Uncentered (second-moment)
+    variant: the top right-singular direction of X itself.
+
+    A flat spectrum converges slowly (the synthetic corpus's
+    uncentered second moment has eigengap ~1.07, so even 24
+    iterations leave a residual) — so the output CARRIES its own
+    convergence certificate: converged_cos_unit = quantized
+    cos(v_23, v_24); 1e6 means the direction is stationary,
+    anything less tells the drift monitor to read the direction as
+    approximate. Production embedding corpora with real cluster
+    structure have a material eigengap and converge well inside the
+    fixed budget; parity never depends on convergence either way.
+
+    Exactness: coordinates quantize to the 1e-6 BIGINT grid on read;
+    each half-step is an exact integer contraction with an explicit
+    rescale (s div 1e6 bounds the second product under BIGINT:
+    |s'| <= 64e6 grid units times 1e6 xq times n vectors < 2^63 up to
+    ~100M vectors); the ONLY doubles are the norm (a sqrt of a fixed
+    j-ORDERED fold, identical sequential order in both engines — the
+    Spark aggregate() and DuckDB list_reduce fold the same 64 values
+    the same way) and the final per-component division, re-quantized
+    to the grid before the next iteration so error cannot compound
+    across iterations. Parity never depends on convergence: both
+    engines run exactly 8 iterations.
+
+    Scale: X never materializes as a matrix — the long form
+    (vec_id, j, xq) streams through one 64-row broadcast join + a
+    vec_id-keyed partial agg and a j-keyed 64-row agg per iteration;
+    per-iteration cost is two linear passes, the textbook distributed
+    power iteration."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("j", "x"),
+        )
+        .select(
+            "vec_id",
+            "j",
+            F.floor(F.col("x") * _PC1_GRID).cast("bigint").alias("xq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(_DIM).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PC1_GRID // 8).cast("bigint").alias("vj"),
+    )
+    prev = v
+    for _ in range(_PC1_ITERS):
+        prev = v
+        s = (
+            e.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.expr(f"sum(xq * vj) div {_PC1_GRID}").alias("sp"))
+        )
+        w = (
+            e.join(s.hint("shuffle_hash"), "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("sp") * F.col("xq")).alias("w"))
+        )
+        warr = w.agg(
+            F.array_sort(F.collect_list(F.struct("j", "w"))).alias("arr")
+        ).select(
+            F.sqrt(
+                F.aggregate(
+                    "arr",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + x["w"].cast("double") * x["w"].cast("double"),
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(warr))
+            .select(
+                "j",
+                F.floor(
+                    F.col("w").cast("double") / F.col("nrm") * _PC1_GRID
+                )
+                .cast("bigint")
+                .alias("vj"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    def _unit_norm(df):
+        return df.agg(
+            F.array_sort(F.collect_list(F.struct("j", "vj"))).alias("arr")
+        ).select(
+            F.sqrt(
+                F.aggregate(
+                    "arr",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + x["vj"].cast("double") * x["vj"].cast("double"),
+                )
+            ).alias("nrm")
+        )
+
+    dot = (
+        prev.select("j", F.col("vj").alias("va"))
+        .join(v.select("j", F.col("vj").alias("vb")), "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    conv = (
+        dot.crossJoin(F.broadcast(_unit_norm(prev).select(F.col("nrm").alias("na"))))
+        .crossJoin(F.broadcast(_unit_norm(v).select(F.col("nrm").alias("nb"))))
+        .select(
+            F.floor(
+                F.col("dot") / (F.col("na") * F.col("nb")) * _PC1_GRID
+            )
+            .cast("bigint")
+            .alias("converged_cos_unit")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(conv))
+        .select(
+            F.col("j").cast("int").alias("j"),
+            F.col("vj").alias("pc1_unit"),
+            F.round(F.col("vj") / float(_PC1_GRID), 4).alias("pc1"),
+            "converged_cos_unit",
+        )
+        .orderBy("j")
+    )

@@ -440,3 +440,67 @@ def test_semdedup_decisions_match_numpy_replay(spark, sf_dir):
     # representatives are never themselves dropped
     reps = {v for v in got.values() if v is not None}
     assert all(got[r] is None for r in reps)
+
+
+def test_power_iteration_pc1_matches_numpy(spark, sf_dir):
+    """Two independent checks of the integer-grid power iteration:
+    (1) an EXACT numpy replay of the quantized recurrence (integer
+    contractions, truncating rescale, j-ordered float norm, floor
+    re-quantization) must reproduce pc1_unit bit for bit and the
+    convergence certificate to the unit; (2) the engine direction
+    must agree with a pure-FLOAT power iteration of the same budget
+    to |cos| > 0.999 — i.e. quantization does not distort the
+    trajectory; closeness to the true eigenvector is governed by the
+    eigengap and is exactly what converged_cos_unit reports (the
+    synthetic corpus's flat spectrum reads < 1e6 by design)."""
+    import math
+
+    import numpy as np
+
+    from env_data_pipeline_spark.plans.vectorops import (
+        _PC1_GRID,
+        _PC1_ITERS,
+        embedding_power_iteration_pc1,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * _PC1_GRID
+    ).astype(object)  # exact integer arithmetic via Python ints
+
+    def int_iter(v):
+        s = X @ v  # exact: object ints
+        sp = np.array([int(x) // _PC1_GRID if x >= 0 else -((-int(x)) // _PC1_GRID) for x in s], dtype=object)
+        w = X.T @ sp
+        nrm = math.sqrt(
+            sum((float(int(x)) * float(int(x)) for x in w), 0.0)
+        )
+        return np.array(
+            [math.floor(float(int(x)) / nrm * _PC1_GRID) for x in w],
+            dtype=object,
+        )
+
+    v = np.array([_PC1_GRID // 8] * X.shape[1], dtype=object)
+    prev = v
+    for _ in range(_PC1_ITERS):
+        prev = v
+        v = int_iter(v)
+    got = sorted(
+        embedding_power_iteration_pc1(spark, sf_dir).collect(),
+        key=lambda r: r.j,
+    )
+    assert [r.pc1_unit for r in got] == [int(x) for x in v]
+    na = math.sqrt(sum(float(int(x)) ** 2 for x in prev))
+    nb = math.sqrt(sum(float(int(x)) ** 2 for x in v))
+    dot = sum(int(a) * int(b) for a, b in zip(prev, v))
+    want_cos = math.floor(dot / (na * nb) * _PC1_GRID)
+    assert got[0].converged_cos_unit == want_cos
+    # float trajectory agreement
+    Xf = X.astype(np.float64)
+    vf = np.ones(Xf.shape[1]) / 8
+    for _ in range(_PC1_ITERS):
+        wf = Xf.T @ (Xf @ vf)
+        vf = wf / np.linalg.norm(wf)
+    ve = np.array([r.pc1_unit for r in got], dtype=np.float64)
+    cos = abs(float(ve @ vf)) / np.linalg.norm(ve)
+    assert cos > 0.999, cos
