@@ -114,12 +114,15 @@ _MAX_RUNS = 11
 _BATCH = 2
 
 # SPARK_GRAFT_BENCH_FAST=1: contract-shape smoke run (2 single-exec
-# runs, no top-up) for the /verify quick path — NOT a timing record;
-# the per-round artifact always comes from a full default run.
-if os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1":
+# runs, no top-up, probe/sf1 tiers forced OFF) for the /verify quick
+# path — NOT a timing record; the per-round artifact always comes
+# from a full default run.
+_FAST = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
+if _FAST:
     _N_RUNS = 2
     _BATCH = 1
     _MAX_RUNS = 2
+    os.environ["SPARK_GRAFT_SCALE_PROBE"] = "0"
 
 
 def _stats(rs: list[float]) -> tuple[float, float]:
@@ -134,6 +137,7 @@ def _measure_query(
     sf_dir: str,
     batch: int | None = None,
     topup: bool = True,
+    sample_shuffle: bool = True,
 ) -> tuple[list[float], dict]:
     """One query's timing protocol (VERDICT r9 item 3 rework): one
     untimed warm-up (whole-stage-codegen compilation, broadcast
@@ -184,6 +188,8 @@ def _measure_query(
         runs.append(one_batch())
         runs.append(one_batch())
         _, spread = _stats(runs)
+    if not sample_shuffle:
+        return runs, {"read_bytes": 0, "write_bytes": 0}
     meter = measure_shuffle(
         spark, lambda: registry.QUERIES[name](spark, sf_dir).count()
     )
@@ -321,7 +327,7 @@ def main() -> None:
     # capture the PHYSICAL PLANS next to the timings (VERDICT r3 item
     # 4: "per-query times AND captured plans") — a side artifact, so
     # stdout stays the one-JSON-line driver contract
-    if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
+    if not _FAST:
         _dump_plans(spark, names, sf_dir)
 
     # "rel_spread" = (max-min)/median of the timed runs.
@@ -482,19 +488,37 @@ def main() -> None:
                     "inputs beyond the x10-replicated fact tables "
                     "(dims/fixtures do not grow in the probe tier)"
                 )
-        # no adaptive top-up at x10: a noisy 11-second query would
+        # no adaptive top-up at x10 (a noisy 11-second query would
         # otherwise accrue 13 executions and blow the bench window —
-        # the spread is recorded instead and reads as what it is
+        # the spread is recorded instead and reads as what it is) and
+        # no shuffle-byte sample (an extra seconds-long execution per
+        # query whose bytes nothing consumes)
         sf1_t, sf1_sp, _sf1_sh, sf1_runs = _fold_runs(
             {
-                n: _measure_query(spark, n, x10_dir, batch=1, topup=False)
+                n: _measure_query(
+                    spark,
+                    n,
+                    x10_dir,
+                    batch=1,
+                    topup=False,
+                    sample_shuffle=False,
+                )
                 for n in chosen
             }
         )
-        result["tiers"]["1.0"] = sf1_t
-        result["tiers_spread"]["1.0"] = sf1_sp
+        # tier key derived from the headline sf, never hardcoded: a
+        # non-default SPARK_GRAFT_SF_DIR must not mislabel (or
+        # collide with) the x10 tier
+        sf1_key = (
+            str(round(float(sf) * 10, 4))
+            if str(sf).replace(".", "").isdigit()
+            else f"{sf}x10"
+        )
+        result["tiers"][sf1_key] = sf1_t
+        result["tiers_spread"][sf1_key] = sf1_sp
+        result["sf1_n_runs"] = sf1_runs
         result["sf1_skipped"] = skipped
-        # per-decade slope vs the sf0.1 median: log10(t_x10 / t_sf01);
+        # per-decade slope vs the headline median: log10(t_x10 / t_hi);
         # 1.0 = linear in data, < 1 sublinear (all four driving tables
         # replicate exactly 10x)
         result["sf1_slope"] = {
@@ -514,10 +538,9 @@ def main() -> None:
     # the FAST smoke run must never clobber the committed full-run
     # artifact (it lacks tiers/probes and its timings are not a
     # record) — it writes a sibling file instead
-    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_FAST.json" if fast else "BENCH_FULL.json",
+        "BENCH_FAST.json" if _FAST else "BENCH_FULL.json",
     )
     tmp = full_path + ".tmp"
     with open(tmp, "w") as fh:

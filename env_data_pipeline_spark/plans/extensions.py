@@ -2332,13 +2332,16 @@ _PARA_W = 8
 _PARA_DROP_PERMILLE = 600
 
 # funnel plant class for the paragraph stage: a fixed boilerplate
-# paragraph repeated 8 aligned times (8 duplicated windows) plus the
-# source doc's first window as a unique tail -> 888 permille, dropped
-# by the paragraph stage; byte/canonically unique (survives stages
-# 1-2), and its boilerplate vocabulary is disjoint from the corpus so
-# no organic window collides. doc_id % 50 == 37 is disjoint from the
-# exact (0) and near (25) plants, and CRT-disjoint from the canonical
-# plants (13 mod 40).
+# paragraph repeated 8 aligned times (8 duplicated windows) plus a
+# per-plant unique tail word drawn from the SAME disjoint boilerplate
+# vocabulary ("issue<doc_id>") -> 888 permille, dropped by the
+# paragraph stage; byte/canonically unique (survives stages 1-2), and
+# NO plant window collides with any organic window — a source-derived
+# tail would hand the base doc a duplicated window and, on a corpus
+# with a short doc at this residue, silently drop an organic doc at
+# the paragraph stage (r10 review finding). doc_id % 50 == 37 is
+# disjoint from the exact (0) and near (25) plants, and CRT-disjoint
+# from the canonical plants (13 mod 40).
 PARA_COPY_OFFSET = 30_000_000
 _PARA_MOD = 50
 _PARA_REM = 37
@@ -2511,8 +2514,7 @@ def _funnel_oracle() -> str:
       FROM documents WHERE doc_id % {_CANON_MOD} = {_CANON_REM}
       UNION ALL
       SELECT doc_id + {PARA_COPY_OFFSET},
-             '{_PARA_BOILER_BLOCK}' || ' ' ||
-             array_to_string(string_split(text, ' ')[1:{_PARA_W}], ' ')
+             '{_PARA_BOILER_BLOCK}' || ' issue' || CAST(doc_id AS VARCHAR)
       FROM documents WHERE doc_id % {_PARA_MOD} = {_PARA_REM}
     ),
     ex AS (SELECT doc_id, text,
@@ -2606,10 +2608,8 @@ def corpus_dedup_survivorship_funnel(
     boiler = docs.filter(F.col("doc_id") % _PARA_MOD == _PARA_REM).select(
         (F.col("doc_id") + PARA_COPY_OFFSET).alias("doc_id"),
         F.concat(
-            F.lit(_PARA_BOILER_BLOCK + " "),
-            F.expr(
-                f"array_join(slice(split(text, ' '), 1, {_PARA_W}), ' ')"
-            ),
+            F.lit(_PARA_BOILER_BLOCK + " issue"),
+            F.col("doc_id").cast("string"),
         ).alias("text"),
     )
     corpus = (

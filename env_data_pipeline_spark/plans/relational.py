@@ -678,9 +678,9 @@ def events_skewed_tenant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream. Both legs merge-hinted: customer grows with SF,
     fact-fact, never broadcast (AQE hazard).
 
-    Exactness: counts and the integer-cent balance div are exact
-    BIGINTs (a total rather than an integer-div average: balances
-    can be negative, where Spark div truncates and DuckDB // floors)."""
+    Exactness: counts and the integer-cent balance total are exact
+    BIGINTs (a total rather than a truncated integer-div "average",
+    which misleads over negative balances)."""
     ev = table(spark, sf_dir, "events").select(
         F.when(F.col("user_id") % 10 == 0, F.col("user_id"))
         .otherwise(F.lit(0))
@@ -701,9 +701,11 @@ def events_skewed_tenant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.count("bal_cents").cast("bigint").alias("n_identified"),
-            # total, not avg: acctbal can be negative and Spark's div
-            # truncates where DuckDB's // floors (float-grid memory) —
-            # an exact BIGINT total sidesteps the negative-div hazard
+            # total, not avg: Spark div and DuckDB // BOTH truncate
+            # toward zero (verified on negatives, see holt_report), so
+            # an integer-div average would be parity-safe — the total
+            # is simply the more useful exact statistic here (balances
+            # can be negative, so a truncated "average" misleads)
             F.coalesce(F.sum("bal_cents"), F.lit(0))
             .cast("bigint")
             .alias("identified_bal_cents_total"),

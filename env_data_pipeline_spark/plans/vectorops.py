@@ -1990,8 +1990,9 @@ _PC1_GRID = 1_000_000
 
 
 def _pc1_oracle() -> str:
-    """Unroll the 8 power iterations as chained MATERIALIZED CTEs —
-    the same generated-by-one-loop discipline as k-means/PageRank."""
+    """Unroll the _PC1_ITERS power iterations as chained MATERIALIZED
+    CTEs — the same generated-by-one-loop discipline as
+    k-means/PageRank."""
     init_v = ", ".join(
         f"({j}, {_PC1_GRID // 8})" for j in range(_DIM)
     )
@@ -2069,8 +2070,8 @@ def embedding_power_iteration_pc1(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Top principal direction of the embedding corpus via MATRIX-FREE
-    power iteration: v <- normalize(X^T (X v)), 8 fixed iterations
-    from the uniform start — the 64-float direction an embedding-drift
+    power iteration: v <- normalize(X^T (X v)), _PC1_ITERS (24) fixed
+    iterations from the uniform start — the 64-float direction an embedding-drift
     monitor tracks (a rotating PC1 between two snapshots means the
     encoder or the corpus changed; compare ivf_drift_retrain_verdict,
     which watches cell occupancy instead). Uncentered (second-moment)
@@ -2096,7 +2097,7 @@ def embedding_power_iteration_pc1(
     the same way) and the final per-component division, re-quantized
     to the grid before the next iteration so error cannot compound
     across iterations. Parity never depends on convergence: both
-    engines run exactly 8 iterations.
+    engines run exactly the same fixed iteration count.
 
     Scale: X never materializes as a matrix — the long form
     (vec_id, j, xq) streams through one 64-row broadcast join + a

@@ -118,6 +118,10 @@ NESTED_LOOP_OK = {
     # 1-row tau (the (k+1)-th priority) and 1-row exact total
     # cross-joined into the single estimator row
     "lineitem_priority_sample_estimate",
+    # 1-row norm frames (the j-ordered fold) cross-joined back onto
+    # the 64-row direction each iteration + the 1-row convergence
+    # certificate onto the 64-row output
+    "embedding_power_iteration_pc1",
     # rides the dedup_semantic_semdedup decision plan (Lloyd
     # assignment, see above) + the same 1-row B-cubed assembly
     "dedup_semantic_bcubed",
