@@ -1526,4 +1526,155 @@ def lineitem_priority_sample_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# events_daily_fano_burstiness — dispersion of daily event counts (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s1 AS BIGINT) AS total_events,
+           CAST(1000 * (n * s2 - s1 * s1) // (n * s1) AS BIGINT)
+               AS fano_permille,
+           1000 * (n * s2 - s1 * s1) // (n * s1) > 1000 AS overdispersed
+    FROM s ORDER BY event_type
+    """,
+)
+def events_daily_fano_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of DAILY event counts per
+    type, in exact integer permille — the burstiness screen next to
+    the CUSUM/Mann-Kendall/Holt charts: a Poisson-like arrival stream
+    reads ~1000; materially above means bursty/clumped traffic (an
+    incident pattern), materially below means rate-limited or
+    synthetic-uniform traffic. Identity used: F = (n*S2 - S1^2) /
+    (n*S1) with S1 = sum of daily counts, S2 = sum of squares — all
+    exact BIGINTs, truncating division identical in both engines.
+
+    Scale: one (type, day) partial-agg shuffle (calendar-bounded
+    output), then a per-type 3-counter fold. Nothing downstream of
+    the daily grain."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    fano = F.expr("1000 * (n * s2 - s1 * s1) div (n * s1)")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s1").cast("bigint").alias("total_events"),
+        fano.cast("bigint").alias("fano_permille"),
+        (fano > 1000).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# customer_pareto_8020 — revenue-concentration threshold (r10)
+# ---------------------------------------------------------------------------
+
+_PARETO_NUM = 4  # the 80% threshold as the exact fraction 4/5
+_PARETO_DEN = 5
+
+
+@query(
+    "customer_pareto_8020",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS ru
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ru,
+             ROW_NUMBER() OVER (ORDER BY ru DESC, o_custkey) AS rk,
+             SUM(ru) OVER (ORDER BY ru DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(ru) AS t FROM rev),
+    hit AS (
+      SELECT MIN(rk) AS k FROM ranked, tot
+      WHERE cum * {_PARETO_DEN} >= t * {_PARETO_NUM}
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_customers,
+           CAST(hit.k AS BIGINT) AS top_k,
+           CAST(1000 * hit.k // tot.n AS BIGINT) AS top_k_permille,
+           CAST((SELECT 1000 * cum // tot.t FROM ranked
+                 WHERE rk = hit.k) AS BIGINT) AS share_permille
+    FROM tot, hit
+    """,
+)
+def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration threshold: the smallest top-k customer
+    set (by order revenue) whose cumulative share reaches 80% of the
+    total, with k as a permille of the customer base — the "does the
+    80/20 rule hold here" number an account team reads next to the
+    Gini and HHI screens. The threshold test is the exact integer
+    cross-multiply cum*5 >= total*4; ranking ties break on custkey.
+
+    Exactness: revenue folds on the 1e-4 unit grid; cumulative sums,
+    the threshold, and both permilles are exact BIGINT arithmetic.
+
+    Scale: the fact table reduces to CUSTOMER grain first (the only
+    fact-sized shuffle); the ordered cumulative window runs on the
+    dimension-scale customer frame — the same deliberate single-sort
+    class as customer_revenue_concentration's Lorenz machinery, never
+    on raw orders."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)")
+        ).alias("ru")
+    )
+    w = Window.orderBy(F.desc("ru"), "o_custkey")
+    ranked = rev.select(
+        "ru",
+        F.row_number().over(w).alias("rk"),
+        F.sum("ru").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ru").alias("t")
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * _PARETO_DEN >= F.col("t") * _PARETO_NUM)
+        .agg(F.min("rk").alias("k"))
+    )
+    share = (
+        ranked.join(F.broadcast(hit), ranked["rk"] == F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr("1000 * cum div t").alias("share_permille"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(share))
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("k").cast("bigint").alias("top_k"),
+            F.expr("1000 * k div n").cast("bigint").alias("top_k_permille"),
+            F.col("share_permille").cast("bigint"),
+        )
+    )
+
+
 BENCH_EXTRA.add("orders_ship_survival_km")

@@ -122,6 +122,9 @@ NESTED_LOOP_OK = {
     # the 64-row direction each iteration + the 1-row convergence
     # certificate onto the 64-row output
     "embedding_power_iteration_pc1",
+    # 1-row total / threshold-k / share frames assembled into the
+    # single Pareto summary row (singleton-aggregate assembly)
+    "customer_pareto_8020",
     # rides the dedup_semantic_semdedup decision plan (Lloyd
     # assignment, see above) + the same 1-row B-cubed assembly
     "dedup_semantic_bcubed",

@@ -612,3 +612,58 @@ def test_price_elasticity_matches_numpy(spark, tmp_path):
     assert abs(r[0].elasticity - (-1.5)) < 0.01
     assert abs(r[0].elasticity - slope) < 1e-3
     assert r[0].r_squared > 0.999
+
+
+def test_fano_burstiness_poisson_vs_bursty(spark, tmp_path):
+    """Planted uniform (1 event/day -> Fano 0) vs bursty (all mass on
+    two days) daily profiles, replayed with the exact integer
+    identity F = (n*S2 - S1^2) / (n*S1)."""
+    from env_data_pipeline_spark.plans.statmining import (
+        events_daily_fano_burstiness,
+    )
+
+    rows, eid = [], 0
+    for d in range(10):  # 'view': one event per day, zero dispersion
+        rows.append((eid, dt.datetime(2024, 6, 1) + dt.timedelta(days=d),
+                     1, "view", 1.0, "{}"))
+        eid += 1
+    for d, c in ((0, 9), (9, 1)):  # 'error': bursty — 9 then 1
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 6, 1) + dt.timedelta(days=d),
+                         1, "error", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in events_daily_fano_burstiness(spark, str(tmp_path)).collect()
+    }
+    assert got["view"].fano_permille == 0
+    assert got["view"].overdispersed is False
+    # error: n=2, S1=10, S2=82 -> 1000*(2*82-100)/(2*10) = 3200
+    assert got["error"].n_days == 2
+    assert got["error"].fano_permille == 3200
+    assert got["error"].overdispersed is True
+
+
+def test_pareto_8020_handcrafted(spark, tmp_path):
+    """Five customers at revenue 50/20/15/10/5: total 100, the top-3
+    cumulative (85) is the first to clear 80 -> k=3, 600 permille of
+    the base, share 850 permille."""
+    from env_data_pipeline_spark.plans.statmining import customer_pareto_8020
+
+    revs = [(1, 50.0), (2, 20.0), (3, 15.0), (4, 10.0), (5, 5.0)]
+    rows = [
+        (ck * 10, ck, "O", amt, dt.datetime(1995, 1, 1), "1-URGENT")
+        for ck, amt in revs
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = customer_pareto_8020(spark, str(tmp_path)).collect()[0]
+    assert r.n_customers == 5
+    assert r.top_k == 3
+    assert r.top_k_permille == 600
+    assert r.share_permille == 850
