@@ -220,6 +220,17 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "streaming_skyline_refresh", "streaming_token_budget_refresh",
         "text_heaps_fit", "text_sparse_cosine_pairs",
         "text_zipf_fit",
+        # --- stamped by the round-10 driver window (CORRECTNESS_r10):
+        # all 50 rows green; the 16 first-time stamps below (the other
+        # 34 were rotation re-stamps already listed above) ---
+        "bpe_train_merges", "corpus_dedup_survivorship_funnel",
+        "customer_pareto_8020", "dedup_paragraph_exact",
+        "dedup_semantic_bcubed", "embedding_power_iteration_pc1",
+        "events_ab_test_zstat", "events_daily_fano_burstiness",
+        "events_holt_trend_forecast", "events_skewed_tenant_profile",
+        "lineitem_priority_sample_estimate", "part_price_elasticity",
+        "promo_did_uplift", "requests_density_hotspots",
+        "streaming_holt_refresh", "streaming_paragraph_dedup_refresh",
     }
 )
 
