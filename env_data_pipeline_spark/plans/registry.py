@@ -228,7 +228,11 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "dedup_semantic_bcubed", "embedding_power_iteration_pc1",
         "events_ab_test_zstat", "events_daily_fano_burstiness",
         "events_holt_trend_forecast", "events_skewed_tenant_profile",
-        "lineitem_priority_sample_estimate", "part_price_elasticity",
+        "lineitem_priority_sample_estimate",
+        # part_price_elasticity deliberately NOT stamped: r11 changed
+        # the quantity quantization from truncating cast to half-up
+        # floor(q + 0.5) on both engine and oracle (ADVICE r10), so
+        # the window must re-sample the rule the stamp describes
         "promo_did_uplift", "requests_density_hotspots",
         "streaming_holt_refresh", "streaming_paragraph_dedup_refresh",
     }

@@ -1325,7 +1325,7 @@ def _elasticity_oracle() -> str:
     return f"""
     WITH pp AS (
       SELECT p.p_brand AS brand,
-             SUM(CAST(l.l_quantity AS BIGINT)) AS q,
+             SUM(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS q,
              SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
                  // COUNT(*) AS cents
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -1382,7 +1382,9 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_partkey", F.col("p_brand").alias("brand"))
         .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+            F.expr(
+                "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))"
+            ).alias("q"),
             F.expr(
                 "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
                 " div count(1)"
@@ -1562,6 +1564,10 @@ def events_daily_fano_burstiness(
     synthetic-uniform traffic. Identity used: F = (n*S2 - S1^2) /
     (n*S1) with S1 = sum of daily counts, S2 = sum of squares — all
     exact BIGINTs, truncating division identical in both engines.
+    BIGINT bound: the widest term is s1*s1 on a type's total event
+    count, so each event_type must stay under ~3e9 events; past that
+    pre-scale the daily counts a decade (c div 10 on both sides) —
+    the same documented-bound convention as the Pareto/Zipf grids.
 
     Scale: one (type, day) partial-agg shuffle (calendar-bounded
     output), then a per-type 3-counter fold. Nothing downstream of
@@ -1591,6 +1597,11 @@ def events_daily_fano_burstiness(
 
 _PARETO_NUM = 4  # the 80% threshold as the exact fraction 4/5
 _PARETO_DEN = 5
+# BIGINT bound: the widest products are 1000 * cum and cum * 5 on
+# cumulative revenue in 1e-4 units, so total corpus revenue must stay
+# under ~9.2e15 units (~$920B, roughly sf<4 for TPC-H orders). Past
+# that, shrink the revenue grid a decade (1e-3 units) — the same
+# documented-bound convention as the Zipf/elasticity ln grids.
 
 
 @query(

@@ -10,13 +10,13 @@ a particular SF.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
 from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.plans import registry
-from env_data_pipeline_spark.plans.graphops import _PR_ITERS
 
 registry.load_all()
 
@@ -844,10 +844,17 @@ def test_skewed_tenant_join_aqe_split(spark, sf_dir, tmp_path):
     # single indivisible chunk no threshold can split — so the test
     # re-materializes sf0.1 events across 16 files to give the scan
     # the mapper parallelism the real deployment has.
-    spark.read.parquet("/root/testdata/sf0.1/events.parquet").repartition(
+    # the skew thresholds above need sf0.1's byte volume (the sf0.001
+    # hot block is ~1 KB, under any splittable threshold), so derive
+    # the sf0.1 sibling from the fixture's testdata root rather than
+    # hardcoding the root itself
+    hi_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.1")
+    if not os.path.isdir(hi_dir):
+        pytest.skip(f"sf0.1 testdata not present at {hi_dir}")
+    spark.read.parquet(f"{hi_dir}/events.parquet").repartition(
         16
     ).write.parquet(str(tmp_path / "events.parquet"))
-    spark.read.parquet("/root/testdata/sf0.1/customer.parquet").write.parquet(
+    spark.read.parquet(f"{hi_dir}/customer.parquet").write.parquet(
         str(tmp_path / "customer.parquet")
     )
     old = {}

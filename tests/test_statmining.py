@@ -602,9 +602,11 @@ def test_price_elasticity_matches_numpy(spark, tmp_path):
 
     xs, ys = [], []
     for pk, cents in enumerate([10000, 20000, 40000, 80000, 160000], 1):
-        # engine casts each q/2 half to BIGINT before summing (odd q
-        # truncates one unit per half) — replay the identical rule
-        q_total = int(round(1e9 / (cents ** 1.5)) / 2) * 2
+        # engine half-up-rounds each q/2 half onto the integer grid
+        # before summing (floor(q + 0.5), the cross-engine rule; odd
+        # q gains one unit per half) — replay the identical rule
+        q = round(1e9 / (cents ** 1.5))
+        q_total = math.floor(q / 2 + 0.5) * 2
         xs.append(math.floor(math.log(cents) * _ELAS_LN_GRID))
         ys.append(math.floor(math.log(q_total) * _ELAS_LN_GRID))
     slope = np.polyfit(xs, ys, 1)[0]
