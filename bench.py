@@ -91,10 +91,16 @@ SF1_EXCLUDED = {
     # K=8 cells are the sf0.1 training contract; an honest x10 run
     # needs K ~ sqrt(n) retraining or the in-cell pair scan is
     # deliberately quadratic (the SemDeDup paper's own knob) — noted,
-    # not timed, so the tier never records a misconfigured index
+    # not timed, so the tier never records a misconfigured index.
+    # similarity_topk_ivf_served implements exactly that cure (the
+    # shared K-sizing contract: plans/vectorops.py::_ivf_scale_k —
+    # per-tier retrain through the persisted-artifact cache), which
+    # is why IT stays in the tier while this stays excluded.
     "dedup_semantic_semdedup": (
         "K=8 cell contract is sf0.1-sized; x10 needs K~sqrt(n) "
-        "retrain — excluded rather than timing a misconfigured index"
+        "retrain (the _ivf_scale_k contract similarity_topk_ivf_"
+        "served now implements) — excluded rather than timing a "
+        "misconfigured index"
     ),
 }
 
@@ -112,6 +118,19 @@ _NOISY_SPREAD = 0.5
 _MAX_RUNS = 11
 # executions averaged per recorded run (see _measure_query)
 _BATCH = 2
+# per-query batch overrides (VERDICT r10 item 3): the four worst
+# rel_spreads in the r10 artifacts were all short-plan embedding/
+# n-gram-artifact queries (0.40-0.87) whose medians sit under ~1.5 s,
+# where a single host-phase hiccup moves a 2-exec mean by half its
+# excess. Averaging 4 back-to-back executions per recorded run
+# quarters the per-run sensitivity without changing what is measured
+# (the plans are unchanged; only the recorded-run estimator tightens).
+_BATCH_OVERRIDE = {
+    "embedding_pq_reconstruction": 4,
+    "similarity_topk_ivf": 4,
+    "similarity_ivf_kmeans": 4,
+    "decontaminate_eval_overlap": 4,
+}
 
 # SPARK_GRAFT_BENCH_FAST=1: contract-shape smoke run (2 single-exec
 # runs, no top-up, probe/sf1 tiers forced OFF) for the /verify quick
@@ -122,6 +141,7 @@ if _FAST:
     _N_RUNS = 2
     _BATCH = 1
     _MAX_RUNS = 2
+    _BATCH_OVERRIDE = {}
     os.environ["SPARK_GRAFT_SCALE_PROBE"] = "0"
 
 
@@ -251,7 +271,12 @@ def _time_tier(spark, names: list[str], sf_dir: str):
     for name in names:
         registry.QUERIES[name](spark, sf_dir).count()
     return _fold_runs(
-        {name: _measure_query(spark, name, sf_dir) for name in names}
+        {
+            name: _measure_query(
+                spark, name, sf_dir, batch=_BATCH_OVERRIDE.get(name)
+            )
+            for name in names
+        }
     )
 
 
@@ -338,6 +363,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": _N_RUNS,
         "batch_per_run": _BATCH,
+        "batch_overrides": _BATCH_OVERRIDE,
         # fixed-job host-throughput probe before/after the headline
         # tier: compare across artifacts to separate environment phase
         # from engine change

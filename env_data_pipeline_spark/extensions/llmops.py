@@ -445,19 +445,31 @@ def chunk_windows(docs: DataFrame, width: int = 32, stride: int = 16) -> DataFra
 
 
 def curation_verdict(
-    docs: DataFrame, eval_source: str, ngram: int = 4
+    docs: DataFrame,
+    eval_source: str,
+    ngram: int = 4,
+    clf_scores: DataFrame | None = None,
 ) -> DataFrame:
     """One row per TRAINING doc (the eval slice is excluded — it is
     the benchmark, not the corpus): verdict KEEP/DROP plus the first
     failing gate, evaluated in severity order:
 
-      contaminated > low_quality > high_repetition > lang_mismatch
+      contaminated > low_quality > ml_low_quality > high_repetition
+      > lang_mismatch
+
+    ``clf_scores`` is the trained classifier's (doc_id, z_u) margin
+    frame (plans/qualityclf.py::score_docs over the persisted weight
+    artifact): docs the rule gate passes but the LEARNED model
+    rejects (z_u < 0) drop as ml_low_quality — the CCNet-style
+    ensemble where the classifier generalizes past the hand rules.
+    Omit it and the chain is the pre-r11 four-gate form.
 
     Plan shape: all quality/repetition/lang metrics are per-row HOFs
-    (narrow); the only shuffles belong to the contamination report,
-    whose output (hit docs only) left-broadcast-joins back onto the
-    corpus — so the wide path costs exactly what
-    ``contamination_report`` costs."""
+    (narrow); the shuffles belong to the contamination report, whose
+    output (hit docs only) left-broadcast-joins back onto the corpus,
+    and to the classifier margin's doc-grain sum — so the wide path
+    costs what ``contamination_report`` + one feature-frame aggregate
+    cost."""
     from env_data_pipeline_spark.extensions.text import (
         predicted_lang_w,
         punct_ratio,
@@ -489,10 +501,20 @@ def curation_verdict(
         rep.alias("repetition"),
         predicted_lang_w(wc).alias("predicted_lang"),
     ).join(F.broadcast(hits), "doc_id", "left")
+    if clf_scores is not None:
+        flagged = flagged.join(
+            clf_scores.select("doc_id", "z_u"), "doc_id", "left"
+        )
+    ml_reject = (
+        F.lit(False)
+        if clf_scores is None
+        else F.coalesce(F.col("z_u") < 0, F.lit(False))
+    )
 
     reason = (
         F.when(F.col("contaminated"), "contaminated")
         .when(F.col("quality") != "OK", "low_quality")
+        .when(ml_reject, "ml_low_quality")
         .when(F.col("repetition") == "HIGH_REPETITION", "high_repetition")
         .when(F.col("predicted_lang") != F.col("lang"), "lang_mismatch")
     )

@@ -686,6 +686,55 @@ def topk_ivf_cells(
     )
 
 
+def topk_ivf_from_lists(
+    invlists: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 6,
+    quant: float = 1e6,
+) -> DataFrame:
+    """IVF top-k SERVING from PRE-BUILT inverted lists — the
+    production shape of topk_ivf_cells. ``invlists`` is the persisted
+    (cell, vec_id, v) assignment (built once per corpus tier and
+    stored partitioned BY cell), so serving never reassigns the
+    corpus: queries probe their ``nprobe`` nearest cells against the
+    broadcast centroid set, and the probe set dynamically prunes the
+    cell-partitioned list scan — only probed cells' files are read.
+    Per-serve work is therefore queries x nprobe x (n/K) candidate
+    rows, sublinear in the corpus when K grows ~sqrt(n) (the
+    _ivf_scale_params contract in plans/vectorops.py), where
+    topk_ivf_cells's in-plan reassignment pays n x K distances every
+    serve."""
+    q_cells = probe_cells(coarse_scores(queries, centroids, quant), nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        F.col("cluster_id").alias("cell"),
+    )
+    cand = (
+        invlists.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec"), "cell"
+        )
+        .join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "rank"
+        )
+    )
+
+
 def pq_subvectors(
     df: DataFrame, m_subspaces: int, dim_per_sub: int, vec_col: str = "v"
 ) -> DataFrame:

@@ -435,9 +435,19 @@ def _curation_oracle() -> str:
     # decontaminate_eval_overlap — the verdict must compose the SAME
     # metrics, so import rather than restate them
     from env_data_pipeline_spark.plans.extensions import _STOP, _duck_lang_case
+    from env_data_pipeline_spark.plans.qualityclf import (
+        _QC_ROUNDS,
+        _qc_train_ctes,
+    )
+
+    # the trained-classifier gate replays the full weight training
+    # inline (the oracle has no artifact store); the engine serves
+    # the identical deterministic weights from the persisted artifact
+    qc_ctes = ", ".join(_qc_train_ctes())
 
     return f"""
-    WITH alldocs AS (
+    WITH {qc_ctes},
+    alldocs AS (
       SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
       FROM documents
     ),
@@ -450,6 +460,11 @@ def _curation_oracle() -> str:
     cont AS (SELECT DISTINCT doc_id FROM sh
              WHERE source <> '{_EVAL_SOURCE}'
                AND ghash IN (SELECT ghash FROM ev)),
+    sc AS (
+      SELECT f.doc_id, SUM(ww.wu) AS zu
+      FROM qfeats f JOIN qw{_QC_ROUNDS} ww ON ww.fid = f.fid
+      GROUP BY 1
+    ),
     m AS (SELECT doc_id, lang, text, w,
           len(w) AS n,
           len(list_distinct(w)) AS nd,
@@ -473,13 +488,14 @@ def _curation_oracle() -> str:
                ELSE 'OK' END AS quality,
           {_duck_lang_case()} AS predicted_lang
           FROM m JOIN tw USING (doc_id)),
-    v AS (SELECT doc_id, lang,
-          CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+    v AS (SELECT j.doc_id, lang,
+          CASE WHEN j.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
                WHEN quality <> 'OK' THEN 'low_quality'
+               WHEN COALESCE(sc.zu < 0, FALSE) THEN 'ml_low_quality'
                WHEN dupbg > 0.05 OR topw > 0.15 THEN 'high_repetition'
                WHEN predicted_lang <> lang THEN 'lang_mismatch'
                ELSE NULL END AS drop_reason
-          FROM j)
+          FROM j LEFT JOIN sc ON sc.doc_id = j.doc_id)
     SELECT doc_id, lang,
            CASE WHEN drop_reason IS NULL THEN 'KEEP' ELSE 'DROP' END AS verdict,
            drop_reason
@@ -490,12 +506,25 @@ def _curation_oracle() -> str:
 @query("corpus_curation_verdict", oracle=_curation_oracle())
 def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composition endpoint: every curation gate — contamination,
-    quality, repetition, language-ID agreement — folded into one
+    rule quality, TRAINED-classifier quality (r11: the persisted
+    logistic weights of plans/qualityclf.py, the CCNet-style ensemble
+    stage), repetition, language-ID agreement — folded into one
     KEEP/DROP verdict with the first failing reason per training doc.
-    Narrow except for the contamination report, whose hit set
-    broadcast-joins back onto the corpus."""
+    Narrow except for the contamination report and the classifier
+    margin's doc-grain sum; the weights ride a 65-row broadcast from
+    the artifact cache."""
+    from env_data_pipeline_spark.plans.qualityclf import (
+        doc_features,
+        quality_weights_artifact,
+        score_docs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scores = score_docs(
+        doc_features(docs), quality_weights_artifact(spark, sf_dir)
+    )
     return L.curation_verdict(
-        table(spark, sf_dir, "documents"), eval_source=_EVAL_SOURCE, ngram=4
+        docs, eval_source=_EVAL_SOURCE, ngram=4, clf_scores=scores
     )
 
 
@@ -790,6 +819,94 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio",
             F.expr(f"n_chars * {_N_SHARDS} * 1000 div sum(n_chars) over ()")
             / F.lit(1000.0),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_shuffle_shards: seeded global-shuffle order + shard manifest
+# (r11, VERDICT r10 item 5 — the writer half is
+# sources/sinks.py::write_shuffled_shards)
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 20260816  # the training run's fixed data-order seed
+# order-checksum moduli: each term (rk % 1e6+3) * (h % 1e6+3) < 1e12,
+# so a shard's checksum stays inside BIGINT up to ~9e6 docs per shard
+# at 64 shards (~6e8 docs total); past that bump _N_SHARDS with the
+# corpus (the same documented-bound convention as the Pareto grid)
+_CK_P = 1_000_003
+_CK_Q = 1_000_000_007
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{_SHUFFLE_SEED}:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, h, CAST(h % {_N_SHARDS} AS INT) AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS}
+                                ORDER BY h, doc_id) AS rk
+      FROM s
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc_id,
+           CAST(SUM(((rk % {_CK_P}) * (h % {_CK_P})) % {_CK_Q}) AS BIGINT)
+               AS order_checksum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded global-shuffle MANIFEST: every document's training
+    order is the engine-wide 48-bit md5-prefix hash of "seed:doc_id"
+    (deterministic on any engine — the cross-engine-stable order
+    contract), its shard is hash % 64, and each shard reports its doc
+    count, the first document in seeded order, and a position-
+    weighted order checksum — SUM((rank % p) * (hash % p) % q) — that
+    changes if ANY document moves position, so two writers can prove
+    they produced the identical permutation without comparing 100 TB
+    of rows. sources/sinks.py::write_shuffled_shards materializes the
+    same assignment as a one-exchange sharded dataset;
+    corpus_shard_balance audits the byte balance.
+
+    Scale: one narrow (doc_id)-projection scan, ONE exchange on
+    shard_id (the per-shard rank window and the manifest aggregate
+    both run on that same partitioning — AQE elides a second
+    exchange), 64 output rows."""
+    from env_data_pipeline_spark.extensions import text as TX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    s = docs.select(
+        "doc_id",
+        TX.md5_prefix_hash(
+            F.concat(
+                F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    ).withColumn("shard_id", (F.col("h") % _N_SHARDS).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    r = s.withColumn("rk", F.row_number().over(w))
+    return (
+        r.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_doc_id"),
+            F.sum(
+                ((F.col("rk") % _CK_P) * (F.col("h") % _CK_P)) % _CK_Q
+            )
+            .cast("bigint")
+            .alias("order_checksum"),
         )
         .orderBy("shard_id")
     )

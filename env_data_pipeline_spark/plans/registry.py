@@ -111,7 +111,10 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "multimodal_base64_sink", "multimodal_nested_sanitize",
         "text_langid_accuracy", "similarity_topk_ivf",
         "similarity_knn_label_agreement", "similarity_recall_at_k",
-        "multimodal_frame_sample", "corpus_curation_verdict",
+        "multimodal_frame_sample",
+        # corpus_curation_verdict deliberately NOT stamped: r11 added
+        # the trained-classifier ml_low_quality gate to the priority
+        # chain, so the window must re-sample the 5-gate definition
         "text_pii_redaction", "corpus_quality_weighted_sample",
         "embedding_quantize_int8", "similarity_ivf_kmeans",
         "embedding_pq_reconstruction", "similarity_topk_pq",
@@ -181,7 +184,12 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "part_pagerank_copurchase", "part_substitution_candidates",
         "part_supplier_concentration", "part_triangle_count_sampled",
         "part_triangle_participation", "referential_integrity_audit",
-        "similarity_topk_ivf_served", "similarity_topk_ivfpq_served",
+        # similarity_topk_ivf_served deliberately NOT stamped: r11
+        # replaced the fixed-K=8 shared-oracle form with the scaled
+        # K=floor(sqrt(n)) contract (md5-rank seeds, bounded query
+        # batch, cell-partitioned inverted-list artifact), so the
+        # window must re-sample the definition the stamp describes
+        "similarity_topk_ivfpq_served",
         "streaming_dedup_index_refresh", "streaming_hll_sketch_refresh",
         "supplier_variety_by_part_attrs", "text_bm25_search",
         "text_phrase_search", "text_pmi_collocations",
@@ -257,6 +265,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.relational_sub  # noqa: F401
     import env_data_pipeline_spark.plans.textstats  # noqa: F401
     import env_data_pipeline_spark.plans.bpetrain  # noqa: F401
+    import env_data_pipeline_spark.plans.qualityclf  # noqa: F401
     import env_data_pipeline_spark.plans.graphops  # noqa: F401
     import env_data_pipeline_spark.plans.statmining  # noqa: F401
     import env_data_pipeline_spark.plans.integrity  # noqa: F401

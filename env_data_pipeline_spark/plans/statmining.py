@@ -1689,3 +1689,8 @@ def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_EXTRA.add("orders_ship_survival_km")
+# the two r10 late-round additions, promoted into the measured set
+# (VERDICT r10 item 6): they landed after that round's clean bench so
+# they carried stamps but no recorded timing
+BENCH_EXTRA.add("events_daily_fano_burstiness")
+BENCH_EXTRA.add("customer_pareto_8020")

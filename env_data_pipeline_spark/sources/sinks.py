@@ -46,6 +46,52 @@ def write_dataset(
     writer.format(fmt).save(path)
 
 
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Deterministic seeded GLOBAL shuffle + balanced shard write —
+    the step that fixes a training run's data order before packing
+    (VERDICT r10 item 5). Every row gets the engine-wide 48-bit
+    md5-prefix hash of ``seed:id``: the hash IS the global training
+    order (seeded, engine-independent, reproducible on any writer),
+    its modulo is the shard, and because md5 is uniform the shards
+    are balanced with no salting. The physical plan is exactly ONE
+    exchange — repartition on shard_id — followed by
+    sortWithinPartitions on the order key, so each output shard
+    directory holds its slice of the global order contiguously:
+    reading shard files in (shard, file-order) replays the seeded
+    permutation. plans/llmops.py::corpus_shuffle_shards is the
+    oracle-checked manifest of the same (hash, shard, order)
+    assignment; corpus_shard_balance is the pre-commit balance
+    audit."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    keyed = df.withColumn(
+        "_h",
+        md5_prefix_hash(
+            F.concat(
+                F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+            )
+        ),
+    ).withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+    # the sort leads with shard_id: FileFormatWriter requires rows
+    # ordered by the partition columns and would otherwise insert its
+    # own NON-STABLE sort on shard_id alone, scrambling the _h order
+    # inside each shard file (found the hard way — the order test)
+    write_dataset(
+        keyed.repartition(n_shards, "shard_id"),
+        path,
+        partition_by=("shard_id",),
+        sort_within=("shard_id", "_h", id_col),
+    )
+
+
 def _restore_crashed_swap(path: str) -> None:
     """If a prior compaction died between the two swap renames, the
     '._compact_old' sibling IS the live data — put it back."""

@@ -56,7 +56,7 @@ NESTED_LOOP_OK = {
     "similarity_ivf_kmeans",  # Lloyd assignment: corpus x K=8 broadcast centroids
     "similarity_topk_ivf_trained",  # same corpus x K broadcast assignment shape
     "similarity_topk_ivfpq",  # coarse assignment + probe: corpus x K broadcast
-    "similarity_topk_ivf_served",  # serving stages of _trained, artifact-fed
+    "similarity_topk_ivf_served",  # bounded query batch x broadcast K centroids
     "similarity_topk_ivfpq_served",  # serving stages of _ivfpq, artifact-fed
     "corpus_membership_dedup",  # 1-row Bloom bitmap broadcast against the delta
     "similarity_recall_at_k",  # brute-force ground truth by design
@@ -1056,3 +1056,21 @@ def test_dpp_query_gets_dynamic_partition_pruning(spark, sf_dir):
     )
     final = df._jdf.queryExecution().explainString(mode)
     assert "ReusedExchange" in final or "SubqueryBroadcast" in final, final
+
+
+def test_ivf_served_plan_prunes_invlist_partitions(spark, sf_dir):
+    """similarity_topk_ivf_served must SERVE, never rebuild: the plan
+    reads the cell-partitioned inverted-list artifact with a
+    dynamicpruningexpression on cell (only the probed cells' files),
+    the query-side embeddings scan pushes the bounded-batch filter
+    (vec_id < Q_CAP) into parquet, and no Lloyd stage (iterative
+    aggregate over the corpus) appears — training lives behind the
+    artifact cache. The K-sizing contract itself is exercised by
+    tests/test_vectorops.py (scaled recall floor + inline replay)."""
+    plan = formatted_plan(spark, "similarity_topk_ivf_served", sf_dir)
+    low = plan.lower()
+    assert "ivf_invlists" in plan, plan[:2000]
+    assert "dynamicpruningexpression(cell" in low, plan[:3000]
+    assert "LessThan(vec_id,50000)" in plan
+    # serving consumes the persisted centroid parquet, not kmeans_train
+    assert "ivf_centroids_scaled" in plan

@@ -329,3 +329,82 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
         F.md5(F.concat_ws("|", *sorted(df.columns))).alias("h")
     ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))).first()[0]
     assert digest(back) == digest(docs)
+
+
+def test_write_shuffled_shards_order_and_balance(spark, sf_dir, tmp_path):
+    """The seeded shard writer must (a) reproduce exactly the
+    manifest's (shard, count) assignment, (b) lay every shard out in
+    seeded hash order on disk (reading a shard back yields
+    non-decreasing _h — the global-permutation-replay contract), and
+    (c) stay balanced: no shard more than 3x the ideal share at 64
+    shards on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.llmops import (
+        _N_SHARDS,
+        _SHUFFLE_SEED,
+        corpus_shuffle_shards,
+    )
+    from env_data_pipeline_spark.sources.sinks import write_shuffled_shards
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, _N_SHARDS, _SHUFFLE_SEED)
+    back = spark.read.parquet(out)
+    manifest = {
+        r.shard_id: r.n_docs
+        for r in corpus_shuffle_shards(spark, sf_dir).collect()
+    }
+    got = {
+        r.shard_id: r.cnt
+        for r in back.groupBy("shard_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == manifest
+    # within-shard on-disk order: read each shard directory with
+    # pyarrow (physical file row order, no Spark re-ordering) and
+    # assert _h is sorted — the global-permutation-replay contract
+    import os
+
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard_id="):
+            continue
+        hs = pq.read_table(os.path.join(out, d), columns=["_h"])["_h"].to_pylist()
+        assert hs == sorted(hs), d
+        checked += 1
+    assert checked == len(manifest)
+    n = docs.count()
+    ideal = n / _N_SHARDS
+    assert max(got.values()) <= 3 * ideal
+
+
+def test_write_shuffled_shards_single_exchange(spark, sf_dir):
+    """The shuffle+shard plan is pinned to ONE exchange (the
+    shard_id repartition); the order sort is within partitions."""
+    from pyspark.sql import functions as F
+
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+    from env_data_pipeline_spark.plans.llmops import _N_SHARDS, _SHUFFLE_SEED
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "_h",
+        md5_prefix_hash(
+            F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+        ),
+    ).withColumn("shard_id", (F.col("_h") % _N_SHARDS).cast("int"))
+    staged = keyed.repartition(_N_SHARDS, "shard_id").sortWithinPartitions(
+        "shard_id", "_h", "doc_id"
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = staged._jdf.queryExecution().explainString(mode)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Sort" in plan
