@@ -336,3 +336,182 @@ def text_quality_classifier_score(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_agreement + streaming refresh: the classifier-vs-gate
+# monitoring ledger a curation deployment keeps live
+# ---------------------------------------------------------------------------
+
+
+def _agreement_oracle() -> str:
+    return f"""
+    WITH {", ".join(_qc_train_ctes())},
+    sc AS (
+      SELECT f.doc_id, SUM(ww.wu) AS zu
+      FROM qfeats f JOIN qw{_QC_ROUNDS} ww ON ww.fid = f.fid
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT d.source,
+             CASE WHEN s.zu >= 0 THEN 1 ELSE 0 END AS pk,
+             l.y AS gk
+      FROM documents d
+      JOIN sc s ON s.doc_id = d.doc_id
+      JOIN qlab l ON l.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pk) AS BIGINT) AS n_pred_keep,
+           CAST(SUM(gk) AS BIGINT) AS n_gate_keep,
+           CAST(SUM(CASE WHEN pk = gk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           CAST(1000 * SUM(CASE WHEN pk = gk THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS agreement_permille
+    FROM per GROUP BY 1 ORDER BY 1
+    """
+
+
+def _agreement_counters(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Per-source (n_docs, n_pred_keep, n_gate_keep, n_agree) under a
+    frozen weight table — the shared kernel of the batch ledger and
+    the streaming refresh (additive counters, so micro-batch states
+    merge by plain +)."""
+    sc = score_docs(doc_features(docs), weights)
+    lab = doc_labels(docs)
+    per = (
+        docs.select("doc_id", "source")
+        .join(sc, "doc_id")
+        .join(lab, "doc_id")
+        .select(
+            "source",
+            F.when(F.col("z_u") >= 0, 1).otherwise(0).alias("pk"),
+            F.col("y").alias("gk"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pk").cast("bigint").alias("n_pred_keep"),
+        F.sum("gk").cast("bigint").alias("n_gate_keep"),
+        F.sum(F.when(F.col("pk") == F.col("gk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+
+
+def _agreement_finalize(state: DataFrame) -> DataFrame:
+    return state.select(
+        "source",
+        "n_docs",
+        "n_pred_keep",
+        "n_gate_keep",
+        "n_agree",
+        F.expr("1000 * n_agree div n_docs")
+        .cast("bigint")
+        .alias("agreement_permille"),
+    ).orderBy("source")
+
+
+@query("corpus_quality_agreement", oracle=_agreement_oracle())
+def corpus_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source classifier-vs-rule-gate agreement ledger: doc
+    count, classifier keeps, gate keeps, agreements, and the exact
+    agreement permille — the drift monitor a deployment reads to
+    decide when the trained weights need refreshing (agreement
+    sliding on one source = that source's text shifted under the
+    model). Serving-only plan: the 65-row weight artifact broadcasts;
+    the only shuffles are the feature frame's doc-grain sum and a
+    source-grain fold."""
+    docs = table(spark, sf_dir, "documents")
+    return _agreement_finalize(
+        _agreement_counters(docs, quality_weights_artifact(spark, sf_dir))
+    )
+
+
+@query("streaming_quality_score_refresh", oracle=_agreement_oracle())
+def streaming_quality_score_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONTINUOUS form of corpus_quality_agreement: documents
+    replay as 4 real micro-batches; each batch is scored against the
+    FROZEN persisted weights (the ingest-gate asymmetry — arrivals
+    are judged by standing state, the model never retrains per batch)
+    and folds additive per-source counters into a ping-pong parquet
+    state; the agreement permille derives from the final state only.
+    The oracle is the batch query's full recompute — green only if
+    the counter fold composes across every batch boundary."""
+    import os
+    import shutil
+    import tempfile
+
+    from env_data_pipeline_spark.streaming.replay import (
+        replay_foreachbatch,
+        write_shards,
+    )
+
+    n_shards = 4
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    weights = quality_weights_artifact(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    work = tempfile.mkdtemp(prefix="stream_qualclf_")
+    try:
+        delta_dir = os.path.join(work, "deltas")
+        ckpt_dir = os.path.join(work, "ckpt")
+        state_dirs = [
+            os.path.join(work, "state_a"),
+            os.path.join(work, "state_b"),
+        ]
+        os.makedirs(delta_dir)
+        write_shards(docs, delta_dir, n_shards, "doc_id")
+        spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, n_pred_keep bigint, "
+            "n_gate_keep bigint, n_agree bigint",
+        ).write.mode("overwrite").parquet(state_dirs[0])
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            cur, nxt = batch_id % 2, (batch_id + 1) % 2
+            batch = _agreement_counters(batch_df, weights).select(
+                "source",
+                F.col("n_docs").alias("b_docs"),
+                F.col("n_pred_keep").alias("b_pred"),
+                F.col("n_gate_keep").alias("b_gate"),
+                F.col("n_agree").alias("b_agree"),
+            )
+            prev = sp.read.parquet(state_dirs[cur])
+            merged = (
+                prev.join(F.broadcast(batch), "source", "full_outer")
+                .select(
+                    "source",
+                    *[
+                        (
+                            F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias(a)
+                        for a, b in [
+                            ("n_docs", "b_docs"),
+                            ("n_pred_keep", "b_pred"),
+                            ("n_gate_keep", "b_gate"),
+                            ("n_agree", "b_agree"),
+                        ]
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(state_dirs[nxt])
+
+        replay_foreachbatch(
+            spark, delta_dir, ckpt_dir, n_shards, _apply,
+            "streaming quality agreement ",
+        )
+        out = _agreement_finalize(
+            spark.read.parquet(state_dirs[n_shards % 2])
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

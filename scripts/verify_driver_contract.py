@@ -94,6 +94,29 @@ def main() -> int:
         except Exception:  # noqa: BLE001 - JVM may be gone; keep reporting
             pass
     print(f"checked {len(qs)} queries; FAILURES: {fails if fails else 'none'}")
+    art = os.environ.get("SPARK_GRAFT_VERIFY_ARTIFACT")
+    if art:
+        # committed sweep record (VERDICT r10 item 7): which queries
+        # were verified green against their oracles at this sf_dir —
+        # asserted against the registry by tests/test_bench_contract.py
+        import json
+
+        with open(art, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "checked": len(qs),
+                    "oracle_backed": sum(1 for q in qs if q in oracles),
+                    "failures": fails,
+                    "queries": {
+                        q: ("fail" if q in fails else "pass") for q in qs
+                    },
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
     return 1 if fails else 0
 
 

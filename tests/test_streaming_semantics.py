@@ -963,3 +963,21 @@ def test_streaming_hhi_equals_batch_report(spark, sf_dir):
     stream = sorted(map(tuple, streaming_hhi_refresh(spark, sf_dir).collect()))
     assert stream == batch
     assert batch, "report must be non-empty"
+
+
+def test_streaming_quality_agreement_equals_batch(spark, sf_dir):
+    """The streamed per-source classifier-agreement counters,
+    finalized through the shared projection, must row-for-row equal
+    the batch ledger — additive counters under a FROZEN weight table
+    cannot move across micro-batch boundaries."""
+    from env_data_pipeline_spark.plans.qualityclf import (
+        corpus_quality_agreement,
+        streaming_quality_score_refresh,
+    )
+
+    batch = sorted(map(tuple, corpus_quality_agreement(spark, sf_dir).collect()))
+    stream = sorted(
+        map(tuple, streaming_quality_score_refresh(spark, sf_dir).collect())
+    )
+    assert stream == batch
+    assert batch, "ledger must be non-empty"
