@@ -1694,3 +1694,371 @@ BENCH_EXTRA.add("orders_ship_survival_km")
 # they carried stamps but no recorded timing
 BENCH_EXTRA.add("events_daily_fano_burstiness")
 BENCH_EXTRA.add("customer_pareto_8020")
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_seasonality — month-of-year revenue index (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_monthly_seasonality",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS ru
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ru) AS BIGINT) AS revenue_units,
+           CAST(12 * 1000 * SUM(ru) // SUM(SUM(ru)) OVER () AS BIGINT)
+               AS seasonality_permille
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's revenue
+    against the uniform-month expectation (1000 = a flat year; 1200 =
+    that month runs 20% hot) — the demand-planning profile read
+    before staffing/inventory decisions. Exactness: revenue on the
+    1e-4 unit grid, the index an exact cross-multiplied integer
+    division. Scale: one 12-key partial aggregate with map-side
+    combine; the window total runs over 12 rows."""
+    o = table(spark, sf_dir, "orders")
+    m = o.select(
+        F.month("o_orderdate").cast("int").alias("month"),
+        F.expr("CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)").alias(
+            "ru"
+        ),
+    )
+    g = m.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("ru").cast("bigint").alias("revenue_units"),
+    )
+    return g.select(
+        "month",
+        "n_orders",
+        "revenue_units",
+        F.expr("12 * 1000 * revenue_units div sum(revenue_units) over ()")
+        .cast("bigint")
+        .alias("seasonality_permille"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_profile — exact inter-arrival tail per type (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_profile",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS gap_us,
+             event_id
+      FROM events
+    ),
+    gg AS (SELECT event_type, gap_us, event_id FROM g
+           WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM gg
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS median_gap_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                AS BIGINT) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-arrival profile per event type: lower-median, p90,
+    and max gap in microseconds between consecutive events (ordered
+    by (ts, event_id) — the deterministic stream order). The
+    capacity-planning companion to the Fano burstiness screen: Fano
+    says WHETHER arrivals clump, the gap tail says by HOW MUCH.
+    Exactness: gaps are exact epoch-microsecond differences; both
+    percentiles are rank-pinned ((n+1) div 2 and ceil(0.9n)), never
+    interpolated. Scale: one type-keyed window over the fact stream,
+    then a type-grain fold — the same single-partitioning class as
+    the sessionizer."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    ranked = g.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us")
+                )
+            )
+            .cast("bigint")
+            .alias("median_gap_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                    F.col("gap_us"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_brand_share_shift — first-vs-last-year brand share drift (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_brand_share_shift",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS INT) AS y,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    bounds AS (SELECT MIN(y) AS y0, MAX(y) AS y1 FROM yr),
+    per AS (
+      SELECT brand,
+             SUM(CASE WHEN y = (SELECT y0 FROM bounds) THEN cents ELSE 0 END)
+                 AS c0,
+             SUM(CASE WHEN y = (SELECT y1 FROM bounds) THEN cents ELSE 0 END)
+                 AS c1
+      FROM yr GROUP BY 1
+    )
+    SELECT brand,
+           CAST((SELECT y0 FROM bounds) AS INT) AS first_year,
+           CAST((SELECT y1 FROM bounds) AS INT) AS last_year,
+           CAST(1000 * c0 // NULLIF(SUM(c0) OVER (), 0) AS BIGINT)
+               AS first_share_permille,
+           CAST(1000 * c1 // NULLIF(SUM(c1) OVER (), 0) AS BIGINT)
+               AS last_share_permille,
+           CAST(1000 * c1 // NULLIF(SUM(c1) OVER (), 0)
+                - 1000 * c0 // NULLIF(SUM(c0) OVER (), 0) AS BIGINT)
+               AS shift_permille
+    FROM per ORDER BY brand
+    """,
+)
+def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share drift between the corpus's first and last
+    shipping years: each brand's permille of first-year revenue, of
+    last-year revenue, and the signed shift — the market-share
+    movement table a category manager reads. Exactness: cent-grid
+    revenue, exact integer share divisions (NULLIF-guarded empty
+    years). Scale: one brand-grain partial aggregate after the
+    broadcast part join; the year bounds are scalar aggregates
+    broadcast into the projection; windows run over 25 brands."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.year("l_shipdate").cast("int").alias("y"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    bounds = yr.agg(
+        F.min("y").alias("y0"), F.max("y").alias("y1")
+    )
+    per = (
+        yr.crossJoin(F.broadcast(bounds))
+        .groupBy("brand", "y0", "y1")
+        .agg(
+            F.sum(F.when(F.col("y") == F.col("y0"), F.col("cents")).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("y") == F.col("y1"), F.col("cents")).otherwise(0)).alias("c1"),
+        )
+    )
+    wall = Window.partitionBy()
+    s0 = F.expr("1000 * c0 div nullif(sum(c0) over (), 0)")
+    s1 = F.expr("1000 * c1 div nullif(sum(c1) over (), 0)")
+    return per.select(
+        "brand",
+        F.col("y0").cast("int").alias("first_year"),
+        F.col("y1").cast("int").alias("last_year"),
+        s0.cast("bigint").alias("first_share_permille"),
+        s1.cast("bigint").alias("last_share_permille"),
+        (s1 - s0).cast("bigint").alias("shift_permille"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_threshold_matrix — fixed-cutoff RFM cells (r11; the
+# quantile-scored sibling is relational_ext.customer_rfm_segments)
+# ---------------------------------------------------------------------------
+
+# business-rule cutoffs (threshold segmentation, not data-dependent
+# quantiles — the variant that stays meaningful as the corpus grows):
+_RFM_R_DAYS = 180  # active = ordered within 180 days of corpus end
+_RFM_F_MIN = 8  # frequent = at least 8 lifetime orders
+_RFM_M_UNITS = 1_200_000_0000  # high value = >= $1.2M lifetime (1e-4 units)
+
+
+@query(
+    "customer_rfm_threshold_matrix",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS r FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             datediff('day', MAX(o_orderdate), (SELECT r FROM ref))
+                 AS rec_days,
+             COUNT(*) AS freq,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS mon
+      FROM orders GROUP BY 1
+    )
+    SELECT CASE WHEN rec_days <= {_RFM_R_DAYS} THEN 'active'
+                ELSE 'lapsed' END AS recency_seg,
+           CASE WHEN freq >= {_RFM_F_MIN} THEN 'frequent'
+                ELSE 'occasional' END AS frequency_seg,
+           CASE WHEN mon >= {_RFM_M_UNITS} THEN 'high_value'
+                ELSE 'standard' END AS monetary_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS BIGINT) AS revenue_units,
+           CAST(1000 * SUM(mon) // SUM(SUM(mon)) OVER () AS BIGINT)
+               AS revenue_permille
+    FROM cust GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_threshold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer bucketed by recency of last
+    order (vs the corpus's final order date), lifetime order count,
+    and lifetime revenue on the 1e-4 grid — the 8-cell segment matrix
+    with each cell's customer count and exact revenue permille (the
+    'how much of revenue do lapsed high-value customers hold' view a
+    retention team starts from). Threshold cutoffs, documented at the
+    constants, not data quantiles — segment meanings stay fixed as
+    the corpus grows. Scale: the fact table reduces to customer grain
+    in one partial aggregate; the 8-key fold and its window total are
+    constant-size."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("r"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "r")
+        .agg(
+            F.max("o_orderdate").alias("last_o"),
+            F.count(F.lit(1)).alias("freq"),
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))"
+            ).alias("mon"),
+        )
+        .select(
+            F.datediff("r", "last_o").alias("rec_days"), "freq", "mon"
+        )
+    )
+    seg = cust.select(
+        F.when(F.col("rec_days") <= _RFM_R_DAYS, "active")
+        .otherwise("lapsed")
+        .alias("recency_seg"),
+        F.when(F.col("freq") >= _RFM_F_MIN, "frequent")
+        .otherwise("occasional")
+        .alias("frequency_seg"),
+        F.when(F.col("mon") >= _RFM_M_UNITS, "high_value")
+        .otherwise("standard")
+        .alias("monetary_seg"),
+        "mon",
+    )
+    g = seg.groupBy("recency_seg", "frequency_seg", "monetary_seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("mon").cast("bigint").alias("revenue_units"),
+    )
+    return g.select(
+        "recency_seg",
+        "frequency_seg",
+        "monetary_seg",
+        "n_customers",
+        "revenue_units",
+        F.expr("1000 * revenue_units div sum(revenue_units) over ()")
+        .cast("bigint")
+        .alias("revenue_permille"),
+    ).orderBy("recency_seg", "frequency_seg", "monetary_seg")
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_peak_profile — hour-of-day load shape per type (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_peak_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT event_type, hr, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, hr) AS rn,
+             SUM(c) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS hours_active
+      FROM h
+    )
+    SELECT event_type,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(hours_active AS BIGINT) AS hours_active,
+           CAST(hr AS INT) AS peak_hour,
+           CAST(1000 * c // total AS BIGINT) AS peak_permille,
+           CAST(24 * 1000 * c // total AS BIGINT) AS peak_vs_flat_permille
+    FROM pk WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_hourly_peak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load shape per event type: the peak hour (ties to
+    the earliest hour), its exact share of the type's traffic, and
+    the peak-vs-flat ratio in permille (1000 = perfectly flat load,
+    3000 = the peak hour runs 3x a uniform profile) — the capacity
+    number an autoscaler is provisioned against. Scale: one
+    (type, hour) partial aggregate (<= 24 rows per type), windows
+    over that bounded frame only."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    pk = (
+        h.withColumn(
+            "rn",
+            F.row_number().over(wt.orderBy(F.desc("c"), F.asc("hr"))),
+        )
+        .withColumn("total", F.sum("c").over(wt))
+        .withColumn("hours_active", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rn") == 1)
+    )
+    return pk.select(
+        "event_type",
+        F.col("total").cast("bigint").alias("n_events"),
+        F.col("hours_active").cast("bigint"),
+        F.col("hr").cast("int").alias("peak_hour"),
+        F.expr("1000 * c div total").cast("bigint").alias("peak_permille"),
+        F.expr("24 * 1000 * c div total")
+        .cast("bigint")
+        .alias("peak_vs_flat_permille"),
+    ).orderBy("event_type")

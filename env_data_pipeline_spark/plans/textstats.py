@@ -1155,3 +1155,88 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_EXTRA.add("text_sparse_cosine_pairs")
+
+
+# --------------------------------------------------------------------------
+# text_ngram_novelty — per-source boilerplate/share screen (r11)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT d.source,
+             list_aggr(w[i:i+2], 'string_agg', ' ') AS gram
+      FROM (SELECT source, string_split(text, ' ') AS w
+            FROM documents) d,
+           unnest(generate_series(1, len(d.w) - 2)) AS t(i)
+    ),
+    spread AS (
+      SELECT gram, COUNT(*) AS n_sources FROM g GROUP BY 1
+    )
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(1000 * SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM g JOIN spread s ON s.gram = g.gram
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram novelty: how much of a source's distinct
+    word-trigram vocabulary appears in NO other source — the
+    boilerplate/syndication screen (novelty near 0 = the source is
+    recycled template text shared with the rest of the crawl; near
+    1000 = original content). The curation complement to the
+    decontamination overlap: that asks "does training text leak into
+    eval", this asks "is the source adding anything".
+
+    Exactness: all counts and the permille are exact integers.
+    Scale: distinct (source, gram) pairs are Heaps-sublinear in the
+    corpus; the gram-spread aggregate and the join back are both
+    gram-keyed shuffles with map-side combine — never a doc-grain
+    cross product. The gram->n_sources frame is vocabulary-sized, so
+    the join is a plain shuffle join (the data-sized-broadcast rule)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", words(F.col("text")).alias("w")
+    )
+    n = F.size("w")
+    grams = (
+        docs.filter(n >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("w")[i - 1],
+                        F.col("w")[i],
+                        F.col("w")[i + 1],
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    spread = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        grams.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)"
+                " div count(1) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+        .orderBy("source")
+    )

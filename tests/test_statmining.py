@@ -669,3 +669,88 @@ def test_pareto_8020_handcrafted(spark, tmp_path):
     assert r.top_k == 3
     assert r.top_k_permille == 600
     assert r.share_permille == 850
+
+
+def test_interarrival_profile_matches_python(spark, tmp_path):
+    """Planted arrival stream with known gaps: two types, one with
+    gaps [1s x4, 10s, 100s] (median 1s lower-pinned, p90 = 100s at
+    ceil(0.9*6)=6... rank 6 of 6 = 100s) — replayed exactly in pure
+    Python against the engine's rank rules."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import (
+        events_interarrival_profile,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    offs = [0, 1, 2, 3, 4, 14, 114]  # gaps: 1,1,1,1,10,100 seconds
+    for o in offs:
+        rows.append((eid, base + dt.timedelta(seconds=o), 1, "a", 0.0, "{}"))
+        eid += 1
+    for k in range(3):  # type b: gaps 60, 60
+        rows.append(
+            (eid, base + dt.timedelta(minutes=k), 2, "b", 0.0, "{}")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in events_interarrival_profile(spark, str(tmp_path)).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert a.n_gaps == 6
+    # lower median: rank (6+1) div 2 = 3 of sorted [1,1,1,1,10,100]s
+    assert a.median_gap_us == 1_000_000
+    # p90: rank (9*6+9) div 10 = 6 -> 100 s
+    assert a.p90_gap_us == 100_000_000
+    assert a.max_gap_us == 100_000_000
+    assert b.n_gaps == 2 and b.median_gap_us == 60_000_000
+
+
+def test_rfm_threshold_matrix_partitions_customers(spark, sf_dir):
+    """The 8-cell matrix must partition the customer base exactly:
+    cell customer counts sum to |distinct custkeys| and revenue
+    permilles sum to ~1000 (truncation slack < n_cells)."""
+    from env_data_pipeline_spark.catalog import table
+    from env_data_pipeline_spark.plans.statmining import (
+        customer_rfm_threshold_matrix,
+    )
+
+    rows = customer_rfm_threshold_matrix(spark, sf_dir).collect()
+    n_cust = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    total_pm = sum(r.revenue_permille for r in rows)
+    assert 1000 - len(rows) <= total_pm <= 1000
+
+
+def test_monthly_seasonality_flat_year_reads_1000(spark, tmp_path):
+    """A synthetic perfectly-uniform year must index every month at
+    exactly 1000 permille (the flat-year calibration point)."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import (
+        orders_monthly_seasonality,
+    )
+
+    rows = []
+    for m in range(1, 13):
+        for k in range(5):
+            rows.append(
+                (m * 100 + k, 1, "O", 100.0, dt.datetime(2025, m, 1 + k), "1-URGENT")
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = orders_monthly_seasonality(spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    assert all(r.seasonality_permille == 1000 for r in out)

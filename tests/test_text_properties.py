@@ -148,3 +148,32 @@ def test_sparse_cosine_pairs_matches_python_reference(spark, sf_dir):
     ]
     assert got == expect
     assert got, "corpus must produce similar pairs"
+
+
+def test_ngram_novelty_planted_overlap(spark, tmp_path):
+    """Two sources sharing exactly one trigram plus one fully-novel
+    source: novelty permilles replay the planted set arithmetic."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from env_data_pipeline_spark.plans.textstats import text_ngram_novelty
+
+    rows = [
+        # srcA: trigrams {a b c, b c d} — shares 'a b c' with srcB
+        (1, "a b c d", "en", "srcA", 7),
+        # srcB: trigrams {a b c, x y z}
+        (2, "a b c", "en", "srcB", 5),
+        (3, "x y z", "en", "srcB", 5),
+        # srcC: {p q r} — fully novel
+        (4, "p q r", "en", "srcC", 5),
+        # too short for any trigram: contributes nothing
+        (5, "q r", "en", "srcC", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in text_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert got["srcA"].n_grams == 2 and got["srcA"].n_shared == 1
+    assert got["srcA"].novelty_permille == 500
+    assert got["srcB"].n_grams == 2 and got["srcB"].n_shared == 1
+    assert got["srcC"].n_grams == 1 and got["srcC"].n_shared == 0
+    assert got["srcC"].novelty_permille == 1000
