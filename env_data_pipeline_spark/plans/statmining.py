@@ -2062,3 +2062,217 @@ def events_hourly_peak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("peak_vs_flat_permille"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — user-journey transition matrix (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (SELECT cur, nxt, COUNT(*) AS c FROM s
+          WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT cur AS from_type, nxt AS to_type,
+           CAST(c AS BIGINT) AS n_transitions,
+           CAST(1000 * c // SUM(c) OVER (PARTITION BY cur) AS BIGINT)
+               AS p_permille
+    FROM t ORDER BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (ordered by (ts, event_id) — the deterministic journey
+    order): transition counts and exact row-permille probabilities —
+    the "what do users do next" table product analytics builds
+    funnels from, and the generator a session simulator would sample.
+    Scale: ONE user-keyed window over the fact stream (the
+    sessionizer's partitioning class), then a |types|^2-key aggregate;
+    the normalizing window runs over the bounded type vocabulary."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    return t.select(
+        F.col("cur").alias("from_type"),
+        F.col("nxt").alias("to_type"),
+        F.col("c").cast("bigint").alias("n_transitions"),
+        F.expr("1000 * c div sum(c) over (partition by cur)")
+        .cast("bigint")
+        .alias("p_permille"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# events_daily_mad_anomalies — robust day-level anomaly screen (r11)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 5  # flag days with count > median + 5 * MAD
+
+
+@query(
+    "events_daily_mad_anomalies",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, c AS med FROM (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS ad
+      FROM d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ad, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(v.med) AS BIGINT) AS median_daily,
+           CAST(MAX(a.mad) AS BIGINT) AS mad_daily,
+           CAST(SUM(CASE WHEN v.c > v.med + {_MAD_K} * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           CAST(MAX(v.c) AS BIGINT) AS max_daily
+    FROM dev v JOIN mad a ON a.event_type = v.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust day-level anomaly screen per event type: lower-median
+    daily count, lower-median absolute deviation (MAD), and the count
+    of days exceeding median + 5*MAD — the outlier detector that a
+    single incident day cannot poison (a mean/stddev screen moves
+    with its own outliers; the median/MAD pair does not). The robust
+    sibling of the CUSUM chart: CUSUM finds persistent level shifts,
+    this flags isolated spikes. Exactness: counts, both rank-pinned
+    medians, and the integer threshold compare are exact — no float
+    anywhere. Scale: everything downstream of the (type, day) partial
+    aggregate is calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        ranked = df.withColumn(
+            "rn", F.row_number().over(wt.orderBy(val, "day"))
+        ).withColumn("n", F.count(F.lit(1)).over(wt))
+        return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+            "event_type", F.col(val).alias(out)
+        )
+
+    med = _lower_median(d, "c", "med")
+    dev = d.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = _lower_median(dev, "ad", "mad")
+    v = dev.join(mad, "event_type")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("med").cast("bigint").alias("median_daily"),
+            F.max("mad").cast("bigint").alias("mad_daily"),
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("med") + _MAD_K * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalous"),
+            F.max("c").cast("bigint").alias("max_daily"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_discount_response — discount-band volume/revenue curve (r11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_discount_response",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS net_cents
+      FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(q) AS BIGINT) AS total_qty,
+           CAST(SUM(q) * 100 // COUNT(*) AS BIGINT) AS qty_per_100_lines,
+           CAST(SUM(net_cents) AS BIGINT) AS net_revenue_cents,
+           CAST(1000 * SUM(net_cents) // SUM(SUM(net_cents)) OVER ()
+                AS BIGINT) AS revenue_permille
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response curve: per whole-percent discount band, line
+    count, total quantity, quantity intensity (units per 100 lines —
+    the "do discounts move volume" read), exact net revenue on the
+    cent grid, and each band's revenue permille. The aggregate behind
+    a markdown policy: if qty_per_100_lines is flat across bands, the
+    discounts are giving margin away. Exactness: the discount lands
+    on a whole-percent integer band via half-up rounding; net revenue
+    applies (1 - discount) BEFORE the single grid rounding so both
+    engines round the identical double product once. Scale: one
+    ~11-key partial aggregate with map-side combine."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_pct"
+        ),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("q"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("net_cents"),
+    )
+    g = b.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.sum("net_cents").cast("bigint").alias("net_revenue_cents"),
+    )
+    return g.select(
+        "disc_pct",
+        "n_lines",
+        "total_qty",
+        F.expr("total_qty * 100 div n_lines")
+        .cast("bigint")
+        .alias("qty_per_100_lines"),
+        "net_revenue_cents",
+        F.expr(
+            "1000 * net_revenue_cents div sum(net_revenue_cents) over ()"
+        )
+        .cast("bigint")
+        .alias("revenue_permille"),
+    ).orderBy("disc_pct")

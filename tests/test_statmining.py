@@ -754,3 +754,76 @@ def test_monthly_seasonality_flat_year_reads_1000(spark, tmp_path):
     out = orders_monthly_seasonality(spark, str(tmp_path)).collect()
     assert len(out) == 12
     assert all(r.seasonality_permille == 1000 for r in out)
+
+
+def test_markov_transitions_planted_chain(spark, tmp_path):
+    """A deterministic planted journey (a->b->a->b->c for one user,
+    a->c for another): transition counts and row permilles replay the
+    hand-counted matrix."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import (
+        events_markov_transitions,
+    )
+
+    rows = []
+    seq1 = ["a", "b", "a", "b", "c"]
+    for i, t in enumerate(seq1):
+        rows.append((i, dt.datetime(2026, 1, 1, i), 1, t, 0.0, "{}"))
+    for i, t in enumerate(["a", "c"]):
+        rows.append((10 + i, dt.datetime(2026, 1, 2, i), 2, t, 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_permille)
+        for r in events_markov_transitions(spark, str(tmp_path)).collect()
+    }
+    # from a: a->b x2, a->c x1 -> 666/333 permille
+    assert got[("a", "b")] == (2, 666)
+    assert got[("a", "c")] == (1, 333)
+    # from b: b->a x1, b->c x1 -> 500 each
+    assert got[("b", "a")] == (1, 500)
+    assert got[("b", "c")] == (1, 500)
+    assert len(got) == 4  # terminal events emit no transition
+
+
+def test_mad_anomalies_flags_only_the_spike(spark, tmp_path):
+    """14 quiet days (3-5 events) plus one 50-event incident day: the
+    median/MAD screen must flag exactly the incident, and a mean/std
+    screen's weakness (the spike inflating its own threshold) must
+    not occur — median 4, MAD 1, threshold 9."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import (
+        events_daily_mad_anomalies,
+    )
+
+    rows, eid = [], 0
+    counts = [3, 4, 5, 4, 3, 4, 5, 4, 3, 4, 5, 4, 3, 4, 50]
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2026, 2, 1) + dt.timedelta(days=d, minutes=k),
+                    1,
+                    "click",
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = events_daily_mad_anomalies(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 15
+    assert r.median_daily == 4
+    assert r.mad_daily == 1
+    assert r.n_anomalous == 1
+    assert r.max_daily == 50
