@@ -703,7 +703,7 @@ def topk_ivf_from_lists(
     cell-partitioned list scan — only probed cells' files are read.
     Per-serve work is therefore queries x nprobe x (n/K) candidate
     rows, sublinear in the corpus when K grows ~sqrt(n) (the
-    _ivf_scale_params contract in plans/vectorops.py), where
+    _ivf_scale_k contract in plans/vectorops.py), where
     topk_ivf_cells's in-plan reassignment pays n x K distances every
     serve."""
     q_cells = probe_cells(coarse_scores(queries, centroids, quant), nprobe).select(

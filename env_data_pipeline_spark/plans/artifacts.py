@@ -18,6 +18,8 @@ import os
 import shutil
 import tempfile
 
+from pyspark.sql.functions import col as F_col
+
 
 def artifact_path(
     sf_dir: str, src_table: str, name: str, params: str = ""
@@ -50,9 +52,18 @@ def persisted_artifact(
     d = artifact_path(sf_dir, src_table, name, params)
     if not os.path.exists(d):
         tmp = f"{d}.tmp.{os.getpid()}"
-        w = build().coalesce(1).write.mode("overwrite")
+        built = build()
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            # corpus-sized partitioned artifacts (the IVF inverted
+            # lists) build in PARALLEL: repartition on the partition
+            # columns co-locates each partition value in one task (one
+            # file per value), where coalesce(1) would funnel the
+            # whole corpus through a single writer task
+            w = built.repartition(*[F_col(c) for c in partition_by]).write
+            w = w.mode("overwrite").partitionBy(*partition_by)
+        else:
+            # K-row index/model artifacts: one file is the right shape
+            w = built.coalesce(1).write.mode("overwrite")
         w.parquet(tmp)
         try:
             os.rename(tmp, d)

@@ -873,8 +873,11 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes if ANY document moves position, so two writers can prove
     they produced the identical permutation without comparing 100 TB
     of rows. sources/sinks.py::write_shuffled_shards materializes the
-    same assignment as a one-exchange sharded dataset;
-    corpus_shard_balance audits the byte balance.
+    same assignment as a one-exchange sharded dataset. The manifest's
+    n_docs column IS this layout's balance audit (the seeded hash
+    participates, so corpus_shard_balance — which buckets by the
+    UNSEEDED md5(doc_id) — audits a different assignment; both are
+    uniform md5 shardings, but per-shard membership differs).
 
     Scale: one narrow (doc_id)-projection scan, ONE exchange on
     shard_id (the per-shard rank window and the manifest aggregate

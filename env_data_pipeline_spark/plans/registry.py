@@ -229,8 +229,10 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "text_heaps_fit", "text_sparse_cosine_pairs",
         "text_zipf_fit",
         # --- stamped by the round-10 driver window (CORRECTNESS_r10):
-        # all 50 rows green; the 16 first-time stamps below (the other
-        # 34 were rotation re-stamps already listed above) ---
+        # all 50 rows green; 15 of the 16 first-time stamps below (the
+        # other 34 were rotation re-stamps already listed above;
+        # part_price_elasticity is deliberately withheld — see its
+        # note) ---
         "bpe_train_merges", "corpus_dedup_survivorship_funnel",
         "customer_pareto_8020", "dedup_paragraph_exact",
         "dedup_semantic_bcubed", "embedding_power_iteration_pc1",

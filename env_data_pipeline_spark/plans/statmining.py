@@ -1723,8 +1723,11 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     that month runs 20% hot) — the demand-planning profile read
     before staffing/inventory decisions. Exactness: revenue on the
     1e-4 unit grid, the index an exact cross-multiplied integer
-    division. Scale: one 12-key partial aggregate with map-side
-    combine; the window total runs over 12 rows."""
+    division. BIGINT bound: the widest term is 12000 * SUM(ru), so a
+    month's revenue must stay under ~7.7e14 1e-4 units (~$77B, about
+    TPC-H sf30); past that shrink the revenue grid a decade — the
+    Pareto-grid convention. Scale: one 12-key partial aggregate with
+    map-side combine; the window total runs over 12 rows."""
     o = table(spark, sf_dir, "orders")
     m = o.select(
         F.month("o_orderdate").cast("int").alias("month"),
@@ -1896,7 +1899,6 @@ def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("y") == F.col("y1"), F.col("cents")).otherwise(0)).alias("c1"),
         )
     )
-    wall = Window.partitionBy()
     s0 = F.expr("1000 * c0 div nullif(sum(c0) over (), 0)")
     s1 = F.expr("1000 * c1 div nullif(sum(c1) over (), 0)")
     return per.select(
@@ -1954,9 +1956,12 @@ def customer_rfm_threshold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     'how much of revenue do lapsed high-value customers hold' view a
     retention team starts from). Threshold cutoffs, documented at the
     constants, not data quantiles — segment meanings stay fixed as
-    the corpus grows. Scale: the fact table reduces to customer grain
-    in one partial aggregate; the 8-key fold and its window total are
-    constant-size."""
+    the corpus grows. BIGINT bound: the widest term is
+    1000 * SUM(revenue_units), so total corpus revenue must stay
+    under ~9.2e15 1e-4 units (~$920B, roughly sf<4) — the same bound
+    and grid-shrink escape hatch as customer_pareto_8020. Scale: the
+    fact table reduces to customer grain in one partial aggregate;
+    the 8-key fold and its window total are constant-size."""
     o = table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("r"))
     cust = (

@@ -1047,7 +1047,7 @@ def _ivf_invlists(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def similarity_topk_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production IVF top-k serving: PERSISTED per-tier artifacts
     (trained centroids + cell-partitioned inverted lists) at the
-    K = floor(sqrt(n)) sizing contract (_ivf_scale_params), bounded
+    K = floor(sqrt(n)) sizing contract (_ivf_scale_k), bounded
     query batch, fixed nprobe. The plan contains ONLY serving stages:
     the query batch probes its nprobe nearest cells against the
     broadcast K-row centroid parquet, and the broadcast probe set

@@ -66,8 +66,9 @@ def write_shuffled_shards(
     reading shard files in (shard, file-order) replays the seeded
     permutation. plans/llmops.py::corpus_shuffle_shards is the
     oracle-checked manifest of the same (hash, shard, order)
-    assignment; corpus_shard_balance is the pre-commit balance
-    audit."""
+    assignment — its n_docs column is this layout's pre-commit
+    balance audit (corpus_shard_balance buckets by the UNSEEDED
+    md5(doc_id), a different assignment of the same uniform family)."""
     from pyspark.sql import functions as F
 
     from env_data_pipeline_spark.extensions.text import md5_prefix_hash
