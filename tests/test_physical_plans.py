@@ -71,6 +71,8 @@ NESTED_LOOP_OK = {
     "collect_json_sink",
     "collect_event_id_coordination",
     "idle_rich_customers",  # 1-row positive-balance scalar broadcast into customer
+    "part_brand_share_shift",  # 1-row (min_year, max_year) scalar broadcast
+    "customer_rfm_threshold_matrix",  # 1-row corpus-end-date scalar broadcast
     "events_funnel_conversion",  # three 1-row step counts cross-joined into one row
     "top_value_partkeys",  # 1-row global HAVING threshold broadcast (Q11)
     # lexical statistics: the corpus scalars (N docs, avg doc length)
