@@ -519,9 +519,13 @@ def main() -> None:
         # to fall out of the slowest-N cut (r11: the scaled-K IVF
         # serving path — the r10 verdict's one weak item)
         chosen: list[str] = [n for n in SF1_PINNED if n in names]
+        # cap on the ACTUALLY-pinned count, not len(SF1_PINNED): a
+        # pinned query absent from the registry subset must not grow
+        # the unpinned allotment past _SF1_COUNT (ADVICE r11)
+        n_pinned = len(chosen)
         skipped: dict[str, str] = {}
         for n in ranked:
-            if len(chosen) >= _SF1_COUNT + len(SF1_PINNED):
+            if len(chosen) >= _SF1_COUNT + n_pinned:
                 break
             if n in chosen:
                 continue

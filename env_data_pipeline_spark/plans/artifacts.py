@@ -52,19 +52,25 @@ def persisted_artifact(
     d = artifact_path(sf_dir, src_table, name, params)
     if not os.path.exists(d):
         tmp = f"{d}.tmp.{os.getpid()}"
-        built = build()
-        if partition_by:
-            # corpus-sized partitioned artifacts (the IVF inverted
-            # lists) build in PARALLEL: repartition on the partition
-            # columns co-locates each partition value in one task (one
-            # file per value), where coalesce(1) would funnel the
-            # whole corpus through a single writer task
-            w = built.repartition(*[F_col(c) for c in partition_by]).write
-            w = w.mode("overwrite").partitionBy(*partition_by)
-        else:
-            # K-row index/model artifacts: one file is the right shape
-            w = built.coalesce(1).write.mode("overwrite")
-        w.parquet(tmp)
+        # a build/write failure must not orphan a corpus-sized partial
+        # tmp dir in /tmp (ADVICE r11) — clean up before re-raising
+        try:
+            built = build()
+            if partition_by:
+                # corpus-sized partitioned artifacts (the IVF inverted
+                # lists) build in PARALLEL: repartition on the partition
+                # columns co-locates each partition value in one task (one
+                # file per value), where coalesce(1) would funnel the
+                # whole corpus through a single writer task
+                w = built.repartition(*[F_col(c) for c in partition_by]).write
+                w = w.mode("overwrite").partitionBy(*partition_by)
+            else:
+                # K-row index/model artifacts: one file is the right shape
+                w = built.coalesce(1).write.mode("overwrite")
+            w.parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, d)
         except OSError:

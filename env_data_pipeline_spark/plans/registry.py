@@ -112,9 +112,6 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "text_langid_accuracy", "similarity_topk_ivf",
         "similarity_knn_label_agreement", "similarity_recall_at_k",
         "multimodal_frame_sample",
-        # corpus_curation_verdict deliberately NOT stamped: r11 added
-        # the trained-classifier ml_low_quality gate to the priority
-        # chain, so the window must re-sample the 5-gate definition
         "text_pii_redaction", "corpus_quality_weighted_sample",
         "embedding_quantize_int8", "similarity_ivf_kmeans",
         "embedding_pq_reconstruction", "similarity_topk_pq",
@@ -184,11 +181,6 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "part_pagerank_copurchase", "part_substitution_candidates",
         "part_supplier_concentration", "part_triangle_count_sampled",
         "part_triangle_participation", "referential_integrity_audit",
-        # similarity_topk_ivf_served deliberately NOT stamped: r11
-        # replaced the fixed-K=8 shared-oracle form with the scaled
-        # K=floor(sqrt(n)) contract (md5-rank seeds, bounded query
-        # batch, cell-partitioned inverted-list artifact), so the
-        # window must re-sample the definition the stamp describes
         "similarity_topk_ivfpq_served",
         "streaming_dedup_index_refresh", "streaming_hll_sketch_refresh",
         "supplier_variety_by_part_attrs", "text_bm25_search",
@@ -239,12 +231,24 @@ DRIVER_STAMPED: frozenset[str] = frozenset(
         "events_ab_test_zstat", "events_daily_fano_burstiness",
         "events_holt_trend_forecast", "events_skewed_tenant_profile",
         "lineitem_priority_sample_estimate",
-        # part_price_elasticity deliberately NOT stamped: r11 changed
-        # the quantity quantization from truncating cast to half-up
-        # floor(q + 0.5) on both engine and oracle (ADVICE r10), so
-        # the window must re-sample the rule the stamp describes
         "promo_did_uplift", "requests_density_hotspots",
         "streaming_holt_refresh", "streaming_paragraph_dedup_refresh",
+        # --- stamped by the round-11 driver window (CORRECTNESS_r11):
+        # all 50 rows green; the 18 first-time stamps below include
+        # the three previously-withheld redefinitions, each re-sampled
+        # and re-stamped under its current definition:
+        # similarity_topk_ivf_served (K=floor(sqrt(n)) contract),
+        # part_price_elasticity (half-up quantization),
+        # corpus_curation_verdict (ml_low_quality gate) ---
+        "corpus_curation_verdict", "corpus_quality_agreement",
+        "corpus_shuffle_shards", "customer_rfm_threshold_matrix",
+        "documents_lang_confusion", "events_daily_mad_anomalies",
+        "events_hourly_peak_profile", "events_interarrival_profile",
+        "events_markov_transitions", "lineitem_discount_response",
+        "orders_monthly_seasonality", "part_brand_share_shift",
+        "part_price_elasticity", "similarity_topk_ivf_served",
+        "streaming_quality_score_refresh", "text_ngram_novelty",
+        "text_quality_classifier_score", "text_quality_classifier_train",
     }
 )
 

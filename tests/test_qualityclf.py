@@ -40,7 +40,19 @@ def _py_train(docs: list[tuple[int, str]], rounds: int) -> list[int]:
     for doc_id, text in docs:
         w = text.split(" ")
         n = len(w)
-        n_punct = sum(1 for ch in text if not (ch.isalnum() or ch == " "))
+        # ASCII class [a-zA-Z0-9 ], matching the engine's regexp and
+        # the oracle — Python's Unicode-aware isalnum() would diverge
+        # on non-ASCII corpora (ADVICE r11)
+        n_punct = sum(
+            1
+            for ch in text
+            if not (
+                "a" <= ch <= "z"
+                or "A" <= ch <= "Z"
+                or "0" <= ch <= "9"
+                or ch == " "
+            )
+        )
         n_stop = sum(1 for x in w if x in stop)
         bad = (
             n < 10
