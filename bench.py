@@ -64,7 +64,13 @@ _SCALE_TABLES = ("lineitem", "events", "documents", "embeddings")
 # time a partially-scaled hybrid).
 _SF1_COUNT = 10
 # timed at x10 regardless of headline rank (see the tier builder)
-SF1_PINNED = ("similarity_topk_ivf_served",)
+# r12: the q=1/4 triangle rung is pinned so BENCH_FULL always carries
+# its cost next to the q=1/2 tier's — the error-vs-cost record
+# (tests/test_graphops.py pins the error side)
+SF1_PINNED = (
+    "similarity_topk_ivf_served",
+    "part_triangle_count_sampled_q4",
+)
 SF1_ELIGIBLE = {
     "dedup_minhash_lsh",
     "dedup_substring_spans",
@@ -74,17 +80,19 @@ SF1_ELIGIBLE = {
     "multimodal_phash_near_dups",
     "text_sparse_cosine_pairs",
     "corpus_curation_verdict",
+    "corpus_importance_resample",
     "text_repetition_profile",
     "text_quality_profile",
     "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_ivf_kmeans",
+    # the inline-train trio (similarity_topk_ivf / similarity_ivf_
+    # kmeans / similarity_topk_pq) left this ledger with the r12
+    # training-tier split: the x10 cut ranks headliners only
     "embedding_pq_reconstruction",
-    "similarity_topk_pq",
     "similarity_topk_ivf_served",
     "similarity_topk_ivfpq_served",
     "market_basket_part_pairs",
     "part_triangle_count_sampled",
+    "part_triangle_count_sampled_q4",
     "events_rapid_repeat_pairs",
     "events_asof_last_touch",
     "events_sessionized_stats",
@@ -132,6 +140,18 @@ _BATCH_OVERRIDE = {
     "similarity_topk_ivf": 4,
     "similarity_ivf_kmeans": 4,
     "decontaminate_eval_overlap": 4,
+    # VERDICT r11 item 4: every headliner whose r11 recorded spread
+    # exceeded 0.3 joins the 4-exec batch — target rel_spread_max
+    # < 0.3 on the clean bench
+    "events_rapid_repeat_pairs": 4,
+    "part_triangle_count_sampled": 4,
+    "similarity_topk_ivf_served": 4,
+    "dedup_paragraph_exact": 4,
+    "revenue_by_region": 4,
+    "customer_pareto_8020": 4,
+    "topk_orders_per_priority": 4,
+    "dedup_substring_spans": 4,
+    "collect_aggregated": 4,
 }
 
 # SPARK_GRAFT_BENCH_FAST=1: contract-shape smoke run (2 single-exec
@@ -356,6 +376,12 @@ def main() -> None:
     for n in registry.QUERIES:
         if n not in names and n in registry.BENCH_EXTRA:
             names.append(n)
+    # VERDICT r11 item 3: inline-train oracle baselines leave the
+    # serving headline — they re-run Lloyd training per call, which
+    # production does offline once. They stay registered and timed,
+    # in their own labeled tier below.
+    training = [n for n in names if n in registry.BENCH_TRAINING]
+    names = [n for n in names if n not in registry.BENCH_TRAINING]
 
     calib_before = _calibrate(spark)
     timings, spreads, shuffles, n_runs_used = _time_tier(spark, names, sf_dir)
@@ -366,7 +392,7 @@ def main() -> None:
     # 4: "per-query times AND captured plans") — a side artifact, so
     # stdout stays the one-JSON-line driver contract
     if not _FAST:
-        _dump_plans(spark, names, sf_dir)
+        _dump_plans(spark, names + training, sf_dir)
 
     # "rel_spread" = (max-min)/median of the timed runs.
     result = {
@@ -386,6 +412,21 @@ def main() -> None:
         "shuffle_bytes": shuffles,
         "queries": timings,
     }
+
+    # TRAINING TIER (VERDICT r11 item 3): the inline-train oracle
+    # baselines of the _served pair, timed with the same protocol but
+    # recorded under their own label — their cost is Lloyd/codebook
+    # training, an offline once-per-corpus job, so it never sums into
+    # the serving headline total.
+    if training:
+        tr_t, tr_sp, tr_sh, tr_runs = _time_tier(spark, training, sf_dir)
+        result["training_tier"] = {
+            "queries": tr_t,
+            "rel_spread": tr_sp,
+            "shuffle_bytes": tr_sh,
+            "n_runs": tr_runs,
+            "total_sec": round(sum(tr_t.values()), 4),
+        }
 
     if os.path.isdir(lo_dir) and os.path.abspath(lo_dir) != os.path.abspath(sf_dir):
         lo_sf = lo_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -452,6 +493,14 @@ def main() -> None:
             # r8: the inline-training ivfpq row left the headline set;
             # probe its serving-path replacement instead
             "similarity_topk_ivfpq_served": (
+                "embeddings",
+                [x10_dir, x100_dir],
+            ),
+            # r12 (VERDICT r11 item 2): the r11 scaled-K fix was
+            # proved at one decade only (0.028 committed vs 0.098
+            # judge rerun — host noise at that grain); the x100 point
+            # turns the claim into a 2-decade fitted slope
+            "similarity_topk_ivf_served": (
                 "embeddings",
                 [x10_dir, x100_dir],
             ),

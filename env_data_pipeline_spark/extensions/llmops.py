@@ -564,3 +564,351 @@ def pii_counts(text: Column) -> dict[str, Column]:
         out[name] = F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, rep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): hashed-n-gram
+# importance weights log(p_target/p_raw) against a small held-out
+# target corpus, then hash-Gumbel top-quarter selection. The missing
+# tier between the trained quality classifier (ml gate) and
+# temperature mixing: it moves the RAW mixture toward a TARGET
+# distribution instead of gating on intrinsic quality.
+# ---------------------------------------------------------------------------
+
+_DSIR_GRID = 1_000_000  # 1e-6 integer grid for log-ratio/Gumbel terms
+
+
+def _dsir_grams(docs: DataFrame) -> DataFrame:
+    """One row per hashed-n-gram INSTANCE (unigrams + bigrams over the
+    empty-filtered word list, tag-prefixed so the two families never
+    collide), carrying the doc's identity columns. Pure per-row HOFs +
+    one explode — zero shuffles."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash, words
+
+    ws = F.filter(words(F.col("text")), lambda x: F.length(x) > 0)
+    n = F.size(ws)
+    bi = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(F.lit("b|"), a, F.lit(" "), b),
+    )
+    uni = F.transform(ws, lambda x: F.concat(F.lit("u|"), x))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.concat(uni, bi)).alias("gram"),
+    ).withColumn("gram_hash", md5_prefix_hash(F.col("gram")))
+
+
+def dsir_bucket_logratios(
+    grams: DataFrame, target_source: str, buckets: int
+) -> DataFrame:
+    """Per hash bucket: the Laplace-smoothed integer-grid log ratio
+    ilr = floor(1e6 * ln(((ct+1)*(tot_r+B)) / ((cr+1)*(tot_t+B)))),
+    ct/cr the bucket's gram-instance counts in the target/raw corpus.
+    Exactly TWO corpus shuffles, both map-side combined down to <=B
+    rows; the ratio is one ln() call over exact-integer products
+    (all < 2^53), floored onto the 1e-6 grid so every downstream sum
+    and comparison is exact-integer on both engines."""
+    from pyspark.sql import Window
+
+    spark = grams.sparkSession
+    b = F.pmod(F.col("gram_hash"), F.lit(buckets)).alias("b")
+    tcnt = (
+        grams.filter(F.col("source") == target_source)
+        .select(b)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rcnt = (
+        grams.filter(F.col("source") != target_source)
+        .select(b)
+        .groupBy("b")
+        .agg(F.count("*").alias("cr"))
+    )
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
+    full = (
+        allb.join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    # totals via an everything-window over the B-row aggregate (same
+    # pattern as unigram_logprob_scores), never a driver collect
+    w = Window.partitionBy()
+    return full.select(
+        "b",
+        F.floor(
+            _DSIR_GRID
+            * F.log(
+                ((F.col("ct") + 1.0) * (F.sum("cr").over(w) + buckets))
+                / ((F.col("cr") + 1.0) * (F.sum("ct").over(w) + buckets))
+            )
+        )
+        .cast("bigint")
+        .alias("ilr"),
+    )
+
+
+def dsir_score_against(
+    docs: DataFrame, ilr: DataFrame, buckets: int, strata: int
+) -> DataFrame:
+    """Score ``docs`` against a STANDING bucket-log-ratio table (the
+    ingest-gate asymmetry: arrivals are judged by frozen state, the
+    models never refit per batch): per doc with >=1 gram — integer
+    importance score, Gumbel-perturbed selection key on the same
+    1e-6 grid, and md5 salt stratum. The ilr frame is <=B rows and
+    broadcasts; the only shuffle is the doc-keyed aggregation."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    bucketed = _dsir_grams(docs).withColumn(
+        "b", F.pmod(F.col("gram_hash"), F.lit(buckets))
+    )
+    scored = (
+        bucketed.join(F.broadcast(ilr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("ilr").alias("score"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    u = (
+        F.pmod(
+            md5_prefix_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))
+            ),
+            F.lit(_DSIR_GRID),
+        )
+        + 0.5
+    ) / _DSIR_GRID
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        "n_grams",
+        (
+            F.col("score")
+            + F.floor(_DSIR_GRID * -F.log(-F.log(u))).cast("bigint")
+        ).alias("sel_key"),
+        F.pmod(
+            md5_prefix_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|strat"))
+            ),
+            F.lit(strata),
+        ).alias("salt"),
+    )
+
+
+def dsir_scored_docs(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 128,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    strata: int = 64,
+) -> DataFrame:
+    """Per RAW doc (source != target, >=1 token): the DSIR selection
+    frame — integer importance score (sum of its gram buckets' ilr),
+    hash-Gumbel perturbed key, salt stratum, and the keep decision.
+
+    Gumbel top-k sampling (the paper's estimator) is made exactly
+    reproducible: u = (md5(doc_id|dsir)%1e6 + 0.5)/1e6, the Gumbel
+    term floored onto the same 1e-6 grid as the score, so key
+    comparisons are BIGINT. Selection is HASH-STRATIFIED top-k:
+    row_number over Window.partitionBy(salt) — never a global
+    single-partition sort — keeping keep_num/keep_den of each
+    md5-uniform stratum; strata are i.i.d. samples of the key
+    distribution, so the union is the global top fraction up to
+    per-stratum rounding. At 100 TB, ``strata`` is the task-width
+    knob (size it so a stratum fits one task's sort buffer); the
+    registered query pins strata=64 as the oracle contract at test SF.
+    """
+    from pyspark.sql import Window
+
+    grams = _dsir_grams(docs)
+    ilr = dsir_bucket_logratios(grams, target_source, buckets)
+    keyed = dsir_score_against(
+        docs.filter(F.col("source") != target_source), ilr, buckets, strata
+    )
+    win = Window.partitionBy("salt").orderBy(
+        F.col("sel_key").desc(), F.col("doc_id")
+    )
+    cwin = Window.partitionBy("salt")
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "score",
+        "n_grams",
+        "sel_key",
+        "salt",
+        (
+            F.row_number().over(win) * keep_den
+            <= F.count("*").over(cwin) * keep_num
+        ).alias("selected"),
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 128,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    strata: int = 64,
+) -> DataFrame:
+    """Per-language accounting of the DSIR selection: raw vs selected
+    vs target mixture shares (the resampled mixture should sit closer
+    to the target's than the raw corpus does), plus the mean doc
+    log-importance in nats. K-row output; the only corpus-sized work
+    is in dsir_scored_docs."""
+    from pyspark.sql import Window
+
+    sel = dsir_scored_docs(
+        docs, target_source, buckets, keep_num, keep_den, strata
+    )
+    raw_stats = sel.groupBy("lang").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.sum("score").alias("sum_score"),
+    )
+    tgt_stats = (
+        docs.filter(F.col("source") == target_source)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_target"))
+    )
+    joined = raw_stats.join(tgt_stats, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+        F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+        F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        "sum_score",
+    )
+    w = Window.partitionBy()
+    share = lambda c: F.when(  # noqa: E731
+        F.sum(c).over(w) > 0, F.round(F.col(c) / F.sum(c).over(w), 4)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "lang",
+        "n_raw",
+        "n_selected",
+        "n_target",
+        share("n_raw").alias("raw_share"),
+        share("n_selected").alias("sel_share"),
+        share("n_target").alias("target_share"),
+        F.when(
+            F.col("n_raw") > 0,
+            F.round(
+                F.col("sum_score") / (F.col("n_raw") * float(_DSIR_GRID)), 4
+            ),
+        ).alias("mean_logw"),
+    )
+
+
+def importance_kl_shift(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 128,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    strata: int = 64,
+) -> DataFrame:
+    """The DSIR claim, quantified on the corpus itself: smoothed
+    hashed-n-gram KL(target || raw) vs KL(target || selected) — a
+    working importance sampler makes the second strictly smaller.
+
+    Exact-integer contract: each bucket's log ratio is floored onto
+    the 1e-6 grid BEFORE the (ct+1)-weighted sum, so both KL
+    numerators are exact BIGINT sums over <=B buckets; the single
+    division by (tot_target+B)*1e6 and ROUND(6) happen last. (The
+    grid constant bounds the weighted sum well inside BIGINT for any
+    corpus whose per-bucket gram count stays under ~1e11 — rescale
+    the grid before that.) One extra corpus shuffle vs the resample
+    query: the doc_id join restricting gram instances to the
+    selected quarter."""
+    from pyspark.sql import Window
+
+    grams = _dsir_grams(docs)
+    hb = grams.withColumn("b", F.pmod(F.col("gram_hash"), F.lit(buckets)))
+    sel_ids = (
+        dsir_scored_docs(docs, target_source, buckets, keep_num, keep_den, strata)
+        .filter(F.col("selected"))
+        .select("doc_id")
+    )
+    tc = (
+        hb.filter(F.col("source") == target_source)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rc = (
+        hb.filter(F.col("source") != target_source)
+        .groupBy("b")
+        .agg(F.count("*").alias("cr"))
+    )
+    sc = hb.join(sel_ids, "doc_id").groupBy("b").agg(F.count("*").alias("cs"))
+    spark = docs.sparkSession
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
+    fb = (
+        allb.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .join(sc, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    w = Window.partitionBy()
+    fb2 = fb.select(
+        "b",
+        "ct",
+        "cr",
+        "cs",
+        F.sum("ct").over(w).alias("tt"),
+        F.sum("cr").over(w).alias("tr"),
+        F.sum("cs").over(w).alias("ts"),
+    )
+
+    def iterm(cx, tx):
+        return (
+            F.floor(
+                _DSIR_GRID
+                * F.log(
+                    ((F.col("ct") + 1.0) * (F.col(tx) + buckets))
+                    / ((F.col(cx) + 1.0) * (F.col("tt") + buckets))
+                )
+            )
+            .cast("bigint")
+        )
+
+    terms = fb2.select(
+        "ct",
+        "tt",
+        iterm("cr", "tr").alias("itr"),
+        iterm("cs", "ts").alias("its"),
+    )
+    denom = (F.max("tt") + buckets) * float(_DSIR_GRID)
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(F.sum((F.col("ct") + 1) * F.col("itr")) / denom, 6).alias(
+            "kl_target_raw"
+        ),
+        F.round(F.sum((F.col("ct") + 1) * F.col("its")) / denom, 6).alias(
+            "kl_target_selected"
+        ),
+        F.round(
+            (
+                F.sum((F.col("ct") + 1) * F.col("itr"))
+                - F.sum((F.col("ct") + 1) * F.col("its"))
+            )
+            / denom,
+            6,
+        ).alias("kl_reduction"),
+    )

@@ -18,7 +18,11 @@ from env_data_pipeline_spark.extensions import llmops as L_rep
 from env_data_pipeline_spark.extensions import multimodal as M
 from env_data_pipeline_spark.extensions import similarity as X
 from env_data_pipeline_spark.extensions import text as TX
-from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+from env_data_pipeline_spark.plans.registry import (
+    BENCH_EXTRA,
+    BENCH_TRAINING,
+    query,
+)
 from env_data_pipeline_spark.sources.fixtures import duck_with
 
 # --------------------------------------------------------------------------
@@ -1287,6 +1291,10 @@ BENCH_EXTRA.update(
      # r10: the RefinedWeb paragraph tier (explode + digest groupBy)
      "dedup_paragraph_exact"}
 )
+# inline-train IVF baseline: labeled training tier, not the serving
+# headline (its serving-path sibling similarity_topk_ivf_served owns
+# that slot)
+BENCH_TRAINING.add("similarity_topk_ivf")
 
 
 # --------------------------------------------------------------------------

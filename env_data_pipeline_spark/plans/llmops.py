@@ -49,6 +49,9 @@ BENCH_EXTRA.update(
         "text_repetition_profile",
         "decontaminate_eval_overlap",
         "corpus_curation_verdict",
+        # r12: the DSIR selection tier (hashed-n-gram importance
+        # weights + stratified Gumbel top-k)
+        "corpus_importance_resample",
     }
 )
 
@@ -1111,5 +1114,354 @@ def streaming_token_budget_refresh(
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus_importance_resample — DSIR-style data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128  # hashed n-gram buckets
+_DSIR_STRATA = 64  # selection strata (the task-width knob at scale)
+# keep 1/4 of the raw corpus
+_DSIR_KEEP_NUM = 1
+_DSIR_KEEP_DEN = 4
+
+
+_DSIR_GRID_SQL = 1_000_000
+
+
+def _dsir_sel_ctes() -> str:
+    """Shared oracle WITH-body for the DSIR family: gram explode ->
+    hashed buckets -> integer-grid log ratios -> scored/keyed docs ->
+    stratified Gumbel selection (final CTE ``sel``). ``hb`` is
+    MATERIALIZED — it feeds both bucket counts AND the scoring join."""
+    g = _DSIR_GRID_SQL
+    return f"""
+    WITH ws0 AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, source,
+             unnest(list_concat(
+               list_transform(ws, x -> 'u|' || x),
+               list_transform(range(1, len(ws)),
+                              i -> 'b|' || ws[i] || ' ' || ws[i + 1])
+             )) AS gram
+      FROM ws0
+    ),
+    hb AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(gram), 1, 12))::BIGINT % {_DSIR_B} AS b
+      FROM grams
+    ),
+    tc AS (SELECT b, count(*) AS ct FROM hb
+           WHERE source = '{_EVAL_SOURCE}' GROUP BY 1),
+    rc AS (SELECT b, count(*) AS cr FROM hb
+           WHERE source <> '{_EVAL_SOURCE}' GROUP BY 1),
+    bk AS (SELECT r.range AS b FROM range(0, {_DSIR_B}) r),
+    fb AS (SELECT bk.b, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+           FROM bk LEFT JOIN tc ON bk.b = tc.b
+                   LEFT JOIN rc ON bk.b = rc.b),
+    ilr AS (
+      SELECT b, CAST(FLOOR({g} * LN(
+               ((ct + 1.0) * (SUM(cr) OVER () + {_DSIR_B}))
+             / ((cr + 1.0) * (SUM(ct) OVER () + {_DSIR_B}))
+             )) AS BIGINT) AS ilr
+      FROM fb
+    ),
+    scored AS (
+      SELECT hb.doc_id, hb.lang, SUM(ilr) AS score
+      FROM hb JOIN ilr USING (b)
+      WHERE source <> '{_EVAL_SOURCE}'
+      GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT doc_id, lang, score,
+             score + CAST(FLOOR({g} * -LN(-LN(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'),
+                 1, 12))::BIGINT % {g} + 0.5) / {g}
+             ))) AS BIGINT) AS sel_key,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|strat'),
+              1, 12))::BIGINT % {_DSIR_STRATA} AS salt
+      FROM scored
+    ),
+    sel AS (
+      SELECT *,
+             (ROW_NUMBER() OVER (PARTITION BY salt
+                                 ORDER BY sel_key DESC, doc_id)
+              * {_DSIR_KEEP_DEN}
+              <= COUNT(*) OVER (PARTITION BY salt) * {_DSIR_KEEP_NUM})
+             AS selected
+      FROM keyed
+    )"""
+
+
+def _dsir_oracle() -> str:
+    g = _DSIR_GRID_SQL
+    return f"""{_dsir_sel_ctes()},
+    raws AS (
+      SELECT lang, COUNT(*) AS n_raw,
+             CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+             SUM(score) AS sum_score
+      FROM sel GROUP BY 1
+    ),
+    tgt AS (SELECT lang, COUNT(*) AS n_target FROM documents
+            WHERE source = '{_EVAL_SOURCE}' GROUP BY 1),
+    j AS (
+      SELECT COALESCE(raws.lang, tgt.lang) AS lang,
+             COALESCE(n_raw, 0) AS n_raw,
+             COALESCE(n_selected, 0) AS n_selected,
+             COALESCE(n_target, 0) AS n_target,
+             sum_score
+      FROM raws FULL OUTER JOIN tgt
+        ON raws.lang IS NOT DISTINCT FROM tgt.lang
+    )
+    SELECT lang, n_raw, n_selected, n_target,
+      CASE WHEN SUM(n_raw) OVER () > 0
+           THEN ROUND(n_raw / CAST(SUM(n_raw) OVER () AS DOUBLE), 4)
+           ELSE 0.0 END AS raw_share,
+      CASE WHEN SUM(n_selected) OVER () > 0
+           THEN ROUND(n_selected / CAST(SUM(n_selected) OVER () AS DOUBLE), 4)
+           ELSE 0.0 END AS sel_share,
+      CASE WHEN SUM(n_target) OVER () > 0
+           THEN ROUND(n_target / CAST(SUM(n_target) OVER () AS DOUBLE), 4)
+           ELSE 0.0 END AS target_share,
+      CASE WHEN n_raw > 0
+           THEN ROUND(sum_score / (n_raw * {g}.0), 4) END AS mean_logw
+    FROM j
+    """
+
+
+@query("corpus_importance_resample", oracle=_dsir_oracle())
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023) toward the
+    held-out '{src0}' target corpus — the data-selection tier between
+    the trained quality classifier (intrinsic-quality gate) and
+    temperature mixing (language rebalance): hashed unigram+bigram
+    bag models for target and raw, per-doc importance weight
+    sum log(p_t/p_r) on the 1e-6 integer grid, hash-Gumbel
+    top-quarter selection stratified over 64 md5 salt strata (never a
+    global single-partition sort). Output: per-language raw vs
+    selected vs target mixture accounting.
+
+    Beyond-the-reference scope (the reference stops at per-source
+    completeness scoring, containers/orchestrator/orchestrator.py:
+    569-618). Scale posture: two bucket-count shuffles map-side
+    combined to <=128 rows, a 128-row broadcast for scoring, one
+    doc-keyed aggregation, and a salt-partitioned selection window —
+    strata is the task-width knob at 100 TB."""
+    return L.importance_resample(
+        table(spark, sf_dir, "documents"),
+        target_source=_EVAL_SOURCE,
+        buckets=_DSIR_B,
+        keep_num=_DSIR_KEEP_NUM,
+        keep_den=_DSIR_KEEP_DEN,
+        strata=_DSIR_STRATA,
+    )
+
+
+def _dsir_kl_oracle() -> str:
+    g = _DSIR_GRID_SQL
+    b = _DSIR_B
+    return f"""{_dsir_sel_ctes()},
+    scnt AS (
+      SELECT hb.b, COUNT(*) AS cs
+      FROM hb JOIN (SELECT doc_id FROM sel WHERE selected) s USING (doc_id)
+      GROUP BY 1
+    ),
+    fb3 AS (
+      SELECT fb.b, fb.ct, fb.cr, COALESCE(scnt.cs, 0) AS cs
+      FROM fb LEFT JOIN scnt ON fb.b = scnt.b
+    ),
+    fb4 AS (
+      SELECT b, ct, cr, cs,
+             SUM(ct) OVER () AS tt, SUM(cr) OVER () AS tr,
+             SUM(cs) OVER () AS ts
+      FROM fb3
+    ),
+    terms AS (
+      SELECT ct, tt,
+             CAST(FLOOR({g} * LN(((ct + 1.0) * (tr + {b}))
+                  / ((cr + 1.0) * (tt + {b})))) AS BIGINT) AS itr,
+             CAST(FLOOR({g} * LN(((ct + 1.0) * (ts + {b}))
+                  / ((cs + 1.0) * (tt + {b})))) AS BIGINT) AS its
+      FROM fb4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM((ct + 1) * itr) / ((MAX(tt) + {b}) * {g}.0), 6)
+               AS kl_target_raw,
+           ROUND(SUM((ct + 1) * its) / ((MAX(tt) + {b}) * {g}.0), 6)
+               AS kl_target_selected,
+           ROUND((SUM((ct + 1) * itr) - SUM((ct + 1) * its))
+               / ((MAX(tt) + {b}) * {g}.0), 6) AS kl_reduction
+    FROM terms
+    """
+
+
+@query("corpus_importance_kl_shift", oracle=_dsir_kl_oracle())
+def corpus_importance_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR paper's own success metric, computed on the corpus
+    (Xie et al. 2023 §4 report KL reduction of the selected set
+    toward the target): smoothed hashed-n-gram KL(target || raw) vs
+    KL(target || selected quarter) under the same 128-bucket models
+    the selection used. A working sampler makes kl_target_selected
+    strictly smaller; kl_reduction is the corpus-level effect size
+    the planted unit test pins directionally. Integer-grid weighted
+    sums (see extensions.llmops.importance_kl_shift); single-row
+    output."""
+    return L.importance_kl_shift(
+        table(spark, sf_dir, "documents"),
+        target_source=_EVAL_SOURCE,
+        buckets=_DSIR_B,
+        keep_num=_DSIR_KEEP_NUM,
+        keep_den=_DSIR_KEEP_DEN,
+        strata=_DSIR_STRATA,
+    )
+
+
+def _dsir_gate_oracle() -> str:
+    g = _DSIR_GRID_SQL
+    return f"""{_dsir_sel_ctes()},
+    thr AS (SELECT salt, MIN(sel_key) AS thr FROM sel
+            WHERE selected GROUP BY 1),
+    acc AS (
+      SELECT k.lang, k.score,
+             CASE WHEN thr.thr IS NOT NULL AND k.sel_key >= thr.thr
+                  THEN 1 ELSE 0 END AS a
+      FROM keyed k LEFT JOIN thr ON k.salt = thr.salt
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a) AS BIGINT) AS n_accepted,
+           CAST((1000 * SUM(a)) // COUNT(*) AS BIGINT) AS accept_permille,
+           ROUND(SUM(score) / (COUNT(*) * {g}.0), 4) AS mean_logw
+    FROM acc GROUP BY 1
+    """
+
+
+@query("streaming_dsir_gate_refresh", oracle=_dsir_gate_oracle())
+def streaming_dsir_gate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of the DSIR selection: the standing corpus
+    trains the bucket log-ratio table and fixes per-stratum acceptance
+    thresholds (the minimum selected Gumbel key — the selection
+    boundary an offline DSIR run establishes); raw documents then
+    replay as 4 real micro-batches, each scored against the FROZEN
+    ilr table and gated by the standing threshold of its stratum
+    (arrivals judged by standing state — the models and boundary
+    never refit per batch; strata with no selected doc reject, the
+    conservative gate). Per-language (n_docs, n_accepted, sum_score)
+    counters fold additively into a ping-pong parquet state; the
+    output derives from the final state only. The oracle is the full
+    batch recompute — green only if the fold composes across every
+    batch boundary."""
+    import os
+    import shutil
+    import tempfile
+
+    from env_data_pipeline_spark.streaming.replay import (
+        replay_foreachbatch,
+        write_shards,
+    )
+
+    n_shards = 4
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    scored_full = L.dsir_scored_docs(
+        docs, _EVAL_SOURCE, _DSIR_B, _DSIR_KEEP_NUM, _DSIR_KEEP_DEN,
+        _DSIR_STRATA,
+    )
+    thr = (
+        scored_full.filter(F.col("selected"))
+        .groupBy("salt")
+        .agg(F.min("sel_key").alias("thr"))
+        .localCheckpoint(eager=True)
+    )
+    ilr = L.dsir_bucket_logratios(
+        L._dsir_grams(docs), _EVAL_SOURCE, _DSIR_B
+    ).localCheckpoint(eager=True)
+    raw = docs.filter(F.col("source") != _EVAL_SOURCE)
+    work = tempfile.mkdtemp(prefix="stream_dsir_")
+    try:
+        delta_dir = os.path.join(work, "deltas")
+        ckpt_dir = os.path.join(work, "ckpt")
+        state_dirs = [
+            os.path.join(work, "state_a"),
+            os.path.join(work, "state_b"),
+        ]
+        os.makedirs(delta_dir)
+        write_shards(raw, delta_dir, n_shards, "doc_id")
+        spark.createDataFrame(
+            [], "lang string, n_docs bigint, n_accepted bigint, sum_score bigint"
+        ).write.mode("overwrite").parquet(state_dirs[0])
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            cur, nxt = batch_id % 2, (batch_id + 1) % 2
+            keyed = L.dsir_score_against(
+                batch_df, ilr, _DSIR_B, _DSIR_STRATA
+            )
+            batch = (
+                keyed.join(F.broadcast(thr), "salt", "left")
+                .select(
+                    "lang",
+                    "score",
+                    F.when(
+                        F.col("thr").isNotNull()
+                        & (F.col("sel_key") >= F.col("thr")),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("a"),
+                )
+                .groupBy("lang")
+                .agg(
+                    F.count("*").alias("b_docs"),
+                    F.sum("a").alias("b_acc"),
+                    F.sum("score").alias("b_score"),
+                )
+            )
+            prev = sp.read.parquet(state_dirs[cur])
+            merged = (
+                prev.join(F.broadcast(batch), "lang", "full_outer")
+                .select(
+                    "lang",
+                    *[
+                        (F.coalesce(a, F.lit(0)) + F.coalesce(bc, F.lit(0)))
+                        .cast("bigint")
+                        .alias(a)
+                        for a, bc in [
+                            ("n_docs", "b_docs"),
+                            ("n_accepted", "b_acc"),
+                            ("sum_score", "b_score"),
+                        ]
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(state_dirs[nxt])
+
+        replay_foreachbatch(
+            spark, delta_dir, ckpt_dir, n_shards, _apply,
+            "streaming DSIR gate ",
+        )
+        state = spark.read.parquet(state_dirs[n_shards % 2])
+        out = state.select(
+            "lang",
+            "n_docs",
+            "n_accepted",
+            F.expr("1000 * n_accepted div n_docs")
+            .cast("bigint")
+            .alias("accept_permille"),
+            F.round(
+                F.col("sum_score") / (F.col("n_docs") * float(_DSIR_GRID_SQL)),
+                4,
+            ).alias("mean_logw"),
+        ).localCheckpoint(eager=True)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

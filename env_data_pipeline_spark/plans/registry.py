@@ -23,6 +23,12 @@ QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
 # query names plan modules nominate for the bench headline set
 BENCH_EXTRA: set[str] = set()
+# BENCH_EXTRA members that re-run TRAINING inside the query (the
+# inline-train oracle baselines of the _served pair): bench.py times
+# these in their own labeled tier, never the serving headline —
+# production trains offline once, so a headline that re-times Lloyd
+# iterations per serve measures the wrong thing (VERDICT r11 item 3)
+BENCH_TRAINING: set[str] = set()
 
 
 def query(name: str, oracle: str | None) -> Callable[[SparkQuery], SparkQuery]:

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from env_data_pipeline_spark.catalog import table
 from env_data_pipeline_spark.extensions import similarity as X
-from env_data_pipeline_spark.plans.registry import BENCH_EXTRA, query
+from env_data_pipeline_spark.plans.registry import (
+    BENCH_EXTRA,
+    BENCH_TRAINING,
+    query,
+)
 
 _DIM = 64  # embeddings.embedding is FLOAT[64] (TESTDATA.md)
 
@@ -45,6 +49,9 @@ BENCH_EXTRA.update(
         "similarity_topk_ivfpq_served",
     }
 )
+# inline-train baselines: measured in bench.py's labeled training
+# tier, while the _served pair above owns the serving headline slots
+BENCH_TRAINING.update({"similarity_ivf_kmeans", "similarity_topk_pq"})
 
 # ---------------------------------------------------------------------------
 # embedding_quantize_int8

@@ -173,6 +173,28 @@ def test_triangle_sample_estimator_error_bound(spark, sf_dir):
     )
 
 
+def test_triangle_sample_q4_error_bound(spark, sf_dir):
+    """The q = 1/4 rung's error pin (VERDICT r11 item 6): measured
+    +21.0% at sf0.001 and +7.1% at sf0.01 vs the exact count — ~the
+    sqrt(1/q^3) variance growth over q = 1/2's +9.2%/+11.1%. Pin
+    +/-45% (the q2 bound scaled by sqrt(8), rounded up) so a broken
+    sampler fails loudly while the cheaper tier's honest extra
+    variance passes."""
+    from env_data_pipeline_spark.plans.graphops import (
+        part_triangle_count_sampled_q4,
+    )
+
+    _deg, _o, tri = _oriented_triangle_stream(_copurchase_edges(spark, sf_dir))
+    exact = tri.count()
+    assert exact > 0
+    (row,) = part_triangle_count_sampled_q4(spark, sf_dir).collect()
+    est = row["est_total_triangles"]
+    rel_err = abs(est - exact) / exact
+    assert rel_err <= 0.45, (
+        f"q4 estimate {est} vs exact {exact}: rel_err {rel_err:.3f}"
+    )
+
+
 def test_skew_profile_rejects_out_of_range_keys(spark, tmp_path):
     """The hot_key arithmetic arg-max decode is only monotone for
     keys in [0, 10^12); the engine must FAIL LOUDLY on a violating
