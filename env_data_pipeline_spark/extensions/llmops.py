@@ -602,56 +602,66 @@ def _dsir_grams(docs: DataFrame) -> DataFrame:
     ).withColumn("gram_hash", md5_prefix_hash(F.col("gram")))
 
 
+def dsir_bucket_counts(
+    grams: DataFrame, target_source: str, buckets: int
+) -> DataFrame:
+    """Per hash bucket (all ``buckets`` rows, zero-filled): target and
+    raw gram-instance counts (ct, cr), from ONE corpus scan — the
+    target/raw split is a conditional aggregation, not two filtered
+    passes (review finding, r12). One shuffle, map-side combined down
+    to <=B rows."""
+    spark = grams.sparkSession
+    hb = grams.select(
+        F.pmod(F.col("gram_hash"), F.lit(buckets)).alias("b"),
+        (F.col("source") == target_source).alias("is_t"),
+    )
+    cnt = hb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct_nz"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr_nz"),
+    )
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
+    return allb.join(cnt, "b", "left").select(
+        "b",
+        F.coalesce("ct_nz", F.lit(0)).cast("bigint").alias("ct"),
+        F.coalesce("cr_nz", F.lit(0)).cast("bigint").alias("cr"),
+    )
+
+
+def _dsir_iterm(ct, cx, tt, tx, buckets: int):
+    """The Laplace-smoothed integer-grid log ratio
+    floor(1e6 * ln(((ct+1)*(tx+B)) / ((cx+1)*(tt+B)))): one ln() call
+    over exact-integer products (all < 2^53), floored onto the 1e-6
+    grid so every downstream sum and comparison is exact-integer on
+    both engines."""
+    return (
+        F.floor(
+            _DSIR_GRID
+            * F.log(((ct + 1.0) * (tx + buckets)) / ((cx + 1.0) * (tt + buckets)))
+        )
+        .cast("bigint")
+    )
+
+
 def dsir_bucket_logratios(
     grams: DataFrame, target_source: str, buckets: int
 ) -> DataFrame:
-    """Per hash bucket: the Laplace-smoothed integer-grid log ratio
-    ilr = floor(1e6 * ln(((ct+1)*(tot_r+B)) / ((cr+1)*(tot_t+B)))),
-    ct/cr the bucket's gram-instance counts in the target/raw corpus.
-    Exactly TWO corpus shuffles, both map-side combined down to <=B
-    rows; the ratio is one ln() call over exact-integer products
-    (all < 2^53), floored onto the 1e-6 grid so every downstream sum
-    and comparison is exact-integer on both engines."""
+    """Per hash bucket: the importance log-ratio ilr (target vs raw)
+    on the 1e-6 integer grid. One corpus shuffle (dsir_bucket_counts);
+    totals via an everything-window over the B-row aggregate (same
+    pattern as unigram_logprob_scores), never a driver collect."""
     from pyspark.sql import Window
 
-    spark = grams.sparkSession
-    b = F.pmod(F.col("gram_hash"), F.lit(buckets)).alias("b")
-    tcnt = (
-        grams.filter(F.col("source") == target_source)
-        .select(b)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
-    rcnt = (
-        grams.filter(F.col("source") != target_source)
-        .select(b)
-        .groupBy("b")
-        .agg(F.count("*").alias("cr"))
-    )
-    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
-    full = (
-        allb.join(tcnt, "b", "left")
-        .join(rcnt, "b", "left")
-        .select(
-            "b",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
-    )
-    # totals via an everything-window over the B-row aggregate (same
-    # pattern as unigram_logprob_scores), never a driver collect
+    full = dsir_bucket_counts(grams, target_source, buckets)
     w = Window.partitionBy()
     return full.select(
         "b",
-        F.floor(
-            _DSIR_GRID
-            * F.log(
-                ((F.col("ct") + 1.0) * (F.sum("cr").over(w) + buckets))
-                / ((F.col("cr") + 1.0) * (F.sum("ct").over(w) + buckets))
-            )
-        )
-        .cast("bigint")
-        .alias("ilr"),
+        _dsir_iterm(
+            F.col("ct"),
+            F.col("cr"),
+            F.sum("ct").over(w),
+            F.sum("cr").over(w),
+            buckets,
+        ).alias("ilr"),
     )
 
 
@@ -711,6 +721,7 @@ def dsir_scored_docs(
     keep_num: int = 1,
     keep_den: int = 4,
     strata: int = 64,
+    ilr: DataFrame | None = None,
 ) -> DataFrame:
     """Per RAW doc (source != target, >=1 token): the DSIR selection
     frame — integer importance score (sum of its gram buckets' ilr),
@@ -727,11 +738,15 @@ def dsir_scored_docs(
     per-stratum rounding. At 100 TB, ``strata`` is the task-width
     knob (size it so a stratum fits one task's sort buffer); the
     registered query pins strata=64 as the oracle contract at test SF.
-    """
+
+    ``ilr``: inject a prebuilt (possibly checkpointed) bucket-log-
+    ratio frame instead of deriving it from ``docs`` — the callers
+    that also consume the ratios (the KL metric, the streaming gate's
+    frozen state) build it once (review finding, r12)."""
     from pyspark.sql import Window
 
-    grams = _dsir_grams(docs)
-    ilr = dsir_bucket_logratios(grams, target_source, buckets)
+    if ilr is None:
+        ilr = dsir_bucket_logratios(_dsir_grams(docs), target_source, buckets)
     keyed = dsir_score_against(
         docs.filter(F.col("source") != target_source), ilr, buckets, strata
     )
@@ -783,12 +798,24 @@ def importance_resample(
         .groupBy("lang")
         .agg(F.count("*").alias("n_target"))
     )
-    joined = raw_stats.join(tgt_stats, "lang", "full_outer").select(
-        "lang",
-        F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
-        F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
-        F.coalesce("n_target", F.lit(0)).alias("n_target"),
-        "sum_score",
+    # null-SAFE lang equality, mirroring the oracle's IS NOT DISTINCT
+    # FROM — a NULL-lang corpus must merge, not emit two half-rows;
+    # explicit aliases because both stat frames share the docs
+    # lineage (review finding, r12)
+    joined = (
+        raw_stats.alias("r")
+        .join(
+            tgt_stats.alias("t"),
+            F.col("r.lang").eqNullSafe(F.col("t.lang")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("r.lang"), F.col("t.lang")).alias("lang"),
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+            "sum_score",
+        )
     )
     w = Window.partitionBy()
     share = lambda c: F.when(  # noqa: E731
@@ -829,70 +856,68 @@ def importance_kl_shift(
     division by (tot_target+B)*1e6 and ROUND(6) happen last. (The
     grid constant bounds the weighted sum well inside BIGINT for any
     corpus whose per-bucket gram count stays under ~1e11 — rescale
-    the grid before that.) One extra corpus shuffle vs the resample
-    query: the doc_id join restricting gram instances to the
-    selected quarter."""
+    the grid before that.)
+
+    Corpus-scan accounting (review finding, r12): the target/raw
+    bucket counts come from ONE conditional-aggregation pass whose
+    B-row result is locally checkpointed, so both consumers (the
+    scoring ilr and the KL terms) read the materialized aggregate
+    instead of re-exploding the corpus; total corpus explodes = 3
+    (counts, scoring, selected-gram counts)."""
     from pyspark.sql import Window
 
-    grams = _dsir_grams(docs)
-    hb = grams.withColumn("b", F.pmod(F.col("gram_hash"), F.lit(buckets)))
+    counts = dsir_bucket_counts(
+        _dsir_grams(docs), target_source, buckets
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy()
+    ilr = counts.select(
+        "b",
+        _dsir_iterm(
+            F.col("ct"),
+            F.col("cr"),
+            F.sum("ct").over(w),
+            F.sum("cr").over(w),
+            buckets,
+        ).alias("ilr"),
+    )
     sel_ids = (
-        dsir_scored_docs(docs, target_source, buckets, keep_num, keep_den, strata)
+        dsir_scored_docs(
+            docs, target_source, buckets, keep_num, keep_den, strata, ilr=ilr
+        )
         .filter(F.col("selected"))
         .select("doc_id")
     )
-    tc = (
-        hb.filter(F.col("source") == target_source)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
-    rc = (
-        hb.filter(F.col("source") != target_source)
-        .groupBy("b")
-        .agg(F.count("*").alias("cr"))
+    hb = _dsir_grams(docs).select(
+        "doc_id", F.pmod(F.col("gram_hash"), F.lit(buckets)).alias("b")
     )
     sc = hb.join(sel_ids, "doc_id").groupBy("b").agg(F.count("*").alias("cs"))
-    spark = docs.sparkSession
-    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
-    fb = (
-        allb.join(tc, "b", "left")
-        .join(rc, "b", "left")
-        .join(sc, "b", "left")
+    fb2 = (
+        counts.join(sc, "b", "left")
         .select(
             "b",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
+            "ct",
+            "cr",
             F.coalesce("cs", F.lit(0)).alias("cs"),
         )
-    )
-    w = Window.partitionBy()
-    fb2 = fb.select(
-        "b",
-        "ct",
-        "cr",
-        "cs",
-        F.sum("ct").over(w).alias("tt"),
-        F.sum("cr").over(w).alias("tr"),
-        F.sum("cs").over(w).alias("ts"),
-    )
-
-    def iterm(cx, tx):
-        return (
-            F.floor(
-                _DSIR_GRID
-                * F.log(
-                    ((F.col("ct") + 1.0) * (F.col(tx) + buckets))
-                    / ((F.col(cx) + 1.0) * (F.col("tt") + buckets))
-                )
-            )
-            .cast("bigint")
+        .select(
+            "b",
+            "ct",
+            "cr",
+            "cs",
+            F.sum("ct").over(w).alias("tt"),
+            F.sum("cr").over(w).alias("tr"),
+            F.sum("cs").over(w).alias("ts"),
         )
-
+    )
     terms = fb2.select(
         "ct",
         "tt",
-        iterm("cr", "tr").alias("itr"),
-        iterm("cs", "ts").alias("its"),
+        _dsir_iterm(
+            F.col("ct"), F.col("cr"), F.col("tt"), F.col("tr"), buckets
+        ).alias("itr"),
+        _dsir_iterm(
+            F.col("ct"), F.col("cs"), F.col("tt"), F.col("ts"), buckets
+        ).alias("its"),
     )
     denom = (F.max("tt") + buckets) * float(_DSIR_GRID)
     return terms.agg(

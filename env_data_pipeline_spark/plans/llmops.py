@@ -1129,7 +1129,10 @@ _DSIR_KEEP_NUM = 1
 _DSIR_KEEP_DEN = 4
 
 
-_DSIR_GRID_SQL = 1_000_000
+# the ONE 1e-6 grid constant: oracle f-strings read the engine's own
+# value, so a grid rescale cannot desynchronize the two sides
+# (review finding, r12)
+_DSIR_GRID_SQL = L._DSIR_GRID
 
 
 def _dsir_sel_ctes() -> str:
@@ -1371,9 +1374,15 @@ def streaming_dsir_gate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
+    # ONE training pass: the checkpointed ilr feeds both the offline
+    # selection (whose boundary becomes thr) and every micro-batch's
+    # scoring (review finding, r12)
+    ilr = L.dsir_bucket_logratios(
+        L._dsir_grams(docs), _EVAL_SOURCE, _DSIR_B
+    ).localCheckpoint(eager=True)
     scored_full = L.dsir_scored_docs(
         docs, _EVAL_SOURCE, _DSIR_B, _DSIR_KEEP_NUM, _DSIR_KEEP_DEN,
-        _DSIR_STRATA,
+        _DSIR_STRATA, ilr=ilr,
     )
     thr = (
         scored_full.filter(F.col("selected"))
@@ -1381,9 +1390,6 @@ def streaming_dsir_gate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("sel_key").alias("thr"))
         .localCheckpoint(eager=True)
     )
-    ilr = L.dsir_bucket_logratios(
-        L._dsir_grams(docs), _EVAL_SOURCE, _DSIR_B
-    ).localCheckpoint(eager=True)
     raw = docs.filter(F.col("source") != _EVAL_SOURCE)
     work = tempfile.mkdtemp(prefix="stream_dsir_")
     try:

@@ -157,3 +157,20 @@ def test_kl_shift_planted_reduction(spark):
     assert row["kl_target_raw"] > 0
     assert row["kl_target_selected"] < row["kl_target_raw"]
     assert row["kl_reduction"] >= 0.5 * row["kl_target_raw"]
+
+
+def test_resample_null_lang_merges_one_row(spark):
+    """NULL-lang docs on the raw and target side must merge into ONE
+    summary row (the engine's null-safe join mirrors the oracle's
+    IS NOT DISTINCT FROM)."""
+    rows = _planted_corpus() + [
+        (900, "alpha beta gamma delta omega sigma alpha beta", None, "src0"),
+        (901, "uno dos tres cuatro cinco seis uno dos", None, "src1"),
+    ]
+    out = L.importance_resample(
+        _docs(spark, rows), target_source="src0", buckets=_B, strata=_STRATA
+    ).collect()
+    null_rows = [r for r in out if r["lang"] is None]
+    assert len(null_rows) == 1
+    (nr,) = null_rows
+    assert nr["n_raw"] == 1 and nr["n_target"] == 1

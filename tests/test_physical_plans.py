@@ -98,6 +98,8 @@ NESTED_LOOP_OK = {
     "orders_ship_latency_histogram",
     # three 1-row global aggregates cross-joined into the summary row
     "part_triangle_count_sampled",
+    # same singleton assembly, q=1/4 rung
+    "part_triangle_count_sampled_q4",
     # 1-row global max-week broadcast gates churn attribution
     "events_user_lifecycle_weekly",
     # corpus x K=8 broadcast Lloyd assignment (same class as
