@@ -506,6 +506,10 @@ def main() -> None:
             ),
             "decontaminate_eval_overlap": ("documents", [x10_dir, x100_dir]),
             "dedup_substring_spans": ("documents", [x10_dir, x100_dir]),
+            # r12: the CCNet perplexity tier — two corpus explodes
+            # meeting a <=512-row broadcast LM; should track the
+            # dedup_minhash class (linear scan work, sublinear wall)
+            "corpus_perplexity_buckets": ("documents", [x10_dir, x100_dir]),
             "part_triangle_count_sampled": ("lineitem", [x10_dir]),
             "events_rapid_repeat_pairs": ("events", [x10_dir]),
         }

@@ -937,3 +937,280 @@ def importance_kl_shift(
             6,
         ).alias("kl_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity tiering (Wenzek et al. 2020): score every raw
+# doc under a hashed-unigram LM trained on the clean target corpus,
+# then cut each language into head / middle / tail perplexity thirds.
+# The reference has no language-model tier at all (its quality signal
+# is per-source completeness, containers/orchestrator/orchestrator.py:
+# 569-618); this is the standard pretraining-corpus triage step.
+# ---------------------------------------------------------------------------
+
+_PPL_GRID = 1_000_000  # 1e-6 integer grid for per-token neg-log-probs
+
+
+def _ppl_tokens(docs: DataFrame) -> DataFrame:
+    """One row per word INSTANCE with its hash — unigram-only (the
+    perplexity LM), distinct from the DSIR uni+bigram family. Pure
+    HOFs + one explode, zero shuffles."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash, words
+
+    ws = F.filter(words(F.col("text")), lambda x: F.length(x) > 0)
+    return docs.select(
+        "doc_id", "lang", "source", F.explode(ws).alias("token")
+    ).withColumn("tok_hash", md5_prefix_hash(F.col("token")))
+
+
+def ppl_unigram_lm(
+    docs: DataFrame, target_source: str = "src0", buckets: int = 512
+) -> DataFrame:
+    """The frozen LM: all ``buckets`` rows of (b, inlp) — the add-1-
+    smoothed hashed-unigram neg-log-prob floored onto the 1e-6 grid.
+    One explode -> <=buckets-row count aggregate (map-side combined);
+    the streaming gate checkpoints this frame and scores every
+    micro-batch against it."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toks = _ppl_tokens(docs)
+    tcnt = (
+        toks.filter(F.col("source") == target_source)
+        .select(F.pmod(F.col("tok_hash"), F.lit(buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct_nz"))
+    )
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("b"))
+    w = Window.partitionBy()
+    return (
+        allb.join(tcnt, "b", "left")
+        .select("b", F.coalesce("ct_nz", F.lit(0)).cast("bigint").alias("ct"))
+        .select(
+            "b",
+            F.floor(
+                -F.lit(float(_PPL_GRID))
+                * F.log(
+                    (F.col("ct") + 1)
+                    / (F.sum("ct").over(w) + F.lit(buckets)).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("inlp"),
+        )
+    )
+
+
+def ppl_score_against(
+    batch: DataFrame, lm: DataFrame, buckets: int, strata: int
+) -> DataFrame:
+    """Score (doc_id, lang, text) rows against a FROZEN (b, inlp) LM:
+    per-doc integer mean neg-log-prob and md5 stratum — the arrival
+    half of the streaming gate, shared verbatim with the batch path so
+    the two cannot drift."""
+    from env_data_pipeline_spark.extensions.text import md5_prefix_hash
+
+    return (
+        _ppl_tokens(batch)
+        .select(
+            "doc_id", "lang", F.pmod(F.col("tok_hash"), F.lit(buckets)).alias("b")
+        )
+        .join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("inlp").alias("sum_inlp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.expr("sum_inlp div n_tok").cast("bigint").alias("ippl"),
+            F.pmod(
+                md5_prefix_hash(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|ppl"))
+                ),
+                F.lit(strata),
+            ).alias("salt"),
+        )
+    )
+
+
+def ppl_scored_docs(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 512,
+    strata: int = 32,
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """Per raw (non-target) doc: integer mean neg-log-prob under the
+    add-1-smoothed hashed-unigram target LM, and its head/middle/tail
+    bucket within (lang, md5-salt stratum) thirds.
+
+    Exact-integer contract: each bucket's neg-log-prob is floored onto
+    the 1e-6 grid, the per-doc sum is an exact BIGINT, and the mean is
+    BIGINT ``div`` — so ranks, tertile cuts, and every downstream
+    aggregate are reproducible bit-for-bit by the SQL oracle.
+
+    Scale posture: one explode -> <=``buckets``-row count aggregate
+    (map-side combined) -> broadcast onto a second explode -> one
+    doc-keyed aggregation -> tertile window partitioned by
+    (lang, salt). Strata is the task-width knob: the CCNet percentile
+    cut runs per stratum, never as a global per-language sort."""
+    from pyspark.sql import Window
+
+    if lm is None:
+        lm = ppl_unigram_lm(docs, target_source, buckets)
+    scored = ppl_score_against(
+        docs.filter(F.col("source") != target_source), lm, buckets, strata
+    )
+    sw = Window.partitionBy("lang", "salt").orderBy(
+        F.asc("ippl"), F.asc("doc_id")
+    )
+    cw = Window.partitionBy("lang", "salt")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(sw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n_strat"),
+    )
+    return ranked.withColumn(
+        "bucket",
+        F.when(3 * F.col("rn") <= F.col("n_strat"), "head")
+        .when(3 * F.col("rn") <= 2 * F.col("n_strat"), "middle")
+        .otherwise("tail"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 512,
+    strata: int = 32,
+) -> DataFrame:
+    """Per (lang, head/middle/tail bucket): doc count, exact-integer
+    min/max/mean of the grid perplexity score, and the bucket's
+    permille share of its language — the CCNet triage table a
+    pretraining run keeps (train on head+middle, drop or re-weight
+    tail). K-row output; all corpus-sized work is in
+    ppl_scored_docs."""
+    from pyspark.sql import Window
+
+    lw = Window.partitionBy("lang")
+    return (
+        ppl_scored_docs(docs, target_source, buckets, strata)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("ippl").alias("min_ippl"),
+            F.max("ippl").alias("max_ippl"),
+            F.expr("sum(ippl) div count(1)").cast("bigint").alias("mean_ippl"),
+        )
+        .select(
+            "*",
+            F.floor(
+                F.lit(1000) * F.col("n_docs") / F.sum("n_docs").over(lw)
+            )
+            .cast("bigint")
+            .alias("lang_share_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule accounting (Rae et al. 2021, table A1.1): the
+# per-rule drop ledger a corpus-filtering run reports, adapted to a
+# single-line corpus (word-count bounds, mean word length, stop-word
+# presence, top-word repetition). Independent per-rule counts — not
+# first-failure attribution — so each rule's bite is visible alone.
+# ---------------------------------------------------------------------------
+
+
+def gopher_rule_flags(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 1000,
+) -> DataFrame:
+    """Per-doc rule verdicts, every comparison exact-integer
+    (cross-multiplied, never a float ratio):
+
+    - ok_word_count:  min_words <= n <= max_words
+    - ok_word_length: mean word length in [3, 10] as 3n <= L <= 10n
+    - ok_stopwords:   >= 2 stop-word instances (EN_STOPWORDS)
+    - ok_repetition:  most-frequent word <= 20% of tokens (5*max <= n)
+
+    One projection over one scan: the word array materializes once and
+    every rule reads it (HOFs, zero shuffles, zero UDFs)."""
+    from env_data_pipeline_spark.extensions.text import EN_STOPWORDS, words
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(words(F.col("text")), lambda x: F.length(x) > 0).alias("ws"),
+    )
+    n = F.size("ws")
+    total_len = F.aggregate(
+        F.col("ws"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter(F.col("ws"), lambda x: x.isin(*EN_STOPWORDS)))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_words"),
+        ((F.lit(min_words) <= n) & (n <= F.lit(max_words))).alias(
+            "ok_word_count"
+        ),
+        ((3 * n <= total_len) & (total_len <= 10 * n)).alias("ok_word_length"),
+        (n_stop >= 2).alias("ok_stopwords"),
+        (5 * top_cnt <= n).alias("ok_repetition"),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 1000,
+) -> DataFrame:
+    """Per source: doc count, independent fail count per Gopher rule,
+    survivors of ALL rules, and the exact drop permille — the filter
+    ledger next to which a curation run tunes its thresholds."""
+    flags = gopher_rule_flags(docs, min_words, max_words)
+    fails = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c), 0).otherwise(1)
+    ).cast("bigint")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            fails("ok_word_count").alias("fail_word_count"),
+            fails("ok_word_length").alias("fail_word_length"),
+            fails("ok_stopwords").alias("fail_stopwords"),
+            fails("ok_repetition").alias("fail_repetition"),
+            F.sum(
+                F.when(
+                    F.col("ok_word_count")
+                    & F.col("ok_word_length")
+                    & F.col("ok_stopwords")
+                    & F.col("ok_repetition"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .select(
+            "*",
+            F.floor(
+                F.lit(1000) * (F.col("n_docs") - F.col("n_pass")) / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("drop_permille"),
+        )
+    )

@@ -1010,3 +1010,176 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive/embedding-training data prep): for
+# each anchor, the top-k nearest DIFFERENT-label vectors plus the
+# hardest same-label positive, with the triplet margin. The classic
+# pre-step for metric-learning fine-tunes; the reference has no vector
+# training-data surface at all.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 100
+) -> DataFrame:
+    """Per anchor (vec_id % query_mod = 0): top-k highest-cosine
+    vectors with a DIFFERENT label (the hard negatives), the max
+    same-label cosine (the hardest positive), and the margin
+    pos - neg. Ranks order on the ROUNDED similarity with a
+    neighbor_id tie-break, the engine-wide cross-engine convention.
+
+    Plan: bounded anchor frame broadcast against one corpus scan
+    (norms computed once per row); the negative ranking window and the
+    positive max partition by anchor — bounded groups, never a global
+    sort. The deliberate brute-force tier: serving-scale variants ride
+    the IVF/PQ paths."""
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                cosine_prenormed(
+                    F.col("q_vec"),
+                    F.col("c_vec"),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    neg = (
+        scored.filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    pos = (
+        scored.filter(F.col("neighbor_label") == F.col("anchor_label"))
+        .groupBy("query_id")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    return (
+        neg.join(F.broadcast(pos), "query_id", "left")
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("sim").alias("cosine_sim"),
+            "rank",
+            "pos_sim",
+            F.round(F.col("pos_sim") - F.col("sim"), 4).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit: project
+# the embedding column through a FIXED md5-seeded Rademacher sign
+# matrix and measure squared-distance preservation on a strided pair
+# sample. The go/no-go check before swapping a cheap projected index
+# in for full-dimension distance work.
+# ---------------------------------------------------------------------------
+
+
+def jl_project(vec: Column, signs: list[list[int]]) -> Column:
+    """Project a float array through a +-1 sign matrix (rows = output
+    dims): y_j = sum_i s[j][i] * x_i. Unscaled — the 1/out_dim
+    normalization is applied where distances are compared, so the
+    projection itself is pure integer-weighted sums."""
+    return F.array(
+        *[
+            sum(
+                (
+                    F.element_at(vec, i + 1).cast("double")
+                    if s == 1
+                    else -F.element_at(vec, i + 1).cast("double")
+                )
+                for i, s in enumerate(row)
+            ).alias(f"p{j}")
+            for j, row in enumerate(signs)
+        ]
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def jl_distortion(
+    embeddings: DataFrame,
+    signs: list[list[int]],
+    stride: int = 1009,
+    offset: int = 501,
+) -> DataFrame:
+    """Pairs (v, v+offset) for v % stride = 0 — an equi-join pair
+    sample (linear, no windows, no self-cross): original squared L2
+    distance vs projected squared distance / out_dim, the distortion
+    ratio in exact basis points (floor(1e4 * ratio)), and a within-2x
+    integer-compare flag. NULL ratio on coincident pairs.
+
+    Scale: two bounded filtered scans meet on an equi-key; the
+    projection is a per-row HOF-free expression tree the JVM
+    whole-stage-compiles."""
+    out_dim = len(signs)
+    a = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        jl_project(F.col("embedding"), signs).alias("pa"),
+    )
+    b = embeddings.filter(
+        F.pmod(F.col("vec_id") - offset, stride) == 0
+    ).select(
+        (F.col("vec_id") - offset).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        jl_project(F.col("embedding"), signs).alias("pb"),
+    )
+    # ratio computed from the ROUNDED distances (the output precision)
+    # so the oracle divides the exact same two decimals — cross-engine
+    # ulp drift on the raw doubles cannot flip the floor
+    joined = a.join(b, "vec_a").select(
+        "vec_a",
+        "vec_b",
+        F.round(_sq_dist(F.col("ea"), F.col("eb")), 4).alias("d2_orig"),
+        F.round(
+            _sq_dist(F.col("pa"), F.col("pb")) / F.lit(float(out_dim)), 4
+        ).alias("d2_proj"),
+    )
+    ratio = F.when(
+        F.col("d2_orig") > 0,
+        F.floor(F.lit(10000.0) * F.col("d2_proj") / F.col("d2_orig")).cast(
+            "bigint"
+        ),
+    )
+    return joined.withColumn("ratio_bp", ratio).withColumn(
+        "within_2x",
+        F.when(
+            F.col("ratio_bp").isNotNull(),
+            (F.col("ratio_bp") >= 5000) & (F.col("ratio_bp") <= 20000),
+        ),
+    )

@@ -283,6 +283,7 @@ def load_all() -> None:
     import env_data_pipeline_spark.plans.integrity  # noqa: F401
     import env_data_pipeline_spark.plans.entityres  # noqa: F401
     import env_data_pipeline_spark.plans.layouts  # noqa: F401
+    import env_data_pipeline_spark.plans.corpusfilters  # noqa: F401
 
     ordered = [n for n in QUERIES if n not in DRIVER_STAMPED] + [
         n for n in QUERIES if n in DRIVER_STAMPED

@@ -2281,3 +2281,120 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_permille"),
     ).orderBy("disc_pct")
+
+
+# ---------------------------------------------------------------------------
+# events_daily_acf — autocorrelation diagnostic of the daily series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+def _acf_oracle() -> str:
+    lags_sql = ", ".join(str(lag) for lag in _ACF_LAGS)
+    return f"""
+    WITH {_DAILY_M_CTE},
+    d4 AS (SELECT event_type, day, m // 1000 AS m4 FROM daily),
+    st AS (SELECT event_type, COUNT(*) AS n_days,
+                  SUM(m4) // COUNT(*) AS mbar
+           FROM d4 GROUP BY 1),
+    c AS (SELECT d4.event_type, day,
+                 CAST(m4 - mbar AS BIGINT) AS c
+          FROM d4 JOIN st USING (event_type)),
+    den AS (SELECT event_type, SUM(c * c) AS den FROM c GROUP BY 1),
+    grid AS (SELECT st.event_type, st.n_days, l.lag
+             FROM st, unnest([{lags_sql}]) AS l(lag)),
+    num AS (
+      SELECT a.event_type, (b.day - a.day) AS lag,
+             COUNT(*) AS n_pairs, SUM(a.c * b.c) AS num
+      FROM c a JOIN c b
+        ON b.event_type = a.event_type
+       AND b.day - a.day IN ({lags_sql})
+      GROUP BY 1, 2
+    )
+    SELECT g.event_type, CAST(g.lag AS INT) AS lag,
+           CAST(g.n_days AS BIGINT) AS n_days,
+           CAST(COALESCE(n.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(n.num, 0) AS BIGINT) AS acf_num_units,
+           CAST(d.den AS BIGINT) AS acf_den_units,
+           CASE WHEN d.den > 0 AND n.num IS NOT NULL
+                THEN ROUND(CAST(n.num AS DOUBLE) / d.den, 6)
+           END AS acf
+    FROM grid g
+    JOIN den d USING (event_type)
+    LEFT JOIN num n ON n.event_type = g.event_type AND n.lag = g.lag
+    """
+
+
+@query("events_daily_acf", oracle=_acf_oracle())
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily-mean series at lags
+    1/2/3/7 — the PERSISTENCE diagnostic beside the level-shift
+    (CUSUM), drift (Mann-Kendall), and dispersion (Fano) charts: high
+    lag-1 flags a sticky metric, a lag-7 spike flags weekly
+    seasonality the hourly profile can't see.
+
+    Exactness: the shared value*1e7 daily means drop to a value*1e4
+    grid, centering subtracts the floor-mean (BIGINT), and both the
+    lag products and the variance are exact BIGINT sums (bounded well
+    inside 64 bits: |c| <= range*1e4, squared and summed over a
+    decade of days stays < 1e17); the single num/den double division
+    is rounded last. Gap days simply produce no pair at that lag —
+    deterministic on both engines.
+
+    Scale: pairs join DAY-grain on (type, day+lag) — an equi-join
+    bounded by the calendar, never the fact table; the only
+    fact-sized stage is the shared daily groupBy. The lag fan-out is
+    an explode on the day frame (4x calendar rows), not a cross
+    join."""
+    daily = _daily_means(table(spark, sf_dir, "events"))
+    d4 = daily.select(
+        "event_type", "day", F.expr("m div 1000").alias("m4")
+    )
+    st = d4.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(m4) div count(1)").alias("mbar"),
+    )
+    c = d4.join(F.broadcast(st), "event_type").select(
+        "event_type", "day", (F.col("m4") - F.col("mbar")).cast("bigint").alias("c")
+    )
+    den = c.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lag_arr = F.array(*[F.lit(lag) for lag in _ACF_LAGS])
+    # probe side: each day row fans out to its 4 lag targets, turning
+    # the lag match into a pure (type, day) equi-join
+    a = c.select(
+        "event_type",
+        F.col("c").alias("ca"),
+        F.explode(lag_arr).alias("lag"),
+        "day",
+    ).select(
+        "event_type", "ca", "lag", F.date_add("day", F.col("lag")).alias("day")
+    )
+    b = c.select("event_type", "day", F.col("c").alias("cb"))
+    num = (
+        a.join(b, ["event_type", "day"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        )
+    )
+    grid = st.select(
+        "event_type", "n_days", F.explode(lag_arr).alias("lag")
+    )
+    return (
+        grid.join(F.broadcast(den), "event_type")
+        .join(num, ["event_type", "lag"], "left")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_days").cast("bigint"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("num", F.lit(0)).cast("bigint").alias("acf_num_units"),
+            F.col("den").cast("bigint").alias("acf_den_units"),
+            F.when(
+                (F.col("den") > 0) & F.col("num").isNotNull(),
+                F.round(F.col("num").cast("double") / F.col("den"), 6),
+            ).alias("acf"),
+        )
+    )

@@ -125,9 +125,7 @@ _BM25_B = 0.75
 _BM25_TOPK = 15
 
 
-@query(
-    "text_bm25_search",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH {_DUCK_TOKENS},
     d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
           FROM documents),
@@ -170,8 +168,10 @@ _BM25_TOPK = 15
     FROM terms
     ORDER BY score_units DESC, doc_id
     LIMIT {_BM25_TOPK}
-    """,
-)
+    """
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) retrieval of the top-15 documents for a
     fixed keyword query.
@@ -187,7 +187,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only query-term hits; df and the two corpus scalars broadcast;
     top-k is TakeOrderedAndProject.
     """
-    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(table(spark, sf_dir, "documents"))
+
+
+def bm25_topk(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_units, bm25) — the ranked BM25 top-15 frame.
+    THE shared lexical arm: text_bm25_search returns it directly and
+    hybrid_search_rrf (plans/vectorops.py) fuses it with the vector
+    ranking, so the two surfaces cannot drift."""
     d = docs.select(
         "doc_id", F.size(words(F.col("text"))).cast("double").alias("dl")
     )

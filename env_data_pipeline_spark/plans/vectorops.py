@@ -2378,3 +2378,275 @@ def embedding_power_iteration_pc1(
         )
         .orderBy("j")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_hard_negatives — contrastive training-data prep
+# ---------------------------------------------------------------------------
+
+_HN_K = 5
+_HN_MOD = 100
+
+
+def _hard_neg_oracle() -> str:
+    from env_data_pipeline_spark.plans.extensions import _DUCK_COSINE
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS anchor_label, embedding
+      FROM embeddings WHERE vec_id % {_HN_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.query_id, q.anchor_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             ROUND({_DUCK_COSINE}, 4) AS sim
+      FROM embeddings c JOIN q ON q.query_id != c.vec_id
+    ),
+    neg AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored WHERE neighbor_label <> anchor_label
+    ),
+    pos AS (
+      SELECT query_id, MAX(sim) AS pos_sim FROM scored
+      WHERE neighbor_label = anchor_label GROUP BY 1
+    )
+    SELECT n.query_id, n.anchor_label, n.neighbor_id, n.neighbor_label,
+           n.sim AS cosine_sim, n.rank, p.pos_sim,
+           ROUND(p.pos_sim - n.sim, 4) AS margin
+    FROM neg n LEFT JOIN pos p USING (query_id)
+    WHERE n.rank <= {_HN_K}
+    """
+
+
+@query("embedding_hard_negatives", oracle=_hard_neg_oracle())
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive fine-tunes: per anchor
+    (vec_id % 100 = 0), the top-5 highest-cosine DIFFERENT-label
+    vectors, the hardest same-label positive, and the triplet margin
+    pos - neg — the mining step ahead of metric-learning training.
+
+    Beyond-the-reference scope (the reference ships no vector
+    training-data surface). Plan: bounded anchor frame broadcast
+    against one corpus scan with per-row prenormed cosine; ranking
+    windows partition by anchor — bounded groups. The deliberate
+    exact tier: scale serving rides the IVF/PQ paths
+    (similarity_topk_ivf_served)."""
+    return X.hard_negatives(
+        table(spark, sf_dir, "embeddings"), k=_HN_K, query_mod=_HN_MOD
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_jl_distortion — Johnson-Lindenstrauss projection audit
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 8
+_JL_STRIDE = 37
+_JL_OFFSET = 18
+
+
+def _jl_signs() -> list[list[int]]:
+    """Fixed Rademacher sign matrix seeded by md5 — deterministic,
+    shared verbatim by the Spark expression and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for i in range(_DIM)
+        ]
+        for j in range(_JL_OUT)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    def proj(side: str, j: int) -> str:
+        terms = " + ".join(
+            f"({'' if s == 1 else '-'}CAST({side}.embedding[{i + 1}] AS DOUBLE))"
+            for i, s in enumerate(_JL_SIGNS[j])
+        )
+        return f"({terms})"
+
+    d2_orig = (
+        f"list_sum(list_transform(range({_DIM}), i -> "
+        "(CAST(a.embedding[i + 1] AS DOUBLE) - CAST(b.embedding[i + 1] AS DOUBLE))"
+        " * (CAST(a.embedding[i + 1] AS DOUBLE) - CAST(b.embedding[i + 1] AS DOUBLE))))"
+    )
+    d2_proj = " + ".join(
+        f"(({proj('a', j)}) - ({proj('b', j)}))"
+        f" * (({proj('a', j)}) - ({proj('b', j)}))"
+        for j in range(_JL_OUT)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({d2_orig}, 4) AS d2_orig,
+             ROUND(({d2_proj}) / {_JL_OUT}.0, 4) AS d2_proj
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + {_JL_OFFSET}
+      WHERE a.vec_id % {_JL_STRIDE} = 0
+    )
+    SELECT vec_a, vec_b, d2_orig, d2_proj,
+           CASE WHEN d2_orig > 0
+                THEN CAST(FLOOR(10000.0 * d2_proj / d2_orig) AS BIGINT)
+           END AS ratio_bp,
+           CASE WHEN d2_orig > 0
+                THEN FLOOR(10000.0 * d2_proj / d2_orig) >= 5000
+                 AND FLOOR(10000.0 * d2_proj / d2_orig) <= 20000
+           END AS within_2x
+    FROM pairs
+    """
+
+
+@query("embedding_jl_distortion", oracle=_jl_oracle())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project the 64-dim embeddings
+    through a fixed md5-seeded Rademacher sign matrix down to 8 dims
+    and measure squared-distance preservation on the strided
+    (v, v+18 | v % 37 = 0) pair sample — original d2 vs projected
+    d2/8, the distortion ratio in exact basis points, and a within-2x
+    integer flag. The go/no-go table before substituting the cheap
+    projection into distance-heavy stages.
+
+    Beyond-the-reference scope. Plan: two bounded filtered scans meet
+    on an equi-key (never a self-cross, never a window); the
+    projection is a literal-coefficient expression tree shared
+    verbatim with the oracle, whole-stage-compiled JVM-side."""
+    return X.jl_distortion(
+        table(spark, sf_dir, "embeddings"),
+        signs=_JL_SIGNS,
+        stride=_JL_STRIDE,
+        offset=_JL_OFFSET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — lexical + vector reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOPK = 10
+_RRF_ARM_K = 15
+_RRF_QVEC = 0  # the fixed query embedding (vec_id 0)
+
+
+def _rrf_oracle() -> str:
+    from env_data_pipeline_spark.plans.extensions import _DUCK_COSINE
+    from env_data_pipeline_spark.plans.textstats import _BM25_ORACLE
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id)
+               AS rank_lex
+      FROM ({_BM25_ORACLE})
+    ),
+    vq AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    vscored AS (
+      SELECT c.vec_id AS doc_id, ROUND({_DUCK_COSINE}, 4) AS sim
+      FROM embeddings c, vq q WHERE c.vec_id != {_RRF_QVEC}
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+      FROM vscored
+      QUALIFY rank_vec <= {_RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.rank_lex, vec.rank_vec,
+             COALESCE(1000000 // ({_RRF_C} + lex.rank_lex), 0)
+               + COALESCE(1000000 // ({_RRF_C} + vec.rank_vec), 0)
+               AS rrf_units
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ),
+    top AS (
+      SELECT * FROM fused
+      ORDER BY rrf_units DESC, doc_id
+      LIMIT {_RRF_TOPK}
+    )
+    SELECT doc_id, rank_lex, rank_vec, CAST(rrf_units AS BIGINT) AS rrf_units,
+           ROW_NUMBER() OVER (ORDER BY rrf_units DESC, doc_id) AS fused_rank
+    FROM top
+    """
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 top-15 (plans/textstats.py::bm25_topk, the SAME
+    frame text_bm25_search serves) fused with the top-15
+    cosine-neighbors of the fixed query embedding (vec_id 0) by
+    rrf = sum over arms of floor(1e6 / (60 + rank)) — exact BIGINT,
+    so the fused order replays bit-for-bit.
+
+    The modern retrieval-stack default (sparse + dense arms, no score
+    calibration needed — ranks only). Plan: each arm ends in a
+    TakeOrderedAndProject (15 rows), the fusion is a 15x15-row full
+    outer join, the final cut another TakeOrdered — all post-arm
+    work is constant-sized. Beyond-the-reference scope."""
+    from env_data_pipeline_spark.plans.textstats import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex_w = Window.partitionBy().orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    lex = bm25_topk(docs).select(
+        "doc_id", F.row_number().over(lex_w).alias("rank_lex")
+    )
+    q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("q_vec"),
+        X.norm(F.col("embedding")).alias("q_norm"),
+    )
+    vscored = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                X.cosine_prenormed(
+                    F.col("q_vec"),
+                    F.col("embedding"),
+                    F.col("q_norm"),
+                    X.norm(F.col("embedding")),
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_RRF_ARM_K)
+    )
+    vec_w = Window.partitionBy().orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = vscored.select(
+        "doc_id", F.row_number().over(vec_w).alias("rank_vec")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div ({_RRF_C} + {r})"), F.lit(0)
+    ).cast("bigint")
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            (contrib("rank_lex") + contrib("rank_vec")).alias("rrf_units"),
+        )
+        .orderBy(F.desc("rrf_units"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+    fw = Window.partitionBy().orderBy(F.desc("rrf_units"), F.asc("doc_id"))
+    return fused.withColumn("fused_rank", F.row_number().over(fw))
+
+
+# r12 headline addition: the fused sparse+dense serving path (two
+# TakeOrdered arms + a constant-sized fusion join)
+BENCH_EXTRA.add("hybrid_search_rrf")

@@ -135,6 +135,13 @@ NESTED_LOOP_OK = {
     # 1-row corpus count broadcast into the tf-idf unit expression
     # (same singleton pattern as text_tfidf_top_terms)
     "text_sparse_cosine_pairs",
+    # 1-row query-embedding broadcast against the corpus (same
+    # single-query serving class as similarity_mmr_diverse_topk)
+    "hybrid_search_rrf",
+    # bounded anchor frame broadcast-crossed against one corpus scan —
+    # the deliberate exact mining tier (same brute-force class as
+    # similarity_recall_at_k / similarity_topk_exact_baseline)
+    "embedding_hard_negatives",
     # type-pair fan-out: a |types|^2 (=25-row) inequality self-join
     # builds the pair dimension, then the 10-row pair frame broadcasts
     # onto the distinct-hash stream with an OR-equi membership

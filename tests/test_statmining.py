@@ -827,3 +827,86 @@ def test_mad_anomalies_flags_only_the_spike(spark, tmp_path):
     assert r.mad_daily == 1
     assert r.n_anomalous == 1
     assert r.max_daily == 50
+
+
+def test_daily_acf_alternating_series(spark, tmp_path):
+    """14 days alternating 10/20 for one type: lag-1 ACF strongly
+    negative, lag-2 strongly positive, lag-7 (odd) negative — each
+    value matching the exact integer replay (value*1e4 grid,
+    floor-mean centering, BIGINT products)."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import events_daily_acf
+
+    rows = []
+    for d in range(14):
+        rows.append(
+            (
+                d,
+                dt.datetime(2026, 3, 1, 12) + dt.timedelta(days=d),
+                1,
+                "click",
+                10.0 if d % 2 == 0 else 20.0,
+                "{}",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    # exact integer replay
+    m4 = [
+        ((int(10.0 * 10000 + 0.5) if d % 2 == 0 else int(20.0 * 10000 + 0.5))
+         * 1000) // 1 // 1000
+        for d in range(14)
+    ]
+    mbar = sum(m4) // 14
+    c = [v - mbar for v in m4]
+    den = sum(x * x for x in c)
+    expect = {}
+    for lag in (1, 2, 3, 7):
+        pairs = [(c[d], c[d + lag]) for d in range(14 - lag)]
+        num = sum(a * b for a, b in pairs)
+        expect[lag] = (len(pairs), num, round(num / den, 6))
+
+    got = {
+        r.lag: r for r in events_daily_acf(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 7}
+    for lag, (n_pairs, num, acf) in expect.items():
+        r = got[lag]
+        assert r.n_days == 14
+        assert (r.n_pairs, r.acf_num_units, r.acf_den_units) == (
+            n_pairs,
+            num,
+            den,
+        )
+        assert abs(r.acf - acf) < 1e-9
+    assert got[1].acf < -0.8 and got[2].acf > 0.8 and got[7].acf < -0.4
+
+
+def test_daily_acf_gap_days_pair_only_matched_lags(spark, tmp_path):
+    """Days 0,1,3 present (day 2 missing): lag-1 pairs only (0,1),
+    lag-2 only (1,3), lag-3 only (0,3) — gaps never fabricate
+    pairs."""
+    import datetime as dt
+
+    from env_data_pipeline_spark.plans.statmining import events_daily_acf
+
+    rows = [
+        (d, dt.datetime(2026, 3, 1, 12) + dt.timedelta(days=d), 1, "click",
+         float(v), "{}")
+        for d, v in ((0, 10.0), (1, 30.0), (3, 20.0))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.lag: r for r in events_daily_acf(spark, str(tmp_path)).collect()
+    }
+    assert [got[lag].n_pairs for lag in (1, 2, 3, 7)] == [1, 1, 1, 0]
+    assert got[7].acf is None and got[7].acf_num_units == 0

@@ -597,3 +597,142 @@ def test_power_iteration_pc1_matches_numpy(spark, sf_dir):
     ve = np.array([r.pc1_unit for r in got], dtype=np.float64)
     cos = abs(float(ve @ vf)) / np.linalg.norm(ve)
     assert cos > 0.999, cos
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining + JL distortion (extensions/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """Anchor at e1 (label 0): the same-label near-copy must surface
+    as pos_sim, and the different-label candidates must rank by their
+    planted cosines with margin = pos - neg."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # anchor (vec_id % 1000 == 0)
+        (1, [0.9, 0.1, 0.0, 0.0], 0),  # hardest positive
+        (2, [0.8, 0.6, 0.0, 0.0], 1),  # neg, cos 0.8
+        (3, [0.6, 0.8, 0.0, 0.0], 1),  # neg, cos 0.6
+        (4, [0.0, 1.0, 0.0, 0.0], 1),  # neg, cos 0.0
+        (5, [-1.0, 0.0, 0.0, 0.0], 2),  # neg, cos -1.0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = X.hard_negatives(emb, k=3, query_mod=1000).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        2,
+        3,
+        4,
+    ]
+    by_id = {r["neighbor_id"]: r for r in out}
+    assert by_id[2]["cosine_sim"] == 0.8
+    assert by_id[3]["cosine_sim"] == 0.6
+    pos = by_id[2]["pos_sim"]
+    assert pos > 0.99  # the [0.9, 0.1] same-label near-copy
+    for r in out:
+        assert r["pos_sim"] == pos
+        assert abs(r["margin"] - round(pos - r["cosine_sim"], 4)) < 1e-9
+        assert r["anchor_label"] == 0 and r["neighbor_label"] != 0
+
+
+def test_hard_negatives_without_positive_has_null_margin(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.5, 0.5], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = X.hard_negatives(emb, k=2, query_mod=1000).collect()
+    assert len(out) == 1
+    assert out[0]["pos_sim"] is None and out[0]["margin"] is None
+
+
+def test_jl_distortion_matches_python_replay(spark):
+    """The strided pair sample, the fixed sign projection, and the
+    basis-point ratio all replay exactly in Python."""
+    import math
+
+    from env_data_pipeline_spark.plans.vectorops import (
+        _JL_OFFSET,
+        _JL_OUT,
+        _JL_SIGNS,
+        _JL_STRIDE,
+    )
+
+    vecs = {
+        i: [
+            math.sin(0.1 * i + 0.37 * d) for d in range(64)
+        ]  # deterministic, non-degenerate
+        for i in range(80)
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {
+        (r["vec_a"], r["vec_b"]): r
+        for r in X.jl_distortion(
+            emb, signs=_JL_SIGNS, stride=_JL_STRIDE, offset=_JL_OFFSET
+        ).collect()
+    }
+    expect_pairs = {
+        (a, a + _JL_OFFSET)
+        for a in range(0, 80, _JL_STRIDE)
+        if a + _JL_OFFSET < 80
+    }
+    assert set(out) == expect_pairs
+    import numpy as np
+
+    for (a, b), r in out.items():
+        va = np.array(vecs[a], dtype=np.float32).astype(np.float64)
+        vb = np.array(vecs[b], dtype=np.float32).astype(np.float64)
+        d2o = round(float(((va - vb) ** 2).sum()), 4)
+        s = np.array(_JL_SIGNS, dtype=np.float64)
+        d2p = round(float(((s @ va - s @ vb) ** 2).sum()) / _JL_OUT, 4)
+        assert abs(r["d2_orig"] - d2o) < 2e-4
+        assert abs(r["d2_proj"] - d2p) < 2e-4
+        assert r["ratio_bp"] == math.floor(
+            10000.0 * r["d2_proj"] / r["d2_orig"]
+        )
+        assert r["within_2x"] == (5000 <= r["ratio_bp"] <= 20000)
+
+
+def test_jl_distortion_null_ratio_on_coincident_pair(spark):
+    same = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(0, same, 0), (18, same, 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = X.jl_distortion(emb, signs=[[1] * 64] * 4, stride=37, offset=18).collect()
+    assert len(out) == 1
+    assert out[0]["d2_orig"] == 0.0
+    assert out[0]["ratio_bp"] is None and out[0]["within_2x"] is None
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """The fused output must satisfy the RRF identity row-by-row
+    (rrf_units = sum over present arms of 1e6 // (60 + rank)) and the
+    fused_rank must be the (units desc, doc_id) order."""
+    from env_data_pipeline_spark.plans.vectorops import hybrid_search_rrf
+
+    out = sorted(
+        hybrid_search_rrf(spark, sf_dir).collect(),
+        key=lambda r: r.fused_rank,
+    )
+    assert [r.fused_rank for r in out] == list(range(1, len(out) + 1))
+    assert 0 < len(out) <= 10
+    for r in out:
+        expect = 0
+        if r.rank_lex is not None:
+            assert 1 <= r.rank_lex <= 15
+            expect += 1000000 // (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            assert 1 <= r.rank_vec <= 15
+            expect += 1000000 // (60 + r.rank_vec)
+        assert r.rank_lex is not None or r.rank_vec is not None
+        assert r.rrf_units == expect
+    # the fused order is (units desc, doc_id asc)
+    keys = [(-r.rrf_units, r.doc_id) for r in out]
+    assert keys == sorted(keys)
