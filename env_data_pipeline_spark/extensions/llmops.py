@@ -948,18 +948,21 @@ def importance_kl_shift(
 # 569-618); this is the standard pretraining-corpus triage step.
 # ---------------------------------------------------------------------------
 
-_PPL_GRID = 1_000_000  # 1e-6 integer grid for per-token neg-log-probs
+# the ONE 1e-6 grid shared with the DSIR family — rescaling either
+# tier alone would silently split the two integer contracts
+_PPL_GRID = _DSIR_GRID
 
 
 def _ppl_tokens(docs: DataFrame) -> DataFrame:
     """One row per word INSTANCE with its hash — unigram-only (the
-    perplexity LM), distinct from the DSIR uni+bigram family. Pure
+    perplexity LM), distinct from the DSIR uni+bigram family. Needs
+    only (doc_id, lang, text); callers filter source themselves. Pure
     HOFs + one explode, zero shuffles."""
     from env_data_pipeline_spark.extensions.text import md5_prefix_hash, words
 
     ws = F.filter(words(F.col("text")), lambda x: F.length(x) > 0)
     return docs.select(
-        "doc_id", "lang", "source", F.explode(ws).alias("token")
+        "doc_id", "lang", F.explode(ws).alias("token")
     ).withColumn("tok_hash", md5_prefix_hash(F.col("token")))
 
 
@@ -974,9 +977,8 @@ def ppl_unigram_lm(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    toks = _ppl_tokens(docs)
     tcnt = (
-        toks.filter(F.col("source") == target_source)
+        _ppl_tokens(docs.filter(F.col("source") == target_source))
         .select(F.pmod(F.col("tok_hash"), F.lit(buckets)).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct_nz"))
@@ -1153,12 +1155,30 @@ def gopher_rule_flags(
         F.col("ws"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
     n_stop = F.size(F.filter(F.col("ws"), lambda x: x.isin(*EN_STOPWORDS)))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ws"),
-            lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
-        )
+    # max word multiplicity via a LINEAR run-length fold over the
+    # sorted array (the distinct x filter nest is O(distinct * n) per
+    # doc — quadratic on the corpus-scan hot path); empty docs stay
+    # NULL so the rule fails them, mirroring the oracle's list_max
+    run_fold = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias(
+                "run"
+            ),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
+    top_cnt = F.when(F.size("ws") > 0, run_fold)
     return base.select(
         "doc_id",
         "lang",

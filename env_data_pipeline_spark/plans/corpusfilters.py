@@ -222,9 +222,27 @@ def streaming_perplexity_tier_refresh(
             F.col("doc_id").alias(f"{pre}_d"),
         )
     )
+    # null-SAFE merge of the two boundary frames: a NULL-lang stratum
+    # must land on ONE thr row (a name-list join is null-unsafe and
+    # would split it into two half-rows, double-classifying every
+    # NULL-lang arrival downstream — review finding, r12)
     thr = (
         bound("n_strat div 3", "h")
-        .join(bound("(2 * n_strat) div 3", "m"), ["lang", "salt"], "full_outer")
+        .alias("hb")
+        .join(
+            bound("(2 * n_strat) div 3", "m").alias("mb"),
+            F.col("hb.lang").eqNullSafe(F.col("mb.lang"))
+            & (F.col("hb.salt") == F.col("mb.salt")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("hb.lang"), F.col("mb.lang")).alias("lang"),
+            F.coalesce(F.col("hb.salt"), F.col("mb.salt")).alias("salt"),
+            "h_i",
+            "h_d",
+            "m_i",
+            "m_d",
+        )
         .localCheckpoint(eager=True)
     )
     raw = docs.filter(F.col("source") != _EVAL_SOURCE)

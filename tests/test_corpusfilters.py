@@ -251,10 +251,6 @@ def test_streaming_tier_refresh_equals_batch_table(spark, sf_dir):
         streaming_perplexity_tier_refresh,
     )
 
-    key = lambda r: (r["lang"], r["bucket"])  # noqa: E731
-    batch = sorted(
-        (tuple(r) for r in corpus_perplexity_buckets(spark, sf_dir).collect()),
-    )
     stream = sorted(
         (
             tuple(r)
@@ -278,4 +274,47 @@ def test_streaming_tier_refresh_equals_batch_table(spark, sf_dir):
         ),
     )
     assert stream == batch_cols
-    assert len(batch) == len(stream)
+
+
+def test_streaming_tier_handles_null_lang(spark, tmp_path):
+    """A NULL-lang corpus must land on ONE boundary row per stratum
+    (the null-safe thr merge): streaming output still equals the
+    batch tertile table exactly — the regression pin for the
+    half-row double-classification bug."""
+    from env_data_pipeline_spark.plans.corpusfilters import (
+        corpus_perplexity_buckets,
+        streaming_perplexity_tier_refresh,
+    )
+
+    rows = [
+        (doc_id, text, None if doc_id % 3 == 0 else lang, source)
+        for doc_id, text, lang, source in _planted_corpus()
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    cols = [
+        "lang", "bucket", "n_docs", "min_ippl", "max_ippl", "mean_ippl",
+        "lang_share_permille",
+    ]
+    key = lambda t: ((t[0] is None, t[0] or ""), t[1])  # noqa: E731
+    batch = sorted(
+        (
+            tuple(r)
+            for r in corpus_perplexity_buckets(spark, str(tmp_path))
+            .select(*cols)
+            .collect()
+        ),
+        key=key,
+    )
+    stream = sorted(
+        (
+            tuple(r)
+            for r in streaming_perplexity_tier_refresh(spark, str(tmp_path))
+            .select(*cols)
+            .collect()
+        ),
+        key=key,
+    )
+    assert stream == batch
+    assert any(r[0] is None for r in batch)  # NULL lang really present
