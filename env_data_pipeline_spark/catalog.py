@@ -28,6 +28,99 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ---------------------------------------------------------------------------
+# Layout-adaptive scan-parallelism floor (optimization guide §2.5:
+# "input skew — one huge unsplittable file … otherwise repartition
+# immediately after the read"). The driver's test tables are written
+# as a SINGLE parquet row group per file, and parquet cannot split a
+# row group across tasks — so without this, every scan and every
+# pre-shuffle kernel fused into it (shingle/gram md5, minhash partial
+# aggregation, per-component vector math) runs as ONE task no matter
+# how many cores the session has. When a FACT table's files expose
+# fewer row groups than the session's parallelism, hash-repartition
+# on the table's primary key right after the read, restoring the
+# map-side parallelism the same plan has at production scale — where
+# fact files carry thousands of row groups and this rule is a no-op
+# (rgs >= parallelism short-circuits before any shuffle is added).
+# Hash-by-unique-key, not round-robin: assignment is deterministic
+# under task retry without round-robin's sort-before-repartition
+# pass, and a downstream groupBy on the same key reuses the exchange.
+# Dimension tables stay out of the map: they are bounded-size by the
+# data model and feed broadcast joins, where an extra exchange is
+# pure overhead.
+#
+# OPT-IN per call site (``table(..., parallel=True)``), not blanket:
+# measured per-task fixed cost on this host is ~50 ms (codegen
+# pipeline init + scheduling), so the floor only pays where the
+# map-side work above the scan is genuinely heavy (the md5 shingle /
+# gram kernels: 0.4-2 s of single-thread CPU); applying it to
+# light-map scans (k-means iteration inputs, plain relational
+# aggregates) multiplied total CPU several-fold for zero wall win in
+# the r12 A/B. SPARK_GRAFT_SCAN_FLOOR=0 disables globally (A/B lever).
+# ---------------------------------------------------------------------------
+
+_FACT_SCAN_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+# floor on rows per task so the floor never manufactures near-empty
+# tasks at tiny SFs (scheduling overhead would then exceed the work).
+# 64 keeps the floor firing from sf0.01 up for the document corpus, so
+# the sf0.01->sf0.1 shuffle-growth pins (tests/test_shuffle_metrics)
+# see the floor exchange on BOTH tiers — linear in data, as at scale
+# (where the rule is a no-op entirely).
+_SCAN_FLOOR_ROWS_PER_TASK = 64
+
+# (path, size, mtime_ns) -> (n_row_groups, n_rows); same probe-once
+# discipline as _TS_VINTAGE_CACHE (the driver regenerates testdata in
+# place between rounds)
+_LAYOUT_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total row groups, total rows) of a parquet file or directory."""
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, fn)
+            for fn in sorted(os.listdir(path))
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        ]
+    else:
+        files = [path]
+    rgs = rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rgs += md.num_row_groups
+        rows += md.num_rows
+    _LAYOUT_CACHE[key] = (rgs, rows)
+    return rgs, rows
+
+
+def _with_scan_parallelism(spark: SparkSession, df: DataFrame, path: str, key_col: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCAN_FLOOR", "1") == "0":
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        rgs, rows = _parquet_layout(path)
+    except Exception:  # unreadable footer: scan as-is, Spark will report
+        return df
+    target = min(par, rows // _SCAN_FLOOR_ROWS_PER_TASK)
+    if rgs >= par or target <= rgs:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key_col))
+
 # Probe each events file once per on-disk version. Keyed on
 # (path, size, mtime_ns) — NOT path alone — because the driver
 # regenerates /root/testdata in place between rounds; a session that
@@ -66,7 +159,9 @@ def events_ts_vintage(spark: SparkSession, sf_dir: str) -> str:
     return vintage
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Parquet scan of one base table — no caching, Catalyst prunes/pushes.
 
     ``events.ts`` is normalized to session-TZ TimestampType whatever
@@ -77,6 +172,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key_col = _FACT_SCAN_KEYS.get(name) if parallel else None
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -91,14 +187,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             # integer `div`, not `/`: float division loses precision at 1e18 ns
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(path)
+            if vintage == "timestamp_ntz":
+                # wall-clock-preserving cast; UTC session TZ keeps epoch
+                # semantics aligned with the oracle as well
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
         df = spark.read.parquet(path)
-        if vintage == "timestamp_ntz":
-            # wall-clock-preserving cast; UTC session TZ keeps epoch
-            # semantics aligned with the oracle as well
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    if key_col is not None:
+        df = _with_scan_parallelism(spark, df, path, key_col)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

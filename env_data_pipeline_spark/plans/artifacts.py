@@ -14,11 +14,13 @@ slot and a stale index can never serve (review finding, r7)."""
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
 
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.types import StructType
 
 
 def artifact_path(
@@ -56,6 +58,15 @@ def persisted_artifact(
         # tmp dir in /tmp (ADVICE r11) — clean up before re-raising
         try:
             built = build()
+            # schema sidecar (r12): every serving query otherwise pays
+            # a one-task footer-inference Spark job PER ARTIFACT READ
+            # (~50-90 ms of driver latency each; the IVF+PQ serve reads
+            # three artifacts per invocation). build() is lazy, so its
+            # schema costs nothing here; the reader below passes it
+            # explicitly and skips the inference job entirely.
+            os.makedirs(os.path.dirname(tmp), exist_ok=True)
+            with open(f"{tmp}.schema", "w") as fh:
+                fh.write(built.schema.json())
             if partition_by:
                 # corpus-sized partitioned artifacts (the IVF inverted
                 # lists) build in PARALLEL: repartition on the partition
@@ -70,9 +81,19 @@ def persisted_artifact(
             w.parquet(tmp)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
+            os.unlink(f"{tmp}.schema") if os.path.exists(f"{tmp}.schema") else None
             raise
         try:
             os.rename(tmp, d)
+            os.replace(f"{tmp}.schema", f"{d}.schema")
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(f"{tmp}.schema"):
+                os.unlink(f"{tmp}.schema")
+    sidecar = f"{d}.schema"
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            schema = StructType.fromJson(json.load(fh))
+        return spark.read.schema(schema).parquet(d)
+    # cache dirs written before the sidecar existed: infer as before
     return spark.read.parquet(d)

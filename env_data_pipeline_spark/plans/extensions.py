@@ -45,7 +45,13 @@ _DUCK_AUG = f"""
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # parallel=True: every consumer runs the md5 shingle/gram kernels
+    # (0.4-2 s of single-thread CPU at sf0.1) directly above this scan,
+    # exactly the heavy-map shape the catalog's layout-adaptive
+    # parallelism floor exists for (optimization guide §2.5)
+    docs = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
     exact = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
     )
@@ -488,9 +494,14 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing, same discipline as dedup_lsh_verified_pairs."""
     aug = _aug_docs(spark, sf_dir)
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    # lazy-checkpointed: the delta and corpus branches below otherwise
+    # EACH re-derive the whole shingle->minhash pipeline (the query's
+    # single most expensive kernel) — one materialization of the
+    # |docs|x4-row band table halves the signature work and collapses
+    # the r11 plan's ~35 exchanges (guide §2.4 / §3.3 plan truncation)
     bands = D.band_table(
         D.minhash_signatures(D.shingles(aug, distinct=False))
-    )
+    ).localCheckpoint(eager=False)
     delta_bands = bands.filter(is_delta).select(
         F.col("doc_id").alias("delta_id"), "band", "band_key"
     )
@@ -507,6 +518,10 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("corpus_id").alias("doc_id")))
         .distinct()
     )
+    # consumed three times (sizes, delta side, corpus side); the
+    # expensive part — the full-corpus shingle distinct — sits below
+    # one exchange, so the consumers share it as a ReusedExchange and
+    # a checkpoint barrier here would only serialize the driver
     sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh_c.select(F.col("doc_id").alias("delta_id"), "shingle").join(
@@ -2382,14 +2397,21 @@ def paragraph_doc_stats(docs: DataFrame) -> DataFrame:
     n_dup_paras, dup_permille, dropped). THE shared kernel — the
     standalone query and the funnel stage both run it.
 
-    Scale: one digest shuffle to count window occurrences, one
-    shuffle_hash join back onto the window stream (the count table is
-    distinct-paragraph-sized — data-sized, never broadcast), one
-    per-doc agg. Pure explode + groupBy; no self-join at any scale."""
+    Scale (r12 rework, guide §2.4): ONE digest shuffle. The old shape
+    aggregated window counts separately and shuffle_hash-joined them
+    back onto the window stream — since the count side and the join
+    side carry different payloads their exchanges cannot be reused,
+    so the md5 window kernel (the query's dominant map work) ran
+    TWICE. A count(*) window over the ph partition after a single
+    exchange of the digest stream computes the identical per-window
+    occurrence count with one kernel pass and no join; shuffled bytes
+    shrink (the full stream moves once instead of once plus its
+    distinct-count table), and nothing is broadcast at any scale."""
+    from pyspark.sql.window import Window as W
+
     pw = paragraph_hashes(docs)
-    pc = pw.groupBy("ph").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        pw.join(pc.hint("shuffle_hash"), "ph")
+        pw.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("ph")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_paras"),

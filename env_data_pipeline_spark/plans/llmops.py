@@ -1259,7 +1259,10 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregation, and a salt-partitioned selection window —
     strata is the task-width knob at 100 TB."""
     return L.importance_resample(
-        table(spark, sf_dir, "documents"),
+        # parallel=True: two unigram+bigram gram passes (explode +
+        # md5 per gram) sit directly above this scan — the heavy-map
+        # shape the catalog scan floor targets (guide §2.5)
+        table(spark, sf_dir, "documents", parallel=True),
         target_source=_EVAL_SOURCE,
         buckets=_DSIR_B,
         keep_num=_DSIR_KEEP_NUM,

@@ -1648,7 +1648,17 @@ def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized shuffle); the ordered cumulative window runs on the
     dimension-scale customer frame — the same deliberate single-sort
     class as customer_revenue_concentration's Lorenz machinery, never
-    on raw orders."""
+    on raw orders.
+
+    r12 shape (guide §2.4): the old assembly re-derived rev/ranked for
+    tot, hit and share and glued four 1-row frames with broadcast
+    crossJoins — 11 driver jobs for 0.2 s of compute. Because cum is
+    MONOTONE in rk, every output is a plain aggregate of the ranked
+    frame: t = max(cum), n = max(rk), k = min rk among threshold hits,
+    and the share numerator = min cum among hits (the first hit row's
+    cum). One window pass carries the total to each row; one global
+    aggregation replaces all three broadcast singletons. Values are
+    identical — same grid, same integer compares."""
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(
@@ -1656,35 +1666,24 @@ def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ru")
     )
     w = Window.orderBy(F.desc("ru"), "o_custkey")
+    ww = Window.partitionBy()  # same single post-sort partition; no new exchange
     ranked = rev.select(
-        "ru",
         F.row_number().over(w).alias("rk"),
         F.sum("ru").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "cum"
         ),
-    )
-    tot = rev.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("ru").alias("t")
-    )
-    hit = (
-        ranked.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum") * _PARETO_DEN >= F.col("t") * _PARETO_NUM)
-        .agg(F.min("rk").alias("k"))
-    )
-    share = (
-        ranked.join(F.broadcast(hit), ranked["rk"] == F.col("k"))
-        .crossJoin(F.broadcast(tot))
-        .select(F.expr("1000 * cum div t").alias("share_permille"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(hit))
-        .crossJoin(F.broadcast(share))
-        .select(
-            F.col("n").cast("bigint").alias("n_customers"),
-            F.col("k").cast("bigint").alias("top_k"),
-            F.expr("1000 * k div n").cast("bigint").alias("top_k_permille"),
-            F.col("share_permille").cast("bigint"),
-        )
+    ).withColumn("t", F.max("cum").over(ww))
+    is_hit = F.col("cum") * _PARETO_DEN >= F.col("t") * _PARETO_NUM
+    return ranked.agg(
+        F.max("rk").alias("n"),
+        F.min(F.when(is_hit, F.col("rk"))).alias("k"),
+        F.min(F.when(is_hit, F.col("cum"))).alias("hc"),
+        F.max("t").alias("tt"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("k").cast("bigint").alias("top_k"),
+        F.expr("1000 * k div n").cast("bigint").alias("top_k_permille"),
+        F.expr("1000 * hc div tt").cast("bigint").alias("share_permille"),
     )
 
 

@@ -195,18 +195,28 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
     THE shared lexical arm: text_bm25_search returns it directly and
     hybrid_search_rrf (plans/vectorops.py) fuses it with the vector
     ranking, so the two surfaces cannot drift."""
+    # r12 shape (guide §2.3/§2.4): dl rides the token explode (the
+    # split feeds both, so no (doc_id, dl) join back onto tf), and the
+    # two corpus scalars fold into ONE singleton broadcast. avgdl =
+    # sum(dl)/n_docs is exact under any summation order because dl is
+    # an integer-valued double, so the fold is value-identical to the
+    # old separate aggregate.
     d = docs.select(
         "doc_id", F.size(words(F.col("text"))).cast("double").alias("dl")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    avgdl = d.join(F.broadcast(n_docs)).agg(
-        (F.sum("dl") / F.first("n_docs")).alias("avgdl")
+    corpus = d.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
     )
     tokens = docs.select(
-        "doc_id", F.explode(words(F.col("text"))).alias("token")
+        "doc_id",
+        F.size(words(F.col("text"))).cast("double").alias("dl"),
+        F.explode(words(F.col("text"))).alias("token"),
     ).filter(F.col("token").isin(*_BM25_TERMS))
     tf = tokens.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
     )
     df_counts = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("df")
@@ -224,13 +234,15 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("token") == term, idf * tf_part)), F.lit(0.0)
         )
 
-    # df_counts is vocabulary-sized (grows with the corpus) — shuffle
-    # join, never broadcast (ADVICE r9); the singletons still broadcast
+    # df_counts here is bounded by the QUERY's term count (the explode
+    # filters to _BM25_TERMS before any aggregation), not by the
+    # vocabulary — ≤3 rows at every corpus size, so broadcasting it is
+    # scale-legitimate and removes both sides' join exchanges (the
+    # ADVICE r9 no-vocabulary-broadcast rule governs the unfiltered
+    # tf-idf path in vocab joins, not a fixed keyword query)
     scored = (
-        tf.join(df_counts.hint("shuffle_hash"), "token")
-        .join(d, "doc_id")
-        .join(F.broadcast(n_docs))
-        .join(F.broadcast(avgdl))
+        tf.join(F.broadcast(df_counts), "token")
+        .join(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
             (

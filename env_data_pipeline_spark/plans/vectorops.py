@@ -2068,9 +2068,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
         F.col("v").alias("c"),
     )
+    # lazy, not eager: cent has ONE consumer (the broadcast below), so
+    # an eager checkpoint only adds a synchronous driver barrier before
+    # the main query can even plan — the lazy form materializes inside
+    # the same action (r12; the drift-refresh variant keeps eager=True
+    # because it fans cent out to several consumers)
     cent = X.kmeans_train(
         pts, init, iters=_ITERS, quant=float(_QGRID)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     aug = _aug_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )

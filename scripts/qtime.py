@@ -63,8 +63,11 @@ def main() -> int:
         os.makedirs(plan_dir, exist_ok=True)
 
     def run_once(name: str) -> float:
-        df = registry.QUERIES[name](spark, args.sf)
+        # builder INSIDE the window — the bench times
+        # QUERIES[name](spark, sf).count() as one unit, and some
+        # builders run real jobs (eager checkpoints, artifact reads)
         t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, args.sf)
         if args.noop:
             df.write.format("noop").mode("overwrite").save()
         else:

@@ -151,8 +151,14 @@ def test_recorded_probe_slopes_stay_subquadratic():
     deep = {
         "dedup_minhash_lsh",
         "similarity_topk_ivfpq_served",
+        # r12 (VERDICT r11 item 2): the scaled-K serving path carries
+        # the 2-decade fit, proving the sqrt(n) contract beyond the
+        # single x10 point the r11 fix was measured at
+        "similarity_topk_ivf_served",
         "decontaminate_eval_overlap",
         "dedup_substring_spans",
+        # r12: the CCNet perplexity tier rides the documents family
+        "corpus_perplexity_buckets",
     }
     wide = {"part_triangle_count_sampled", "events_rapid_repeat_pairs"}
     assert deep | wide <= set(probe), sorted(probe)

@@ -281,14 +281,27 @@ def test_selective_scans_prune_columns(spark, sf_dir):
     assert "o_comment" not in orders_read and "o_orderdate" not in orders_read
 
 
-def test_rolling_fingerprint_shuffles_hash_not_text(spark, sf_dir):
+def test_rolling_fingerprint_shuffles_hash_not_text(spark, sf_dir, monkeypatch):
     """The fingerprint groupBy must exchange on the 8-byte fingerprint
-    only — document text must never cross the wire (X4 scale shape)."""
+    only — document text must never cross the wire (X4 scale shape).
+
+    The scale shape is pinned with the catalog scan floor disabled:
+    at production scale the floor is a structural no-op (row groups >=
+    parallelism short-circuits it), so the floor-off plan IS the
+    at-scale plan. With the floor on (the local-layout repair, r12),
+    the only extra exchange allowed is the doc_id-keyed layout floor
+    itself."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_FLOOR", "0")
     plan = formatted_plan(spark, "text_rolling_fingerprint", sf_dir)
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert ex, "expected one hash exchange for the fingerprint agg"
     for keys in ex:
         assert "fingerprint" in keys
+        assert "text" not in keys
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_FLOOR", "1")
+    plan = formatted_plan(spark, "text_rolling_fingerprint", sf_dir)
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "fingerprint" in keys or keys.startswith("doc_id"), keys
         assert "text" not in keys
 
 
