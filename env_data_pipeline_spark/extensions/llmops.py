@@ -666,17 +666,27 @@ def dsir_bucket_logratios(
 
 
 def dsir_score_against(
-    docs: DataFrame, ilr: DataFrame, buckets: int, strata: int
+    docs: DataFrame,
+    ilr: DataFrame,
+    buckets: int,
+    strata: int,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a STANDING bucket-log-ratio table (the
     ingest-gate asymmetry: arrivals are judged by frozen state, the
     models never refit per batch): per doc with >=1 gram — integer
     importance score, Gumbel-perturbed selection key on the same
     1e-6 grid, and md5 salt stratum. The ilr frame is <=B rows and
-    broadcasts; the only shuffle is the doc-keyed aggregation."""
+    broadcasts; the only shuffle is the doc-keyed aggregation.
+
+    ``grams``: inject a prebuilt (possibly checkpointed) _dsir_grams
+    frame for ``docs`` instead of re-deriving it — dsir_scored_docs
+    passes the SAME materialization its ilr build consumed, so the
+    gram+md5 kernel (the query's dominant map work) runs once, not
+    twice (r12)."""
     from env_data_pipeline_spark.extensions.text import md5_prefix_hash
 
-    bucketed = _dsir_grams(docs).withColumn(
+    bucketed = (grams if grams is not None else _dsir_grams(docs)).withColumn(
         "b", F.pmod(F.col("gram_hash"), F.lit(buckets))
     )
     scored = (
@@ -746,10 +756,30 @@ def dsir_scored_docs(
     from pyspark.sql import Window
 
     if ilr is None:
-        ilr = dsir_bucket_logratios(_dsir_grams(docs), target_source, buckets)
-    keyed = dsir_score_against(
-        docs.filter(F.col("source") != target_source), ilr, buckets, strata
-    )
+        # ONE gram+md5 pass (r12): the ilr build needs the full
+        # corpus's gram stream and the scorer needs the raw subset of
+        # the SAME stream — materialize it once (gram string dropped
+        # first; only the hash and identity columns persist) and feed
+        # both. The two consumers are dependency-ordered (scoring
+        # joins the broadcast ilr), so the lazy checkpoint cannot be
+        # raced into double materialization.
+        grams_all = (
+            _dsir_grams(docs)
+            .select("doc_id", "lang", "source", "gram_hash")
+            .localCheckpoint(eager=False)
+        )
+        ilr = dsir_bucket_logratios(grams_all, target_source, buckets)
+        keyed = dsir_score_against(
+            docs.filter(F.col("source") != target_source),
+            ilr,
+            buckets,
+            strata,
+            grams=grams_all.filter(F.col("source") != target_source),
+        )
+    else:
+        keyed = dsir_score_against(
+            docs.filter(F.col("source") != target_source), ilr, buckets, strata
+        )
     win = Window.partitionBy("salt").orderBy(
         F.col("sel_key").desc(), F.col("doc_id")
     )

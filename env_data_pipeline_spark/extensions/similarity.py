@@ -958,7 +958,44 @@ def ivfpq_topk(
     codes = pq_assign(
         cells.select("vec_id", "cell", "v"), pq_codebook, m_subspaces, dim_per_sub, quant
     ).select("vec_id", "cell", "m", "code")
+    # 2-4. delegate to the serving kernel (one implementation — the
+    # artifact-fed path and this inline-coding exhibit cannot drift)
+    return ivfpq_topk_from_codes(
+        codes,
+        pts,
+        query_ids,
+        coarse_centroids,
+        pq_codebook,
+        m_subspaces,
+        dim_per_sub,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        quant=quant,
+    )
 
+
+def ivfpq_topk_from_codes(
+    codes: DataFrame,
+    pts: DataFrame,
+    query_ids: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_codebook: DataFrame,
+    m_subspaces: int,
+    dim_per_sub: int,
+    k: int = 3,
+    nprobe: int = 3,
+    shortlist: int = 30,
+    quant: float = 1e6,
+) -> DataFrame:
+    """IVF+PQ SERVING from pre-built codes — steps 2-4 of ivfpq_topk
+    with the corpus coding supplied by the caller. ``codes`` is the
+    (vec_id, cell, m, code) table a production deployment persists
+    partitioned BY cell (plans/vectorops.py::_ivfpq_codes): the
+    broadcast probe LUT's cell key then dynamically prunes the codes
+    scan to the probed inverted lists, and no per-serve pass over the
+    corpus assigns or codes anything — the serve touches nprobe/K of
+    the index plus the shortlist's exact vectors, nothing else."""
     # 2. query-side: probed cells + LUT (same shared scoring/probing)
     queries = pts.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

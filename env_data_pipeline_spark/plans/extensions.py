@@ -1868,11 +1868,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _aug_docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
+    # unhex: the same md5 VALUE as 16-byte binary instead of its
+    # 32-char hex spelling — identical collision behavior (it IS the
+    # md5), h never reaches the output, and the join key's bytes
+    # through the exchange and the SMJ sort compares halve (guide
+    # §2.3 narrower types; r12)
     gram_structs = F.transform(
         F.sequence(F.lit(1), F.size(words) - 7),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.array_join(F.slice(words, i, 8), "\x1f")).alias("h"),
+            F.unhex(
+                F.md5(F.array_join(F.slice(words, i, 8), "\x1f"))
+            ).alias("h"),
         ),
     )
     g = (

@@ -889,6 +889,44 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF+PQ index body: every corpus vector's (cell, m, code)
+    coding, persisted hive-partitioned BY cell — the actual on-disk
+    structure a production IVF+PQ deployment serves from (the codes
+    ARE the index; FAISS's IndexIVFPQ stores exactly this). Built once
+    per corpus tier from the persisted centroids + codebook; the
+    params string carries BOTH parents' params, so retraining either
+    one invalidates the codes (r12; before this, serving re-assigned
+    and re-coded the whole corpus on every invocation — the per-serve
+    cost the cell-partitioned layout exists to remove, mirroring
+    _ivf_invlists)."""
+
+    def build() -> DataFrame:
+        cells = X.coarse_assign(
+            X.coarse_scores(
+                _pts(spark, sf_dir),
+                _ivf_centroids(spark, sf_dir),
+                quant=float(_QGRID),
+            )
+        )
+        return X.pq_assign(
+            cells.select("vec_id", "cell", "v"),
+            _pq_codebook(spark, sf_dir),
+            _PQ_M,
+            _PQ_D,
+            float(_QGRID),
+        ).select("vec_id", "cell", "m", "code")
+
+    return _persisted_artifact(
+        spark,
+        sf_dir,
+        "ivfpq_codes",
+        build,
+        params=f"{IVF_ARTIFACT_PARAMS};{PQ_ARTIFACT_PARAMS}",
+        partition_by=["cell"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity_topk_ivf_served — production IVF serving with the
 # K-SIZING CONTRACT (VERDICT r10 item 2): K grows with the corpus
@@ -1085,20 +1123,26 @@ def similarity_topk_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_topk_ivfpq_served", oracle=_ivfpq_oracle())
 def similarity_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ serving from PERSISTED artifacts (coarse centroids + PQ
-    codebook) — result-identical to similarity_topk_ivfpq and sharing
-    its stage-by-stage oracle, with only the serving pipeline in the
-    plan: probe nprobe cells, integer-LUT ADC over the probed inverted
-    lists, exact-cosine re-rank of the shortlist. The two parquet
-    artifacts total K + M*K rows and broadcast everywhere they are
-    consumed."""
+    """IVF+PQ serving from PERSISTED artifacts — result-identical to
+    similarity_topk_ivfpq and sharing its stage-by-stage oracle, with
+    only the serving pipeline in the plan. Three artifacts: the K-row
+    coarse centroids and M*K-row codebook (broadcast everywhere they
+    are consumed) and — r12 — the corpus's (vec_id, cell, m, code)
+    coding persisted CELL-PARTITIONED (_ivfpq_codes), so the broadcast
+    probe LUT dynamically prunes the codes scan to the probed inverted
+    lists. Before r12 this query re-assigned and re-coded the whole
+    corpus per invocation; now a serve touches nprobe/K of the stored
+    codes plus the shortlist's exact vectors, the same contract
+    similarity_topk_ivf_served established for the flat-vector tier."""
     coarse = _ivf_centroids(spark, sf_dir)
     cb = _pq_codebook(spark, sf_dir)
+    codes = _ivfpq_codes(spark, sf_dir)
     pts = _pts(spark, sf_dir)
     qids = pts.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _Q_CAP)
     ).select("vec_id")
-    return X.ivfpq_topk(
+    return X.ivfpq_topk_from_codes(
+        codes,
         pts,
         qids,
         coarse,
@@ -2058,24 +2102,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch), assignment and election run over the augmented one."""
     from env_data_pipeline_spark.plans.extensions import _aug_embeddings
 
-    pts = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    init = pts.filter(
-        (F.col("vec_id") % _INIT_STEP == 0) & (F.col("vec_id") < _K * _INIT_STEP)
-    ).select(
-        (F.col("vec_id") / _INIT_STEP).cast("int").alias("cluster_id"),
-        F.col("v").alias("c"),
-    )
-    # lazy, not eager: cent has ONE consumer (the broadcast below), so
-    # an eager checkpoint only adds a synchronous driver barrier before
-    # the main query can even plan — the lazy form materializes inside
-    # the same action (r12; the drift-refresh variant keeps eager=True
-    # because it fans cent out to several consumers)
-    cent = X.kmeans_train(
-        pts, init, iters=_ITERS, quant=float(_QGRID)
-    ).localCheckpoint(eager=False)
+    # The partitioning model is the SAME trained index the IVF family
+    # serves from: this training expression (raw-corpus _pts, the
+    # _INIT_STEP seeding, kmeans_train at _ITERS/_QGRID) is
+    # byte-identical to _ivf_centroids' builder, so consuming the
+    # persisted artifact yields provably identical centroids — and the
+    # per-call Lloyd iterations (their shuffles, broadcasts and driver
+    # barriers) leave the serving plan entirely (r12; the oracle
+    # replays training CTE-for-CTE as before, proving the equality
+    # every time the query is stamped).
+    cent = _ivf_centroids(spark, sf_dir)
     aug = _aug_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )

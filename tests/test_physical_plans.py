@@ -1098,3 +1098,28 @@ def test_ivf_served_plan_prunes_invlist_partitions(spark, sf_dir):
     assert "LessThan(vec_id,50000)" in plan
     # serving consumes the persisted centroid parquet, not kmeans_train
     assert "ivf_centroids_scaled" in plan
+
+
+def test_ivfpq_served_plan_prunes_codes_partitions(spark, sf_dir):
+    """similarity_topk_ivfpq_served must SERVE from the persisted
+    cell-partitioned codes artifact (r12): the plan reads ivfpq_codes
+    with a dynamicpruningexpression on cell (only probed inverted
+    lists), and no corpus-wide assignment/coding stage appears — the
+    (cells->codes) build lives behind the artifact cache. Value
+    equality with the inline-coding exhibit is pinned by
+    tests/test_vectorops.py's served==trained comparison."""
+    plan = formatted_plan(spark, "similarity_topk_ivfpq_served", sf_dir)
+    low = plan.lower()
+    assert "ivfpq_codes" in plan, plan[:2000]
+    assert "dynamicpruningexpression(cell" in low, plan[:3000]
+    assert "ivf_centroids" in plan and "pq_codebook" in plan
+
+
+def test_semdedup_serves_from_persisted_centroids(spark, sf_dir):
+    """dedup_semantic_semdedup consumes the _ivf_centroids artifact
+    (its inline trainer was byte-identical to the artifact's builder):
+    the plan must read the persisted centroid parquet and contain no
+    Lloyd iteration (no corpus-wide aggregate under the centroid
+    broadcast). Decision equality is pinned by the numpy replay test."""
+    plan = formatted_plan(spark, "dedup_semantic_semdedup", sf_dir)
+    assert "ivf_centroids" in plan, plan[:2000]
