@@ -44,12 +44,19 @@ _DUCK_AUG = f"""
 """
 
 
-def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallel=True: every consumer runs the md5 shingle/gram kernels
-    # (0.4-2 s of single-thread CPU at sf0.1) directly above this scan,
-    # exactly the heavy-map shape the catalog's layout-adaptive
-    # parallelism floor exists for (optimization guide §2.5)
-    docs = table(spark, sf_dir, "documents", parallel=True).select(
+def _aug_docs(
+    spark: SparkSession, sf_dir: str, parallel: bool = True
+) -> DataFrame:
+    # parallel=True (default): most consumers run the md5 shingle/gram
+    # kernels (0.4-2 s of single-thread CPU at sf0.1) directly above
+    # this scan, exactly the heavy-map shape the catalog's
+    # layout-adaptive parallelism floor exists for (optimization guide
+    # §2.5). Consumers whose map kernel is LIGHT (one md5/length per
+    # doc — paragraph stats, exact dedup, id-only projections) pass
+    # parallel=False: for them the floor's repartition exchange costs
+    # more than the parallelism buys (measured r12:
+    # dedup_paragraph_exact 0.63 s floor-off vs 1.17 s floor-on).
+    docs = table(spark, sf_dir, "documents", parallel=parallel).select(
         "doc_id", "text"
     )
     exact = docs.filter(F.col("doc_id") % 50 == 0).select(
@@ -80,7 +87,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: hash-groupBy exact duplicate groups. One shuffle on
     md5(text); at 100 TB hash first, shuffle the 16-byte digest, never
     the text."""
-    return D.exact_dup_groups(_aug_docs(spark, sf_dir))
+    return D.exact_dup_groups(_aug_docs(spark, sf_dir, parallel=False))
 
 
 _DUCK_SIG_MINS = ",\n             ".join(
@@ -296,7 +303,7 @@ def dedup_cluster_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back; text never shuffles (only its length does).
     """
     labels = D.connected_components(_lsh_pairs(spark, sf_dir))
-    lens = _aug_docs(spark, sf_dir).select(
+    lens = _aug_docs(spark, sf_dir, parallel=False).select(
         "doc_id", F.length("text").alias("len")
     )
     scored = labels.join(lens, "doc_id")
@@ -2483,7 +2490,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the MinHash tier's job — see the _PARA_W comment for why that
     split is deliberate."""
     return (
-        paragraph_doc_stats(_aug_docs(spark, sf_dir))
+        paragraph_doc_stats(_aug_docs(spark, sf_dir, parallel=False))
         .filter(F.col("n_dup_paras") > 0)
         .orderBy("doc_id")
     )
@@ -2859,7 +2866,7 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster labels come from the iterative min-label propagation —
     nothing here exceeds the corpus in size, and nothing is
     quadratic."""
-    aug = _aug_docs(spark, sf_dir).select("doc_id")
+    aug = _aug_docs(spark, sf_dir, parallel=False).select("doc_id")
     labels = D.connected_components(_lsh_pairs(spark, sf_dir))
     items = (
         aug.join(labels, "doc_id", "left")
